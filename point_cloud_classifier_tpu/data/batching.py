@@ -1,0 +1,253 @@
+"""Static-shape, bucketed batch iterators.
+
+TPU/XLA requires static shapes: every distinct input shape triggers a fresh
+compilation.  The reference's ragged collates (`utils/data.py:651-663` sparse
+point-cloud collate, `:1228-1261` graph collate) are re-designed here as
+**flattened buffers + segment ids, padded to power-of-two buckets**:
+
+- point clouds: ``points [P_pad, F]`` + ``seg [P_pad]`` (event index per
+  point, padding rows get segment ``B``), labels ``y [B, 1]`` with ``y_mask``
+- graphs: additionally ``src/dst [E_pad]`` edge endpoints (padding edges point
+  at a reserved padding node) + ``edge_mask`` / ``edge_weight``
+- tabular: fixed ``x [B, F]``; only the final partial batch is padded
+
+This keeps the math identical to the reference's ragged formulation (no
+per-event padding waste, exact segment reductions) while giving XLA a small,
+bounded set of shapes: the batch dim is always ``B`` and the flattened dims
+are rounded up to powers of two.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def pow2_bucket(n: int, min_size: int = 256) -> int:
+    """Smallest power-of-two >= max(n, min_size)."""
+    size = min_size
+    while size < n:
+        size *= 2
+    return size
+
+
+Batch = Dict[str, np.ndarray]
+
+
+class TabularLoader:
+    """Fixed-size feature-matrix batches; final partial batch is mask-padded."""
+
+    def __init__(
+        self,
+        X: np.ndarray,
+        y: np.ndarray,
+        batch_size: int,
+        shuffle: bool,
+        seed: int = 0,
+    ):
+        self.X = np.ascontiguousarray(X, dtype=np.float32)
+        self.y = np.asarray(y, dtype=np.float32).reshape(-1)
+        self.batch_size = int(batch_size) if batch_size else len(self.y)
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
+
+    @property
+    def n_examples(self) -> int:
+        return len(self.y)
+
+    def __len__(self) -> int:
+        return -(-self.n_examples // self.batch_size)
+
+    def __iter__(self) -> Iterator[Batch]:
+        n, b = self.n_examples, self.batch_size
+        order = np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng(self.seed + self._epoch).permutation(n)
+            self._epoch += 1
+        for start in range(0, n, b):
+            idx = order[start : start + b]
+            k = len(idx)
+            x = np.zeros((b, self.X.shape[1]), dtype=np.float32)
+            yb = np.zeros((b, 1), dtype=np.float32)
+            mask = np.zeros((b,), dtype=np.float32)
+            x[:k] = self.X[idx]
+            yb[:k, 0] = self.y[idx]
+            mask[:k] = 1.0
+            yield {"x": x, "y": yb, "y_mask": mask}
+
+
+class PointCloudLoader:
+    """Flattened point batches: ``points [P_pad, F]`` + segment ids.
+
+    Stores all events as one contiguous array plus offsets, so a batch is a
+    cheap row-gather.  Padding points carry segment id ``B`` (one past the
+    last event) so a ``segment_sum`` with ``num_segments=B+1`` isolates them.
+    """
+
+    def __init__(
+        self,
+        event_features: Sequence[np.ndarray],
+        labels: np.ndarray,
+        batch_size: int,
+        shuffle: bool,
+        seed: int = 0,
+        min_bucket: int = 256,
+    ):
+        counts = np.array([len(f) for f in event_features], dtype=np.int64)
+        self.flat = np.ascontiguousarray(
+            np.concatenate(event_features, axis=0), dtype=np.float32
+        )
+        self.offsets = np.concatenate([[0], np.cumsum(counts)])
+        self.counts = counts
+        self.labels = np.asarray(labels, dtype=np.float32).reshape(-1)
+        self.batch_size = int(batch_size) if batch_size else len(self.labels)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.min_bucket = min_bucket
+        self._epoch = 0
+
+    @property
+    def n_examples(self) -> int:
+        return len(self.labels)
+
+    @property
+    def n_points(self) -> int:
+        return len(self.flat)
+
+    def __len__(self) -> int:
+        return -(-self.n_examples // self.batch_size)
+
+    def __iter__(self) -> Iterator[Batch]:
+        n, b = self.n_examples, self.batch_size
+        order = np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng(self.seed + self._epoch).permutation(n)
+            self._epoch += 1
+        feat_dim = self.flat.shape[1]
+        for start in range(0, n, b):
+            idx = order[start : start + b]
+            k = len(idx)
+            total = int(self.counts[idx].sum())
+            p_pad = pow2_bucket(total, self.min_bucket)
+
+            points = np.zeros((p_pad, feat_dim), dtype=np.float32)
+            seg = np.full((p_pad,), b, dtype=np.int32)
+            yb = np.zeros((b, 1), dtype=np.float32)
+            mask = np.zeros((b,), dtype=np.float32)
+
+            cursor = 0
+            for slot, ev in enumerate(idx):
+                lo, hi = self.offsets[ev], self.offsets[ev + 1]
+                points[cursor : cursor + (hi - lo)] = self.flat[lo:hi]
+                seg[cursor : cursor + (hi - lo)] = slot
+                cursor += hi - lo
+            yb[:k, 0] = self.labels[idx]
+            mask[:k] = 1.0
+            yield {"points": points, "seg": seg, "y": yb, "y_mask": mask}
+
+
+class GraphLoader:
+    """Batched padded graphs with offset edge lists.
+
+    Node layout matches :class:`PointCloudLoader`; edges are endpoint index
+    arrays offset per graph (the reference's collate, `utils/data.py:1228-1261`,
+    with padding instead of ragged concat).  At least one padding node is
+    always reserved so padded edges have a safe target.
+    """
+
+    def __init__(
+        self,
+        graphs: Sequence[Dict[str, np.ndarray]],
+        batch_size: int,
+        shuffle: bool,
+        use_weights: bool = True,
+        n_features: Optional[int] = None,
+        seed: int = 0,
+        min_node_bucket: int = 256,
+        min_edge_bucket: int = 512,
+    ):
+        self.graphs: List[Dict[str, np.ndarray]] = []
+        for g in graphs:
+            feats = np.asarray(g["features"], dtype=np.float32)
+            if n_features is not None:
+                feats = feats[:, :n_features]
+            edges = np.asarray(g["edges"], dtype=np.int32)
+            self.graphs.append(
+                {
+                    "features": np.ascontiguousarray(feats),
+                    "edges": np.ascontiguousarray(edges),
+                    "weights": np.asarray(g["weights"], dtype=np.float32),
+                    "label": np.float32(g["label"]),
+                }
+            )
+        self.batch_size = int(batch_size) if batch_size else len(self.graphs)
+        self.shuffle = shuffle
+        self.use_weights = use_weights
+        self.seed = seed
+        self.min_node_bucket = min_node_bucket
+        self.min_edge_bucket = min_edge_bucket
+        self._epoch = 0
+
+    @property
+    def n_examples(self) -> int:
+        return len(self.graphs)
+
+    def __len__(self) -> int:
+        return -(-self.n_examples // self.batch_size)
+
+    def __iter__(self) -> Iterator[Batch]:
+        n, b = self.n_examples, self.batch_size
+        order = np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng(self.seed + self._epoch).permutation(n)
+            self._epoch += 1
+        feat_dim = self.graphs[0]["features"].shape[1]
+        for start in range(0, n, b):
+            idx = order[start : start + b]
+            k = len(idx)
+            total_nodes = sum(len(self.graphs[g]["features"]) for g in idx)
+            total_edges = sum(self.graphs[g]["edges"].shape[1] for g in idx)
+            n_pad = pow2_bucket(total_nodes + 1, self.min_node_bucket)
+            e_pad = pow2_bucket(max(total_edges, 1), self.min_edge_bucket)
+
+            nodes = np.zeros((n_pad, feat_dim), dtype=np.float32)
+            node_seg = np.full((n_pad,), b, dtype=np.int32)
+            # padded edges self-loop on the last (always-padding) node
+            src = np.full((e_pad,), n_pad - 1, dtype=np.int32)
+            dst = np.full((e_pad,), n_pad - 1, dtype=np.int32)
+            edge_w = np.zeros((e_pad,), dtype=np.float32)
+            edge_mask = np.zeros((e_pad,), dtype=np.float32)
+            yb = np.zeros((b, 1), dtype=np.float32)
+            ymask = np.zeros((b,), dtype=np.float32)
+
+            node_cursor = 0
+            edge_cursor = 0
+            for slot, g_i in enumerate(idx):
+                g = self.graphs[g_i]
+                n_i = len(g["features"])
+                e_i = g["edges"].shape[1]
+                nodes[node_cursor : node_cursor + n_i] = g["features"]
+                node_seg[node_cursor : node_cursor + n_i] = slot
+                src[edge_cursor : edge_cursor + e_i] = g["edges"][0] + node_cursor
+                dst[edge_cursor : edge_cursor + e_i] = g["edges"][1] + node_cursor
+                if self.use_weights:
+                    edge_w[edge_cursor : edge_cursor + e_i] = g["weights"]
+                else:
+                    edge_w[edge_cursor : edge_cursor + e_i] = 1.0
+                edge_mask[edge_cursor : edge_cursor + e_i] = 1.0
+                yb[slot, 0] = g["label"]
+                node_cursor += n_i
+                edge_cursor += e_i
+            ymask[:k] = 1.0
+            yield {
+                "nodes": nodes,
+                "node_seg": node_seg,
+                "src": src,
+                "dst": dst,
+                "edge_w": edge_w,
+                "edge_mask": edge_mask,
+                "y": yb,
+                "y_mask": ymask,
+            }
