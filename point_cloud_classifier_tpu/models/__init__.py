@@ -1,0 +1,6 @@
+from point_cloud_classifier_tpu.models.fully_connected_net import FullyConnectedNet
+from point_cloud_classifier_tpu.models.deep_sets import DeepSets
+from point_cloud_classifier_tpu.models.graph_net import GraphNet
+from point_cloud_classifier_tpu.models.logistic_regression import LogRegression
+
+__all__ = ["FullyConnectedNet", "DeepSets", "GraphNet", "LogRegression"]

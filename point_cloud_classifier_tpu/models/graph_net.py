@@ -1,0 +1,221 @@
+"""Message-passing graph network over padded batched lineage graphs.
+
+Parity with the reference (`models/graph_net.py:8-103`), which uses
+torch_geometric layers; here each is rebuilt as static-shape masked segment
+ops (see ``ops/segment.py``):
+
+- **GraphConv** (`:46-51`): out_i = W_rel · aggr_{j→i}(w_ji · x_j) + W_root · x_i,
+  aggr ∈ {add, mean, max}, W_root bias-free — torch_geometric GraphConv
+  semantics.
+- **GATConv** (`:47-48`): multi-head attention with LeakyReLU(0.2) edge
+  scores, self-loops added, per-destination softmax, concatenated heads +
+  bias.  (torch_geometric's GATConv *asserts* when edge weights are passed
+  without ``edge_dim`` — the reference's use_gat+use_weights sweep combo
+  crashes there; we ignore the weights instead and train.)
+- **SAGPooling** (`:57-58`): scores from an unweighted GraphConv(→1), keep
+  the top ``ceil(ratio·n_g)`` nodes per graph scaled by tanh(score), drop
+  edges touching dropped nodes.  Implemented as rank-and-mask, never
+  compacting — shapes stay static.
+- readout (`:86-100`): the reference hardcodes ``global_mean_pool`` at
+  `:92,96` regardless of the ``global_pooling`` config — quirk preserved.
+  ``deepchem_style`` moves fc1+bn3 before the pool (per-node) vs after
+  (per-graph).
+- BatchNorm1d over *nodes* between convs — masked so padding/dropped nodes
+  never contaminate batch statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from point_cloud_classifier_tpu.models.common import (
+    MaskedBatchNorm,
+    TorchLinear,
+    activation_fn,
+)
+from point_cloud_classifier_tpu.ops.segment import (
+    segment_count,
+    segment_softmax,
+    segment_rank_desc,
+    segment_sum,
+)
+
+
+class GraphConv(nn.Module):
+    """torch_geometric-style GraphConv with masked static-shape aggregation."""
+
+    features: int
+    aggr: str = "add"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        src: jnp.ndarray,
+        dst: jnp.ndarray,
+        edge_w: jnp.ndarray,
+        edge_valid: jnp.ndarray,
+    ) -> jnp.ndarray:
+        n = x.shape[0]
+        msg = x[src] * (edge_w * edge_valid)[:, None]
+        if self.aggr == "add":
+            agg = segment_sum(msg, dst, n)
+        elif self.aggr == "mean":
+            counts = segment_count(dst, n, valid=edge_valid)
+            agg = segment_sum(msg, dst, n) / jnp.maximum(counts, 1.0)[:, None]
+        elif self.aggr == "max":
+            neg = jnp.finfo(x.dtype).min
+            masked = jnp.where(edge_valid[:, None] > 0, msg, neg)
+            agg = jax.ops.segment_max(masked, dst, num_segments=n)
+            agg = jnp.where(jnp.isfinite(agg), agg, 0.0)
+        else:
+            raise ValueError(f"Unknown aggregation: {self.aggr}")
+        return TorchLinear(self.features)(agg) + TorchLinear(self.features, use_bias=False)(x)
+
+
+class GATConv(nn.Module):
+    """Multi-head graph attention (GATv1) with self-loops, concat heads."""
+
+    features: int  # per-head output width
+    heads: int = 4
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        src: jnp.ndarray,
+        dst: jnp.ndarray,
+        edge_valid: jnp.ndarray,
+        node_valid: jnp.ndarray,
+    ) -> jnp.ndarray:
+        n = x.shape[0]
+        h, d = self.heads, self.features
+        glorot = nn.initializers.glorot_uniform()
+
+        xw = nn.Dense(h * d, use_bias=False, kernel_init=glorot)(x).reshape(n, h, d)
+        att_src = self.param("att_src", glorot, (1, h, d))
+        att_dst = self.param("att_dst", glorot, (1, h, d))
+        alpha_src = jnp.sum(xw * att_src, axis=-1)  # [N, H]
+        alpha_dst = jnp.sum(xw * att_dst, axis=-1)
+
+        # self-loops on every node (torch_geometric default add_self_loops)
+        loops = jnp.arange(n, dtype=src.dtype)
+        src_all = jnp.concatenate([src, loops])
+        dst_all = jnp.concatenate([dst, loops])
+        valid_all = jnp.concatenate([edge_valid, jnp.ones(n, edge_valid.dtype)])
+
+        e = nn.leaky_relu(
+            alpha_src[src_all] + alpha_dst[dst_all], negative_slope=self.negative_slope
+        )  # [E+N, H]
+        alpha = segment_softmax(e, dst_all, n, valid=valid_all[:, None])
+        out = segment_sum(
+            (alpha[:, :, None] * xw[src_all]).reshape(-1, h * d), dst_all, n
+        ).reshape(n, h * d)
+        bias = self.param("bias", nn.initializers.zeros, (h * d,))
+        return out + bias
+
+
+class SAGPool(nn.Module):
+    """Self-attention top-k pooling by rank-and-mask (static shapes)."""
+
+    ratio: float = 0.5
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        node_seg: jnp.ndarray,
+        src: jnp.ndarray,
+        dst: jnp.ndarray,
+        edge_w: jnp.ndarray,
+        edge_valid: jnp.ndarray,
+        node_valid: jnp.ndarray,
+        num_graphs: int,
+    ):
+        score = GraphConv(1, aggr="add")(
+            x, src, dst, jnp.ones_like(edge_w), edge_valid
+        )[:, 0]
+        num_segments = num_graphs + 1
+        ranks = segment_rank_desc(score, node_seg, num_segments, node_valid)
+        n_per_graph = segment_count(node_seg, num_segments, valid=node_valid)
+        k = jnp.ceil(self.ratio * n_per_graph)
+        keep = node_valid * (ranks < k[node_seg]).astype(node_valid.dtype)
+
+        x = x * jnp.tanh(score)[:, None] * keep[:, None]
+        edge_valid = edge_valid * keep[src] * keep[dst]
+        return x, edge_valid, keep
+
+
+class GraphNet(nn.Module):
+    input_dim: int
+    hidden_dim: int
+    output_dim: int
+    activation: str
+    use_gat: bool = False
+    gat_heads: int = 4
+    sag_pool: bool = False
+    pool_ratio: float = 0.5
+    local_pooling: str = "add"
+    global_pooling: str = "mean"  # kept for config compat; the reference
+    # hardcodes mean at readout (`models/graph_net.py:92,96`) and so do we
+    deepchem_style: bool = False
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = True) -> jnp.ndarray:
+        x = batch["nodes"]
+        node_seg, src, dst = batch["node_seg"], batch["src"], batch["dst"]
+        edge_w, edge_valid = batch["edge_w"], batch["edge_mask"]
+        num_graphs = batch["y"].shape[0]
+        node_valid = (node_seg < num_graphs).astype(x.dtype)
+        act = activation_fn(self.activation)
+
+        if self.use_gat:
+            x = GATConv(self.hidden_dim // self.gat_heads, self.gat_heads)(
+                x, src, dst, edge_valid, node_valid
+            )
+        else:
+            x = GraphConv(self.hidden_dim, self.local_pooling)(
+                x, src, dst, edge_w, edge_valid
+            )
+        x = act(x)
+        x = MaskedBatchNorm()(x, mask=node_valid, train=train)
+
+        if self.sag_pool:
+            x, edge_valid, node_valid = SAGPool(self.pool_ratio)(
+                x, node_seg, src, dst, edge_w, edge_valid, node_valid, num_graphs
+            )
+
+        if self.use_gat:
+            x = GATConv(self.hidden_dim // self.gat_heads, self.gat_heads)(
+                x, src, dst, edge_valid, node_valid
+            )
+        else:
+            x = GraphConv(self.hidden_dim, self.local_pooling)(
+                x, src, dst, edge_w, edge_valid
+            )
+        x = act(x)
+        x = MaskedBatchNorm()(x, mask=node_valid, train=train)
+
+        def mean_pool(h: jnp.ndarray) -> jnp.ndarray:
+            num_segments = num_graphs + 1
+            total = segment_sum(h * node_valid[:, None], node_seg, num_segments)
+            counts = segment_count(node_seg, num_segments, valid=node_valid)
+            return (total / jnp.maximum(counts, 1.0)[:, None])[:num_graphs]
+
+        if self.deepchem_style:
+            x = TorchLinear(256)(x)
+            x = act(x)
+            x = MaskedBatchNorm()(x, mask=node_valid, train=train)
+            x = mean_pool(x)
+        else:
+            x = mean_pool(x)
+            x = TorchLinear(256)(x)
+            x = act(x)
+            x = MaskedBatchNorm()(x, mask=batch.get("y_mask"), train=train)
+
+        return TorchLinear(self.output_dim)(x)

@@ -1,0 +1,245 @@
+"""Trainer: jit-compiled train/eval steps with early stopping + checkpoints.
+
+Behavior parity with the reference trainer (`models/wrapper.py:8-181`):
+
+- optimizer adam/adamw at torch defaults (betas 0.9/0.999, eps 1e-8,
+  adamw weight-decay 0.01 applied to every parameter)
+- loss: sigmoid binary cross-entropy on logits, per-batch mean; the epoch
+  train loss and val loss are means of batch means (`:76`, `:119`)
+- per-epoch validation with accuracy at sigmoid ≥ 0.5 (`:114-115`)
+- best-val-loss checkpoint (``best_model.pt``) + early stopping with
+  patience 10 (`:23-26`, `:128-139`); final ``model.pt`` via ``save()``
+
+TPU-native differences: the whole optimization step (forward, backward,
+Adam update, batch-norm stat update) is one donated jit function; batches are
+the static-shape padded layouts, so the loss/accuracy masks padding and the
+jit cache stays small (one entry per bucket shape).  Scalar metrics go to
+``metrics.jsonl`` in the run dir (and to TensorBoard when
+``PCC_TENSORBOARD=1`` and torch is importable — histograms are opt-in via
+``PCC_TB_HISTOGRAMS=1`` because they force device→host copies every epoch,
+which is exactly the reference's `:82-84` throughput sink).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from functools import partial
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+
+def masked_bce(logits: jnp.ndarray, y: jnp.ndarray, y_mask: jnp.ndarray) -> jnp.ndarray:
+    per = optax.sigmoid_binary_cross_entropy(logits, y)
+    w = y_mask[:, None]
+    return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+class _ScalarLog:
+    """metrics.jsonl writer with optional TensorBoard mirroring."""
+
+    def __init__(self, log_dir: Optional[str]):
+        self.log_dir = log_dir
+        self.path = os.path.join(log_dir, "metrics.jsonl") if log_dir else None
+        self._tb = None
+        if log_dir and os.environ.get("PCC_TENSORBOARD") == "1":
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir)
+            except ImportError:
+                pass
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(json.dumps({"tag": tag, "value": float(value), "step": step}) + "\n")
+        if self._tb:
+            self._tb.add_scalar(tag, value, step)
+
+    def close(self) -> None:
+        if self._tb:
+            self._tb.close()
+
+
+class ModelWrapper:
+    """Owns a Flax module + optimizer state; reference-shaped fit/predict/save."""
+
+    def __init__(
+        self,
+        model: nn.Module,
+        learning_rate: float,
+        epochs: int,
+        log_dir: Optional[str] = None,
+        optimizer: str = "adam",
+        seed: int = 0,
+    ):
+        self.model = model
+        self.learning_rate = learning_rate
+        self.epochs = epochs
+        self.log_dir = log_dir
+        self.seed = seed
+        self.patience = 10
+        self.best_val_loss = float("inf")
+        self.early_stop_counter = 0
+        self.checkpoint_path = os.path.join(log_dir, "best_model.pt") if log_dir else None
+
+        if optimizer == "adam":
+            self.tx = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+        elif optimizer == "adamw":
+            self.tx = optax.adamw(
+                learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01
+            )
+        else:
+            raise ValueError(f"Unknown optimizer: {optimizer}")
+
+        self.params = None
+        self.batch_stats = None
+        self.opt_state = None
+        self._train_step = None
+        self._eval_step = None
+
+    # -- initialization ------------------------------------------------------
+
+    def _ensure_initialized(self, batch: Dict[str, np.ndarray]) -> None:
+        if self.params is not None:
+            return
+        variables = self.model.init(
+            jax.random.PRNGKey(self.seed), jax.tree.map(jnp.asarray, batch), train=False
+        )
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.opt_state = self.tx.init(self.params)
+        self._build_steps()
+
+    def _build_steps(self) -> None:
+        model, tx = self.model, self.tx
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_step(params, batch_stats, opt_state, batch):
+            def loss_fn(p):
+                logits, mutated = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    batch,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                loss = masked_bce(logits, batch["y"], batch["y_mask"])
+                return loss, (logits, mutated.get("batch_stats", batch_stats))
+
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_stats, opt_state, loss
+
+        @jax.jit
+        def eval_step(params, batch_stats, batch):
+            logits = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch, train=False
+            )
+            loss = masked_bce(logits, batch["y"], batch["y_mask"])
+            probs = jax.nn.sigmoid(logits)
+            return loss, probs
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    # -- training loop ---------------------------------------------------------
+
+    def fit(self, train_loader: Iterable, val_loader: Iterable = None) -> None:
+        log = _ScalarLog(self.log_dir)
+        t0 = time.time()
+        for epoch in range(self.epochs):
+            batch_losses = []
+            for batch in train_loader:
+                self._ensure_initialized(batch)
+                self.params, self.batch_stats, self.opt_state, loss = self._train_step(
+                    self.params, self.batch_stats, self.opt_state, batch
+                )
+                batch_losses.append(loss)
+            epoch_loss = float(np.mean([float(l) for l in batch_losses]))
+            log.scalar("Loss/train", epoch_loss, epoch)
+
+            if val_loader is not None:
+                val_loss, val_acc = self._evaluate(val_loader)
+                log.scalar("Loss/val", val_loss, epoch)
+                log.scalar("Accuracy/val", val_acc, epoch)
+
+                if val_loss < self.best_val_loss:
+                    self.best_val_loss = val_loss
+                    self.early_stop_counter = 0
+                    if self.checkpoint_path:
+                        self._write_checkpoint(self.checkpoint_path)
+                    print(f"Epoch {epoch+1}: New best model saved (val_loss={val_loss:.4f})")
+                else:
+                    self.early_stop_counter += 1
+                    print(
+                        f"Epoch {epoch+1}: No improvement "
+                        f"({self.early_stop_counter}/{self.patience})"
+                    )
+                if self.early_stop_counter >= self.patience:
+                    print("Early stopping triggered.")
+                    break
+        log.scalar("train_wall_seconds", time.time() - t0, 0)
+        log.close()
+
+    def _evaluate(self, loader: Iterable):
+        losses, correct, total = [], 0.0, 0.0
+        for batch in loader:
+            self._ensure_initialized(batch)
+            loss, probs = self._eval_step(self.params, self.batch_stats, batch)
+            losses.append(float(loss))
+            preds = np.asarray(probs) >= 0.5
+            mask = batch["y_mask"].astype(bool)
+            correct += float((preds[mask, 0] == (batch["y"][mask, 0] >= 0.5)).sum())
+            total += float(mask.sum())
+        return float(np.mean(losses)), correct / max(total, 1.0)
+
+    # -- inference ----------------------------------------------------------------
+
+    def predict(self, data_loader: Iterable, return_prob: bool = False):
+        y_true, y_out = [], []
+        for batch in data_loader:
+            self._ensure_initialized(batch)
+            _, probs = self._eval_step(self.params, self.batch_stats, batch)
+            mask = batch["y_mask"].astype(bool)
+            probs = np.asarray(probs)[mask]
+            y_true.append(batch["y"][mask])
+            y_out.append(probs if return_prob else (probs >= 0.5).astype(np.float32))
+        return np.concatenate(y_true), np.concatenate(y_out)
+
+    # -- persistence -----------------------------------------------------------------
+
+    def _state_dict(self):
+        to_np = lambda t: jax.tree.map(np.asarray, t)
+        return {"params": to_np(self.params), "batch_stats": to_np(self.batch_stats)}
+
+    def _write_checkpoint(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(self._state_dict(), f)
+
+    def save(self, save_dir: str) -> None:
+        self._write_checkpoint(os.path.join(save_dir, "model.pt"))
+
+    def load(self, model_path: str) -> None:
+        with open(model_path, "rb") as f:
+            state = pickle.load(f)
+        self.params = jax.tree.map(jnp.asarray, state["params"])
+        self.batch_stats = jax.tree.map(jnp.asarray, state["batch_stats"])
+        self.opt_state = self.tx.init(self.params)
+        self._build_steps()
+
+    def get_trainable_parameters(self) -> int:
+        if self.params is None:
+            return 0
+        return int(sum(x.size for x in jax.tree.leaves(self.params)))

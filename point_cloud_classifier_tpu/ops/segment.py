@@ -1,0 +1,127 @@
+"""Segment reductions with static segment counts — the TPU workhorses.
+
+The reference's hot ops are ragged per-event reductions done in Python loops
+(`models/deep_sets.py:96-104` pools per-event chunks; torch_geometric's
+scatter aggregations inside `models/graph_net.py:73,82`).  On TPU these become
+dense segment reductions over the flattened batch layouts produced by
+``data/batching.py``: every array has a static shape and the segment count is
+``B + 1`` (the extra slot collects padding).
+
+Two implementations are provided for the sum:
+
+- ``jax.ops.segment_sum`` (XLA scatter-add)
+- a one-hot matmul that runs on the MXU — on TPU a [P, B] one-hot times
+  [P, H] data contraction is usually faster than scatter for the sizes here
+  (P up to ~64K, B ~33); selected via ``method="matmul"``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_sum(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    method: str = "auto",
+) -> jnp.ndarray:
+    """Sum rows of ``data`` into ``num_segments`` buckets.
+
+    ``method``: "scatter" (XLA scatter-add), "matmul" (one-hot contraction on
+    the MXU), or "auto" (matmul on TPU for 2-D data, scatter otherwise).
+    """
+    if method == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        method = "matmul" if (on_tpu and data.ndim == 2) else "scatter"
+    if method == "matmul" and data.ndim == 2:
+        onehot = jax.nn.one_hot(segment_ids, num_segments, dtype=data.dtype)
+        return jnp.einsum(
+            "ps,ph->sh", onehot, data, preferred_element_type=jnp.float32
+        ).astype(data.dtype)
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+
+
+def segment_count(
+    segment_ids: jnp.ndarray, num_segments: int, valid: jnp.ndarray = None
+) -> jnp.ndarray:
+    ones = jnp.ones(segment_ids.shape, dtype=jnp.float32)
+    if valid is not None:
+        ones = ones * valid
+    return jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
+
+
+def segment_mean(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    method: str = "auto",
+) -> jnp.ndarray:
+    total = segment_sum(data, segment_ids, num_segments, method)
+    counts = segment_count(segment_ids, num_segments)
+    counts = jnp.maximum(counts, 1.0).astype(total.dtype)
+    return total / counts.reshape((-1,) + (1,) * (total.ndim - 1))
+
+
+def segment_max(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    empty_value: float = 0.0,
+) -> jnp.ndarray:
+    """Per-segment elementwise max; empty segments produce ``empty_value``.
+
+    (torch's ``chunk.max`` never sees empty chunks; padding segments here can
+    be empty, and -inf results would poison masked losses downstream.)
+    """
+    out = jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
+    return jnp.where(jnp.isfinite(out), out, empty_value)
+
+
+def segment_softmax(
+    logits: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    valid: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Numerically-stable softmax normalized within each segment.
+
+    Used for GAT attention over each node's incoming edges.  ``valid`` masks
+    padded edges out of both the max and the normalization.
+    """
+    neg = jnp.finfo(logits.dtype).min
+    masked = logits if valid is None else jnp.where(valid > 0, logits, neg)
+    seg_max = jax.ops.segment_max(masked, segment_ids, num_segments=num_segments)
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    exp = jnp.exp(masked - seg_max[segment_ids])
+    if valid is not None:
+        exp = exp * valid
+    denom = jax.ops.segment_sum(exp, segment_ids, num_segments=num_segments)
+    denom = jnp.maximum(denom, jnp.finfo(logits.dtype).tiny)
+    return exp / denom[segment_ids]
+
+
+def segment_rank_desc(
+    score: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Rank of each element within its segment by descending score (0 = best).
+
+    Invalid elements rank after all valid ones.  Sort-based (O(N log N)), the
+    static-shape replacement for torch_geometric's per-graph ``topk`` used by
+    SAGPooling (`models/graph_net.py:57-58,78-80` in the reference).
+    """
+    n = score.shape[0]
+    big = jnp.finfo(score.dtype).max
+    sort_key = jnp.where(valid > 0, -score, big)
+    order = jnp.lexsort((sort_key, segment_ids))  # segment-major, score-desc
+    # position of each sorted element within its segment
+    seg_sorted = segment_ids[order]
+    idx = jnp.arange(n)
+    first_of_seg = jax.ops.segment_min(idx, seg_sorted, num_segments=num_segments)
+    rank_sorted = idx - first_of_seg[seg_sorted]
+    ranks = jnp.zeros(n, dtype=jnp.int32).at[order].set(rank_sorted.astype(jnp.int32))
+    return ranks

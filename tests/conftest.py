@@ -2,17 +2,27 @@
 
 All tests run on CPU with 8 virtual XLA host devices so that the
 mesh/collective code paths (data-parallel shard_map, pjit shardings) are
-exercised without real multi-chip hardware.  Must run before jax imports.
+exercised without real multi-chip hardware.
+
+Gotcha: this image's axon TPU plugin registers itself (and imports jax) from
+sitecustomize at interpreter startup, so env vars set here are too late for
+jax's import-time config.  ``jax.config.update`` after import still works as
+long as no backend has been initialized — XLA_FLAGS however must be in place
+before the CPU client spins up, which also happens lazily, so setting it here
+is still effective.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
