@@ -1,0 +1,261 @@
+"""Training / evaluation orchestration and CLI.
+
+Behavior parity with the reference entry point (`train.py:17-195`):
+
+- ``get_dataloader(dataset_name, config)`` string-dispatches to the three
+  dataset modules (`train.py:17-27`)
+- ``get_model(model_name, config, model_dir)`` builds the model (wrapping the
+  Flax nets in :class:`ModelWrapper`) and optionally restores a checkpoint
+  from a run dir (`train.py:30-85`; LogRegression loads ``model.pkl``, the
+  nets load ``best_model.pt``)
+- ``train_model(...)`` reproduces the run lifecycle exactly
+  (`train.py:143-186`): versioned run dir, config mutation
+  (``logging.log_dir`` → version dir, ``meta.*`` filled in), resolved
+  ``config.yaml`` saved, fit, final save, train/val accuracy + parameter
+  count logged to ``meta.json``, optional plots
+- ``evaluate_model(model_dir, save_dir)`` reloads a run and writes
+  ``metrics.json``, ``classification_report.txt`` and the three evaluation
+  plots (`train.py:88-139`)
+
+TPU-native addition: a real CLI (the reference hardcodes choices in
+``__main__``, `train.py:188-195`) — ``python train.py <model> [--dataset ...]
+[--config-dir ...] [--plots] [--create-dataset]`` plus an ``evaluate``
+subcommand — without changing the module-level API.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from sklearn.metrics import accuracy_score, classification_report
+
+from point_cloud_classifier_tpu.data import (
+    Step2PointGraph,
+    Step2PointPointCloud,
+    Step2PointTabular,
+)
+from point_cloud_classifier_tpu.models import (
+    DeepSets,
+    FullyConnectedNet,
+    GraphNet,
+    LogRegression,
+    ModelWrapper,
+)
+from point_cloud_classifier_tpu.utils.config import load_config, save_config
+from point_cloud_classifier_tpu.utils.log import TrainingLogger
+from point_cloud_classifier_tpu.utils.plots import (
+    plot_confusion_matrix,
+    plot_precision_recall_curve,
+    plot_roc_curve,
+)
+
+MODEL_DATASETS = {
+    "logistic_regression": "s2pt",
+    "fully_connected_net": "s2pt",
+    "deep_sets": "s2ppc",
+    "graph_net": "s2pg",
+}
+
+
+def get_dataloader(dataset_name: str, config: dict):
+    """Dataset-name dispatch, mirroring reference `train.py:17-27`."""
+    if dataset_name == "s2pt":
+        return Step2PointTabular(**config["dataset"])
+    if dataset_name == "s2ppc":
+        return Step2PointPointCloud(**config["dataset"])
+    if dataset_name == "s2pg":
+        return Step2PointGraph(**config["dataset"])
+    raise ValueError(f"Unknown dataset: {dataset_name}")
+
+
+def get_model(model_name: str, config: dict, model_dir: str = None):
+    """Model-name dispatch + optional checkpoint restore (`train.py:30-85`)."""
+    if model_name == "logistic_regression":
+        model = LogRegression()
+        if model_dir is not None:
+            model_path = os.path.join(model_dir, "model.pkl")
+            if not os.path.exists(model_path):
+                raise FileNotFoundError(
+                    f"LogisticRegression model not found at {model_path}"
+                )
+            model.load(model_path)
+            print(f"Loaded LogisticRegression model from {model_path}")
+        return model
+
+    if model_name == "fully_connected_net":
+        net = FullyConnectedNet(**config["model"])
+    elif model_name == "deep_sets":
+        net = DeepSets(**config["model"])
+    elif model_name == "graph_net":
+        net = GraphNet(**config["model"])
+    else:
+        raise ValueError(f"Unknown model: {model_name}")
+
+    model = ModelWrapper(net, **config["trainer"], **config["logging"])
+    if model_dir is not None:
+        model_path = os.path.join(model_dir, "best_model.pt")
+        if not os.path.exists(model_path):
+            raise FileNotFoundError(f"{model_name} model not found at {model_path}")
+        model.load(model_path)
+        print(f"Loaded {model_name} model from {model_path}")
+    return model
+
+
+def train_model(
+    model_name: str,
+    dataset_name: str,
+    config: dict,
+    plots: bool = False,
+    return_log_dir: bool = False,
+):
+    """Full training run lifecycle (reference `train.py:143-186`)."""
+    dataset_name = dataset_name.lower()
+    model_name = model_name.lower()
+
+    logger = TrainingLogger(model_name, dataset_name, **config["logging"])
+    version = logger.get_version()
+    log_dir = os.path.join(config["logging"]["log_dir"], f"version_{version}")
+    config["logging"]["log_dir"] = log_dir
+    config["meta"]["model_name"] = model_name
+    config["meta"]["dataset_name"] = dataset_name
+
+    dataloader = get_dataloader(dataset_name=dataset_name, config=config)
+    model = get_model(model_name=model_name, config=config)
+
+    train_loader = dataloader.get_train_loader()
+    val_loader = dataloader.get_val_loader()
+
+    save_config(config=config, log_dir=log_dir)
+    model.fit(train_loader, val_loader)
+    model.save(save_dir=log_dir)
+
+    y_true_train, y_pred_train = model.predict(train_loader)
+    y_true_val, y_pred_val = model.predict(val_loader)
+
+    acc_train = accuracy_score(y_true_train, y_pred_train)
+    acc_val = accuracy_score(y_true_val, y_pred_val)
+    logger.log_metric("accuracy/train", round(acc_train, 6))
+    logger.log_metric("accuracy/val", round(acc_val, 6))
+    logger.log_metric("parameters", model.get_trainable_parameters())
+
+    if plots:
+        y_true_val, y_prob_val = model.predict(val_loader, return_prob=True)
+        plot_confusion_matrix(y_true_val, y_pred_val, log_dir)
+        plot_precision_recall_curve(y_true_val, y_prob_val, log_dir)
+        plot_roc_curve(y_true_val, y_prob_val, log_dir)
+
+    if return_log_dir:
+        return log_dir
+    return None
+
+
+def evaluate_model(model_dir: str, save_dir: str):
+    """Reload a finished run and score all splits (reference `train.py:88-139`)."""
+    config_path = os.path.join(model_dir, "config.yaml")
+    config = load_config(config_path)
+
+    model_name = config["meta"]["model_name"]
+    dataset_name = config["meta"]["dataset_name"]
+
+    dataloader = get_dataloader(dataset_name=dataset_name, config=config)
+    model = get_model(model_name=model_name, config=config, model_dir=model_dir)
+
+    test_loader = dataloader.get_test_loader()
+    y_true_test, y_pred_test = model.predict(test_loader)
+    acc_test = accuracy_score(y_true_test, y_pred_test)
+    print("accuracy/test", round(acc_test, 6))
+
+    train_loader = dataloader.get_train_loader()
+    y_true_train, y_pred_train = model.predict(train_loader)
+    acc_train = accuracy_score(y_true_train, y_pred_train)
+    print("accuracy/train", round(acc_train, 6))
+
+    val_loader = dataloader.get_val_loader()
+    y_true_val, y_pred_val = model.predict(val_loader)
+    acc_val = accuracy_score(y_true_val, y_pred_val)
+    print("accuracy/val", round(acc_val, 6))
+
+    metrics = {
+        "accuracy_train": float(acc_train),
+        "accuracy_val": float(acc_val),
+        "accuracy_test": float(acc_test),
+    }
+    with open(os.path.join(save_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=4)
+
+    report = classification_report(y_true_test, y_pred_test)
+    with open(os.path.join(save_dir, "classification_report.txt"), "w") as f:
+        f.write(report)
+
+    y_true_test, y_prob_test = model.predict(test_loader, return_prob=True)
+    plot_confusion_matrix(y_true_test, y_pred_test, save_dir)
+    plot_precision_recall_curve(y_true_test, y_prob_test, save_dir)
+    plot_roc_curve(y_true_test, y_prob_test, save_dir)
+    return metrics
+
+
+# -- CLI -------------------------------------------------------------------
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="TPU-native point-cloud classifier: train / evaluate"
+    )
+    sub = parser.add_subparsers(dest="command")
+
+    tp = sub.add_parser("train", help="train a model")
+    tp.add_argument("model", choices=sorted(MODEL_DATASETS))
+    tp.add_argument("--dataset", default=None, help="default: the model's dataset")
+    tp.add_argument("--config-dir", default="configs")
+    tp.add_argument("--data-dir", default=None, help="override dataset.data_dir")
+    tp.add_argument("--log-dir", default=None, help="override logging.log_dir")
+    tp.add_argument("--epochs", type=int, default=None, help="override trainer.epochs")
+    tp.add_argument("--plots", action="store_true")
+    tp.add_argument(
+        "--create-dataset",
+        action="store_true",
+        help="run the offline preprocessing pipeline before training",
+    )
+
+    ep = sub.add_parser("evaluate", help="evaluate a finished run dir")
+    ep.add_argument("model_dir")
+    ep.add_argument("--save-dir", default=None, help="default: <model_dir>/eval")
+    return parser
+
+
+def main(argv=None) -> None:
+    args = _build_parser().parse_args(argv)
+    if args.command == "evaluate":
+        save_dir = args.save_dir or os.path.join(args.model_dir, "eval")
+        os.makedirs(save_dir, exist_ok=True)
+        evaluate_model(model_dir=args.model_dir, save_dir=save_dir)
+        return
+
+    if args.command != "train":
+        _build_parser().print_help()
+        return
+
+    model = args.model
+    dataset = args.dataset or MODEL_DATASETS[model]
+    config = load_config(
+        os.path.join(args.config_dir, "base.yaml"),
+        os.path.join(args.config_dir, f"{model}.yaml"),
+    )
+    if args.data_dir:
+        config["dataset"]["data_dir"] = args.data_dir
+    if args.log_dir:
+        config["logging"]["log_dir"] = args.log_dir
+    if args.epochs is not None:
+        config.setdefault("trainer", {})["epochs"] = args.epochs
+    if args.create_dataset:
+        config["dataset"]["create_dataset"] = True
+        get_dataloader(dataset, config)
+        config["dataset"]["create_dataset"] = False
+
+    train_model(model, dataset, config, plots=args.plots)
+
+
+if __name__ == "__main__":
+    main()
