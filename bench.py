@@ -1,0 +1,212 @@
+"""Benchmark harness: flagship train-step throughput (point clouds/sec).
+
+North-star metric per BASELINE.md: deep_sets train-step throughput in
+clouds/sec on one chip, against the reference's CPU torch implementation.
+
+- default: run our jit'd DeepSets train step on the current jax backend
+  (the real TPU chip under the driver) and print ONE JSON line
+  ``{"metric", "value", "unit", "vs_baseline"}``
+- ``--smoke``: tiny CPU-safe shapes, same JSON contract
+- ``--measure-baseline``: measure the reference-equivalent torch CPU train
+  step (same sparse formulation as `models/deep_sets.py:81-114` +
+  `models/wrapper.py:51-74`: φ MLP over all points, bincount/split python
+  chunk loop, mean pool, ρ, BCEWithLogitsLoss, adamw) on the same workload
+  and print its clouds/sec — the number recorded below and in BASELINE.md
+
+Workload: batch of 256 clouds, 65,536 total points (avg 256 points/cloud,
+the middle of the reference's 10^2–10^4 event-size range), 6 features,
+reference deep_sets config (φ [256,256], ρ [256], gelu, residual, mean pool,
+adamw @ 1e-3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+# reference-equivalent torch CPU throughput on this workload, measured via
+# --measure-baseline on the build host (see BASELINE.md)
+REFERENCE_CPU_CLOUDS_PER_SEC = 230.6
+
+B, P, F = 256, 65_536, 6
+PHI, RHO = [256, 256], [256]
+WARMUP, ITERS = 5, 20
+
+
+def _batch(b: int, p: int, f: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    # roughly uniform cloud sizes summing to p, sorted segment ids
+    seg = np.sort(rng.integers(0, b, size=(p,))).astype(np.int32)
+    return {
+        "points": rng.normal(size=(p, f)).astype(np.float32),
+        "seg": seg,
+        "y": rng.integers(0, 2, size=(b, 1)).astype(np.float32),
+        "y_mask": np.ones((b,), dtype=np.float32),
+    }
+
+
+def measure_jax(b: int, p: int, f: int, iters: int, warmup: int) -> float:
+    import jax
+
+    from point_cloud_classifier_tpu.models import DeepSets, ModelWrapper
+
+    model = DeepSets(
+        input_dim=f,
+        phi_layers=PHI,
+        rho_layers=RHO,
+        output_dim=1,
+        activation="gelu",
+        residual_block=True,
+        pooling="mean",
+    )
+    wrapper = ModelWrapper(model, learning_rate=1e-3, epochs=1, optimizer="adamw")
+    batch = _batch(b, p, f)
+    wrapper._ensure_initialized(batch)
+
+    def step():
+        wrapper.params, wrapper.batch_stats, wrapper.opt_state, loss = (
+            wrapper._train_step(
+                wrapper.params, wrapper.batch_stats, wrapper.opt_state, batch
+            )
+        )
+        return loss
+
+    for _ in range(warmup):
+        loss = step()
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss = step()
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return b * iters / dt
+
+
+def measure_torch_reference(b: int, p: int, f: int, iters: int, warmup: int) -> float:
+    """Reference-semantics deep_sets train step in torch on CPU.
+
+    Mirrors `models/deep_sets.py:81-114` (φ over all points, bincount+split,
+    per-chunk python pooling loop, ρ) and `models/wrapper.py:51-74`
+    (BCEWithLogitsLoss, adamw, per-batch loss.item() sync).
+    """
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+
+    class RefResidual(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.lin = nn.Linear(dim, dim)
+            self.norm = nn.LayerNorm(dim)
+            self.act = nn.GELU()
+
+        def forward(self, x):
+            return x + self.act(self.norm(self.lin(x)))
+
+    def mlp(dims_in, widths):
+        layers, d = [], dims_in
+        prev_width = None
+        for w in widths:
+            if prev_width == w:
+                layers.append(RefResidual(w))
+            else:
+                layers += [nn.Linear(d, w), nn.GELU()]
+            d, prev_width = w, w
+        return nn.Sequential(*layers), d
+
+    class RefDeepSets(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.phi, phi_out = mlp(f, PHI)
+            self.phi_final = nn.Linear(phi_out, phi_out)
+            self.rho, rho_out = mlp(phi_out, RHO)
+            self.head = nn.Linear(rho_out, 1)
+
+        def forward(self, x, idx, batch_size):
+            h = self.phi_final(self.phi(x))
+            counts = torch.bincount(idx, minlength=batch_size)
+            chunks = torch.split(h, counts.tolist())
+            pooled = [c.mean(dim=0) for c in chunks]  # mean pooling
+            return self.head(self.rho(torch.stack(pooled)))
+
+    batch = _batch(b, p, f)
+    x = torch.from_numpy(batch["points"])
+    idx = torch.from_numpy(batch["seg"]).long()
+    y = torch.from_numpy(batch["y"])
+
+    model = RefDeepSets()
+    opt = torch.optim.AdamW(model.parameters(), lr=1e-3)
+    loss_fn = nn.BCEWithLogitsLoss()
+
+    def step():
+        opt.zero_grad()
+        logits = model(x, idx, b)
+        loss = loss_fn(logits, y)
+        loss.backward()
+        opt.step()
+        return loss.item()
+
+    for _ in range(warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    dt = time.perf_counter() - t0
+    return b * iters / dt
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="flagship train-step benchmark")
+    parser.add_argument("--smoke", action="store_true", help="tiny CPU-safe shapes")
+    parser.add_argument(
+        "--measure-baseline",
+        action="store_true",
+        help="measure the reference-equivalent torch CPU train step instead",
+    )
+    parser.add_argument("--iters", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    if args.smoke:
+        b, p, iters, warmup = 32, 2048, 5, 2
+    else:
+        b, p, iters, warmup = B, P, args.iters or ITERS, WARMUP
+
+    if args.measure_baseline:
+        cps = measure_torch_reference(b, p, F, iters or 5, warmup)
+        print(
+            json.dumps(
+                {
+                    "metric": "deep_sets_train_clouds_per_sec_torch_cpu_reference",
+                    "value": round(cps, 2),
+                    "unit": "clouds/sec",
+                    "vs_baseline": 1.0,
+                }
+            )
+        )
+        return
+
+    cps = measure_jax(b, p, F, iters, warmup)
+    vs = (
+        round(cps / REFERENCE_CPU_CLOUDS_PER_SEC, 2)
+        if (REFERENCE_CPU_CLOUDS_PER_SEC and not args.smoke)
+        else None
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "deep_sets_train_clouds_per_sec",
+                "value": round(cps, 2),
+                "unit": "clouds/sec",
+                "vs_baseline": vs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -80,12 +80,25 @@ class ModelWrapper:
         log_dir: Optional[str] = None,
         optimizer: str = "adam",
         seed: int = 0,
+        mesh=None,
+        data_parallel: bool = False,
+        n_model: int = 1,
     ):
         self.model = model
         self.learning_rate = learning_rate
         self.epochs = epochs
         self.log_dir = log_dir
         self.seed = seed
+        # distribution: a (data, model) jax mesh; None = single device.  The
+        # reference has no distributed path at all (its device policy is one
+        # line, `models/wrapper.py:22`); here batches shard over the ``data``
+        # axis and wide weights over ``model``, with XLA emitting the ICI
+        # collectives (see parallel/mesh.py).
+        if mesh is None and (data_parallel or n_model > 1):
+            from point_cloud_classifier_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_model=n_model)
+        self.mesh = mesh
         self.patience = 10
         self.best_val_loss = float("inf")
         self.early_stop_counter = 0
@@ -116,8 +129,30 @@ class ModelWrapper:
         )
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
+        if self.mesh is not None:
+            self._place_state()
         self.opt_state = self.tx.init(self.params)
         self._build_steps()
+
+    def _place_state(self) -> None:
+        from point_cloud_classifier_tpu.parallel.mesh import (
+            param_shardings,
+            replicated,
+        )
+
+        shardings = param_shardings(self.mesh, self.params)
+        self.params = jax.tree.map(jax.device_put, self.params, shardings)
+        rep = replicated(self.mesh)
+        self.batch_stats = jax.tree.map(
+            lambda x: jax.device_put(x, rep), self.batch_stats
+        )
+
+    def _put_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        if self.mesh is None:
+            return batch
+        from point_cloud_classifier_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(self.mesh, batch)
 
     def _build_steps(self) -> None:
         model, tx = self.model, self.tx
@@ -163,7 +198,7 @@ class ModelWrapper:
             for batch in train_loader:
                 self._ensure_initialized(batch)
                 self.params, self.batch_stats, self.opt_state, loss = self._train_step(
-                    self.params, self.batch_stats, self.opt_state, batch
+                    self.params, self.batch_stats, self.opt_state, self._put_batch(batch)
                 )
                 batch_losses.append(loss)
             epoch_loss = float(np.mean([float(l) for l in batch_losses]))
@@ -196,7 +231,9 @@ class ModelWrapper:
         losses, correct, total = [], 0.0, 0.0
         for batch in loader:
             self._ensure_initialized(batch)
-            loss, probs = self._eval_step(self.params, self.batch_stats, batch)
+            loss, probs = self._eval_step(
+                self.params, self.batch_stats, self._put_batch(batch)
+            )
             losses.append(float(loss))
             preds = np.asarray(probs) >= 0.5
             mask = batch["y_mask"].astype(bool)
@@ -210,7 +247,9 @@ class ModelWrapper:
         y_true, y_out = [], []
         for batch in data_loader:
             self._ensure_initialized(batch)
-            _, probs = self._eval_step(self.params, self.batch_stats, batch)
+            _, probs = self._eval_step(
+                self.params, self.batch_stats, self._put_batch(batch)
+            )
             mask = batch["y_mask"].astype(bool)
             probs = np.asarray(probs)[mask]
             y_true.append(batch["y"][mask])
@@ -236,6 +275,8 @@ class ModelWrapper:
             state = pickle.load(f)
         self.params = jax.tree.map(jnp.asarray, state["params"])
         self.batch_stats = jax.tree.map(jnp.asarray, state["batch_stats"])
+        if self.mesh is not None:
+            self._place_state()
         self.opt_state = self.tx.init(self.params)
         self._build_steps()
 
