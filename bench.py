@@ -36,19 +36,22 @@ PHI, RHO = [256, 256], [256]
 WARMUP, ITERS = 5, 20
 
 
-def _batch(b: int, p: int, f: int, seed: int = 0):
+def _batch(b: int, p: int, f: int, seed: int = 0, half: bool = True):
+    """One host batch in the loaders' wire format (fp16/int16 when half)."""
     rng = np.random.default_rng(seed)
     # roughly uniform cloud sizes summing to p, sorted segment ids
-    seg = np.sort(rng.integers(0, b, size=(p,))).astype(np.int32)
+    seg = np.sort(rng.integers(0, b, size=(p,))).astype(
+        np.int16 if half else np.int32
+    )
     return {
-        "points": rng.normal(size=(p, f)).astype(np.float32),
+        "points": rng.normal(size=(p, f)).astype(np.float16 if half else np.float32),
         "seg": seg,
         "y": rng.integers(0, 2, size=(b, 1)).astype(np.float32),
         "y_mask": np.ones((b,), dtype=np.float32),
     }
 
 
-def measure_jax(b: int, p: int, f: int, iters: int, warmup: int) -> float:
+def measure_jax(b: int, p: int, f: int, iters: int, warmup: int, dtype: str = "bfloat16") -> float:
     import jax
 
     from point_cloud_classifier_tpu.models import DeepSets, ModelWrapper
@@ -61,27 +64,28 @@ def measure_jax(b: int, p: int, f: int, iters: int, warmup: int) -> float:
         activation="gelu",
         residual_block=True,
         pooling="mean",
+        compute_dtype=dtype,
     )
     wrapper = ModelWrapper(model, learning_rate=1e-3, epochs=1, optimizer="adamw")
-    batch = _batch(b, p, f)
-    wrapper._ensure_initialized(batch)
+    # a stream of distinct host batches in the fp16/int16 wire format, so the
+    # measurement includes the real (H2D-transfer-inclusive) input pipeline
+    host_batches = [_batch(b, p, f, seed=s, half=(dtype == "bfloat16")) for s in range(4)]
+    wrapper._ensure_initialized(host_batches[0])
 
-    def step():
-        wrapper.params, wrapper.batch_stats, wrapper.opt_state, loss = (
-            wrapper._train_step(
-                wrapper.params, wrapper.batch_stats, wrapper.opt_state, batch
+    def run(n):
+        stream = (host_batches[i % len(host_batches)] for i in range(n))
+        loss = None
+        for batch in wrapper._batches(stream):
+            wrapper.params, wrapper.batch_stats, wrapper.opt_state, loss = (
+                wrapper._train_step(
+                    wrapper.params, wrapper.batch_stats, wrapper.opt_state, batch
+                )
             )
-        )
-        return loss
+        jax.block_until_ready(loss)
 
-    for _ in range(warmup):
-        loss = step()
-    jax.block_until_ready(loss)
-
+    run(warmup)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        loss = step()
-    jax.block_until_ready(loss)
+    run(iters)
     dt = time.perf_counter() - t0
     return b * iters / dt
 
@@ -134,7 +138,7 @@ def measure_torch_reference(b: int, p: int, f: int, iters: int, warmup: int) -> 
             pooled = [c.mean(dim=0) for c in chunks]  # mean pooling
             return self.head(self.rho(torch.stack(pooled)))
 
-    batch = _batch(b, p, f)
+    batch = _batch(b, p, f, half=False)
     x = torch.from_numpy(batch["points"])
     idx = torch.from_numpy(batch["seg"]).long()
     y = torch.from_numpy(batch["y"])
@@ -169,6 +173,12 @@ def main(argv=None) -> None:
         help="measure the reference-equivalent torch CPU train step instead",
     )
     parser.add_argument("--iters", type=int, default=None)
+    parser.add_argument(
+        "--dtype",
+        default="bfloat16",
+        choices=["bfloat16", "float32"],
+        help="compute dtype for the jax measurement (params stay f32)",
+    )
     args = parser.parse_args(argv)
 
     if args.smoke:
@@ -190,7 +200,7 @@ def main(argv=None) -> None:
         )
         return
 
-    cps = measure_jax(b, p, F, iters, warmup)
+    cps = measure_jax(b, p, F, iters, warmup, dtype=args.dtype)
     vs = (
         round(cps / REFERENCE_CPU_CLOUDS_PER_SEC, 2)
         if (REFERENCE_CPU_CLOUDS_PER_SEC and not args.smoke)

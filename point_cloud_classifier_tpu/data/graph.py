@@ -176,9 +176,11 @@ class Step2PointGraph(DataModule):
         n_features: int = 4,
         parts: int = None,
         use_weights: bool = True,
+        transfer_dtype: str = "float32",
         **kwargs,
     ):
         super().__init__(data_dir=data_dir, **kwargs)
+        self.transfer_dtype = transfer_dtype
         self.n_features = n_features
         self.parts = parts
         self.use_weights = use_weights
@@ -389,6 +391,7 @@ class Step2PointGraph(DataModule):
             shuffle=(split == "train"),
             use_weights=self.use_weights,
             n_features=self.n_features,
+            transfer_dtype=self.transfer_dtype,
         )
 
     def get_train_loader(self) -> GraphLoader:

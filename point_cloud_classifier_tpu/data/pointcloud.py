@@ -53,9 +53,11 @@ class Step2PointPointCloud(DataModule):
         parts: int = None,
         sparse_batching: bool = True,
         energy_cutoff: float = None,
+        transfer_dtype: str = "float32",
         **kwargs,
     ):
         super().__init__(data_dir=data_dir, **kwargs)
+        self.transfer_dtype = transfer_dtype
         self.parts = parts
         self.sparse_batching = sparse_batching  # kept for config compat; the
         # static-shape flattened layout subsumes both reference collates
@@ -220,6 +222,7 @@ class Step2PointPointCloud(DataModule):
             np.asarray(labels),
             batch_size=self.batch_size,
             shuffle=(split == "train"),
+            transfer_dtype=self.transfer_dtype,
         )
 
     def get_train_loader(self) -> PointCloudLoader:

@@ -50,11 +50,22 @@ class TorchLinear(nn.Module):
         fan_in = x.shape[-1]
         bound = fan_in**-0.5 if fan_in > 0 else 0.0
         kernel = self.param("kernel", _torch_uniform(bound), (fan_in, self.features))
-        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32).astype(x.dtype)
+        # params live in f32; under mixed precision the matmul runs at the
+        # activation dtype (bf16 feeds the MXU at full rate) with f32 accum
+        y = jnp.dot(
+            x, kernel.astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", _torch_uniform(bound), (self.features,))
-            y = y + bias
+            y = y + bias.astype(x.dtype)
         return y
+
+
+def resolve_dtype(name) -> jnp.dtype:
+    """'float32' | 'bfloat16' | 'float16' (config strings) → jnp dtype."""
+    if name is None:
+        return jnp.float32
+    return jnp.dtype(name)
 
 
 class MaskedBatchNorm(nn.Module):
@@ -82,6 +93,10 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
 
+        # statistics always in f32 — under bf16 compute (mixed precision)
+        # batch moments would otherwise lose too much precision
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
         if train:
             if mask is None:
                 n = jnp.asarray(x.shape[0], dtype=x.dtype)
@@ -100,7 +115,7 @@ class MaskedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return y * scale + bias
+        return (y * scale + bias).astype(in_dtype)
 
 
 class TorchLayerNorm(nn.Module):
@@ -113,6 +128,9 @@ class TorchLayerNorm(nn.Module):
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)  # moments in f32 under mixed precision
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y.astype(in_dtype)

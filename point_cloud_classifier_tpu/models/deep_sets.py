@@ -29,6 +29,7 @@ from point_cloud_classifier_tpu.models.common import (
     TorchLayerNorm,
     TorchLinear,
     activation_fn,
+    resolve_dtype,
 )
 from point_cloud_classifier_tpu.ops.segment import (
     segment_count,
@@ -82,10 +83,14 @@ class DeepSets(nn.Module):
     residual_block: bool = False
     sparse_batching: bool = True  # config compat; layout is always flattened
     pooling: str = "sum"
+    compute_dtype: str = "float32"  # "bfloat16" runs the MXU chain in bf16
+    # (params and pooling reductions stay f32)
 
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = True) -> jnp.ndarray:
         points, seg = batch["points"], batch["seg"]
+        points = points.astype(resolve_dtype(self.compute_dtype))
+        seg = seg.astype(jnp.int32)  # loaders may ship compact int16 ids
         num_events = batch["y"].shape[0]
         num_segments = num_events + 1  # final slot collects padding points
 
@@ -96,16 +101,20 @@ class DeepSets(nn.Module):
         phi_dim = self.phi_layers[-1] if self.phi_layers else self.input_dim
         h = TorchLinear(phi_dim)(h)
 
+        # pooling reductions in f32: events span up to 10^4 points and bf16
+        # accumulation over that many terms drifts
+        h32 = h.astype(jnp.float32)
         counts = segment_count(seg, num_segments)[:num_events]
         safe = jnp.maximum(counts, 1.0).reshape(-1, 1)
         if self.pooling == "sum":
-            pooled = segment_sum(h, seg, num_segments)[:num_events] / jnp.sqrt(safe)
+            pooled = segment_sum(h32, seg, num_segments)[:num_events] / jnp.sqrt(safe)
         elif self.pooling == "mean":
-            pooled = segment_sum(h, seg, num_segments)[:num_events] / safe
+            pooled = segment_sum(h32, seg, num_segments)[:num_events] / safe
         elif self.pooling == "max":
-            pooled = segment_max(h, seg, num_segments)[:num_events]
+            pooled = segment_max(h32, seg, num_segments)[:num_events]
         else:
             raise ValueError("pooling must be 'mean', 'sum', or 'max'")
+        pooled = pooled.astype(h.dtype)
 
         out = _MLPStack(self.rho_layers, self.activation, self.layer_norm)(pooled)
-        return TorchLinear(self.output_dim)(out)
+        return TorchLinear(self.output_dim)(out).astype(jnp.float32)

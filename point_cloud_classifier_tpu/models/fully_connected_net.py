@@ -14,7 +14,11 @@ from typing import Dict, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from point_cloud_classifier_tpu.models.common import MaskedBatchNorm, TorchLinear
+from point_cloud_classifier_tpu.models.common import (
+    MaskedBatchNorm,
+    TorchLinear,
+    resolve_dtype,
+)
 
 
 class FullyConnectedNet(nn.Module):
@@ -22,14 +26,15 @@ class FullyConnectedNet(nn.Module):
     hidden_layers: Sequence[int]
     batch_normalization: bool
     output_dim: int
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = True) -> jnp.ndarray:
-        x = batch["x"]
+        x = batch["x"].astype(resolve_dtype(self.compute_dtype))
         mask = batch.get("y_mask")
         for width in self.hidden_layers:
             x = TorchLinear(width)(x)
             if self.batch_normalization:
                 x = MaskedBatchNorm()(x, mask=mask, train=train)
             x = nn.relu(x)
-        return TorchLinear(self.output_dim)(x)
+        return TorchLinear(self.output_dim)(x).astype(jnp.float32)

@@ -36,6 +36,7 @@ from point_cloud_classifier_tpu.models.common import (
     MaskedBatchNorm,
     TorchLinear,
     activation_fn,
+    resolve_dtype,
 )
 from point_cloud_classifier_tpu.ops.segment import (
     segment_count,
@@ -61,19 +62,22 @@ class GraphConv(nn.Module):
         edge_valid: jnp.ndarray,
     ) -> jnp.ndarray:
         n = x.shape[0]
-        msg = x[src] * (edge_w * edge_valid)[:, None]
+        # message scatter-aggregation in f32 even under bf16 compute — the
+        # matmuls below return to the activation dtype
+        msg = (x[src] * (edge_w * edge_valid)[:, None]).astype(jnp.float32)
         if self.aggr == "add":
             agg = segment_sum(msg, dst, n)
         elif self.aggr == "mean":
             counts = segment_count(dst, n, valid=edge_valid)
             agg = segment_sum(msg, dst, n) / jnp.maximum(counts, 1.0)[:, None]
         elif self.aggr == "max":
-            neg = jnp.finfo(x.dtype).min
+            neg = jnp.finfo(jnp.float32).min
             masked = jnp.where(edge_valid[:, None] > 0, msg, neg)
             agg = jax.ops.segment_max(masked, dst, num_segments=n)
             agg = jnp.where(jnp.isfinite(agg), agg, 0.0)
         else:
             raise ValueError(f"Unknown aggregation: {self.aggr}")
+        agg = agg.astype(x.dtype)
         return TorchLinear(self.features)(agg) + TorchLinear(self.features, use_bias=False)(x)
 
 
@@ -164,12 +168,19 @@ class GraphNet(nn.Module):
     global_pooling: str = "mean"  # kept for config compat; the reference
     # hardcodes mean at readout (`models/graph_net.py:92,96`) and so do we
     deepchem_style: bool = False
+    compute_dtype: str = "float32"  # "bfloat16": conv matmuls in bf16,
+    # segment aggregations and norms stay f32
 
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = True) -> jnp.ndarray:
-        x = batch["nodes"]
-        node_seg, src, dst = batch["node_seg"], batch["src"], batch["dst"]
+        x = batch["nodes"].astype(resolve_dtype(self.compute_dtype))
+        # loaders may ship compact int16/int32 ids; index ops want int32
+        node_seg = batch["node_seg"].astype(jnp.int32)
+        src = batch["src"].astype(jnp.int32)
+        dst = batch["dst"].astype(jnp.int32)
         edge_w, edge_valid = batch["edge_w"], batch["edge_mask"]
+        edge_w = edge_w.astype(x.dtype)
+        edge_valid = edge_valid.astype(x.dtype)
         num_graphs = batch["y"].shape[0]
         node_valid = (node_seg < num_graphs).astype(x.dtype)
         act = activation_fn(self.activation)
@@ -203,9 +214,11 @@ class GraphNet(nn.Module):
 
         def mean_pool(h: jnp.ndarray) -> jnp.ndarray:
             num_segments = num_graphs + 1
-            total = segment_sum(h * node_valid[:, None], node_seg, num_segments)
+            h32 = (h * node_valid[:, None]).astype(jnp.float32)
+            total = segment_sum(h32, node_seg, num_segments)
             counts = segment_count(node_seg, num_segments, valid=node_valid)
-            return (total / jnp.maximum(counts, 1.0)[:, None])[:num_graphs]
+            pooled = (total / jnp.maximum(counts, 1.0)[:, None])[:num_graphs]
+            return pooled.astype(h.dtype)
 
         if self.deepchem_style:
             x = TorchLinear(256)(x)
@@ -218,4 +231,4 @@ class GraphNet(nn.Module):
             x = act(x)
             x = MaskedBatchNorm()(x, mask=batch.get("y_mask"), train=train)
 
-        return TorchLinear(self.output_dim)(x)
+        return TorchLinear(self.output_dim)(x).astype(jnp.float32)

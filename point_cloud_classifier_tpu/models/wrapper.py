@@ -154,6 +154,23 @@ class ModelWrapper:
 
         return shard_batch(self.mesh, batch)
 
+    def _batches(self, loader: Iterable) -> Iterable:
+        """Batch stream for the hot loop.
+
+        Default: host batches go straight into the jit'd step — jit's
+        argument-transfer path pipelines H2D with async dispatch and measures
+        fastest on this backend.  ``PCC_PREFETCH=1`` switches to explicit
+        double-buffered ``device_put`` prefetch (``data/prefetch.py``), which
+        wins on hosts where eager transfers overlap better than jit's.
+        """
+        if os.environ.get("PCC_PREFETCH") == "1":
+            from point_cloud_classifier_tpu.data.prefetch import prefetch_to_device
+
+            return prefetch_to_device(loader, size=2, mesh=self.mesh)
+        if self.mesh is not None:
+            return (self._put_batch(b) for b in loader)
+        return loader
+
     def _build_steps(self) -> None:
         model, tx = self.model, self.tx
 
@@ -195,10 +212,10 @@ class ModelWrapper:
         t0 = time.time()
         for epoch in range(self.epochs):
             batch_losses = []
-            for batch in train_loader:
+            for batch in self._batches(train_loader):
                 self._ensure_initialized(batch)
                 self.params, self.batch_stats, self.opt_state, loss = self._train_step(
-                    self.params, self.batch_stats, self.opt_state, self._put_batch(batch)
+                    self.params, self.batch_stats, self.opt_state, batch
                 )
                 batch_losses.append(loss)
             epoch_loss = float(np.mean([float(l) for l in batch_losses]))
@@ -229,11 +246,9 @@ class ModelWrapper:
 
     def _evaluate(self, loader: Iterable):
         losses, correct, total = [], 0.0, 0.0
-        for batch in loader:
+        for batch in self._batches(loader):
             self._ensure_initialized(batch)
-            loss, probs = self._eval_step(
-                self.params, self.batch_stats, self._put_batch(batch)
-            )
+            loss, probs = self._eval_step(self.params, self.batch_stats, batch)
             losses.append(float(loss))
             preds = np.asarray(probs) >= 0.5
             mask = batch["y_mask"].astype(bool)
@@ -245,11 +260,9 @@ class ModelWrapper:
 
     def predict(self, data_loader: Iterable, return_prob: bool = False):
         y_true, y_out = [], []
-        for batch in data_loader:
+        for batch in self._batches(data_loader):
             self._ensure_initialized(batch)
-            _, probs = self._eval_step(
-                self.params, self.batch_stats, self._put_batch(batch)
-            )
+            _, probs = self._eval_step(self.params, self.batch_stats, batch)
             mask = batch["y_mask"].astype(bool)
             probs = np.asarray(probs)[mask]
             y_true.append(batch["y"][mask])
