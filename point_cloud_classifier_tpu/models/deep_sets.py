@@ -12,25 +12,32 @@ Semantics parity with the reference (`models/deep_sets.py:5-160`):
   classification Linear
 
 The reference's per-event Python chunk loop (`:92-104`) becomes one segment
-reduction over the static ``[P_pad, H]`` layout — φ is a single MXU matmul
-chain over all points of the batch, pooling is a one-hot matmul / scatter-add
-(see ``ops/segment.py``), padding points land in segment ``B`` and are
-dropped.
+reduction over the static ``[P_pad, H]`` layout.  φ parameters are declared
+flat so the same weights drive two implementations of the hot path:
+
+- the XLA path (``ops/fused_phi.phi_forward_xla`` + segment ops) — always
+  correct, used on CPU / for max pooling / with layer-norm
+- the fused Pallas kernel (``ops/fused_phi.phi_pool``) — φ matmul chain and
+  segment-sum pooling in one kernel, per-point activations never touch HBM
+  (SURVEY §3.3's #1 fusion target)
 """
 
 from __future__ import annotations
 
 from typing import Dict, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from point_cloud_classifier_tpu.models.common import (
     TorchLayerNorm,
     TorchLinear,
+    _torch_uniform,
     activation_fn,
     resolve_dtype,
 )
+from point_cloud_classifier_tpu.ops.fused_phi import phi_forward_xla, phi_pool
 from point_cloud_classifier_tpu.ops.segment import (
     segment_count,
     segment_max,
@@ -85,6 +92,40 @@ class DeepSets(nn.Module):
     pooling: str = "sum"
     compute_dtype: str = "float32"  # "bfloat16" runs the MXU chain in bf16
     # (params and pooling reductions stay f32)
+    fused_phi: str = "auto"  # "auto": Pallas kernel on TPU, XLA elsewhere;
+    # "on": always Pallas (interpreted off-TPU); "off": always XLA
+
+    def _phi_spec_params(self):
+        """Flat φ parameters (torch Linear init) + the layer spec."""
+        spec, params = [], []
+        last = self.input_dim
+        for i, width in enumerate(self.phi_layers):
+            kind = (
+                "residual" if (self.residual_block and last == width) else "plain"
+            )
+            bound = last**-0.5
+            w = self.param(f"phi_{i}_kernel", _torch_uniform(bound), (last, width))
+            b = self.param(f"phi_{i}_bias", _torch_uniform(bound), (width,))
+            if self.layer_norm:
+                ls = self.param(f"phi_{i}_ln_scale", nn.initializers.ones, (width,))
+                lb = self.param(f"phi_{i}_ln_bias", nn.initializers.zeros, (width,))
+            else:
+                ls = lb = None
+            spec.append((kind, self.layer_norm))
+            params.append((w, b, ls, lb))
+            last = width
+        bound = last**-0.5
+        wf = self.param("phi_final_kernel", _torch_uniform(bound), (last, last))
+        bf = self.param("phi_final_bias", _torch_uniform(bound), (last,))
+        params.append((wf, bf))
+        return tuple(spec), tuple(params)
+
+    def _use_pallas(self) -> bool:
+        if self.fused_phi == "off" or self.layer_norm or self.pooling == "max":
+            return False
+        if self.fused_phi == "on":
+            return True
+        return jax.default_backend() == "tpu"
 
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = True) -> jnp.ndarray:
@@ -94,27 +135,35 @@ class DeepSets(nn.Module):
         num_events = batch["y"].shape[0]
         num_segments = num_events + 1  # final slot collects padding points
 
-        # φ over every point in the batch — one dense MXU chain
-        h = _MLPStack(self.phi_layers, self.activation, self.layer_norm, self.residual_block)(
-            points
-        )
-        phi_dim = self.phi_layers[-1] if self.phi_layers else self.input_dim
-        h = TorchLinear(phi_dim)(h)
-
-        # pooling reductions in f32: events span up to 10^4 points and bf16
-        # accumulation over that many terms drifts
-        h32 = h.astype(jnp.float32)
+        spec, params = self._phi_spec_params()
         counts = segment_count(seg, num_segments)[:num_events]
         safe = jnp.maximum(counts, 1.0).reshape(-1, 1)
-        if self.pooling == "sum":
-            pooled = segment_sum(h32, seg, num_segments)[:num_events] / jnp.sqrt(safe)
-        elif self.pooling == "mean":
-            pooled = segment_sum(h32, seg, num_segments)[:num_events] / safe
-        elif self.pooling == "max":
-            pooled = segment_max(h32, seg, num_segments)[:num_events]
-        else:
-            raise ValueError("pooling must be 'mean', 'sum', or 'max'")
-        pooled = pooled.astype(h.dtype)
 
+        if self._use_pallas():
+            interpret = jax.default_backend() != "tpu"
+            total = phi_pool(
+                points, seg, spec, params, self.activation, num_segments, interpret
+            )[:num_events]
+            if self.pooling == "sum":
+                pooled = total / jnp.sqrt(safe)
+            elif self.pooling == "mean":
+                pooled = total / safe
+            else:
+                raise ValueError("pallas path supports 'sum'/'mean' pooling")
+        else:
+            # φ over every point — one dense MXU chain; pooling reductions in
+            # f32 (events span up to 10^4 points; bf16 accumulation drifts)
+            h = phi_forward_xla(points, spec, params, self.activation)
+            h32 = h.astype(jnp.float32)
+            if self.pooling == "sum":
+                pooled = segment_sum(h32, seg, num_segments)[:num_events] / jnp.sqrt(safe)
+            elif self.pooling == "mean":
+                pooled = segment_sum(h32, seg, num_segments)[:num_events] / safe
+            elif self.pooling == "max":
+                pooled = segment_max(h32, seg, num_segments)[:num_events]
+            else:
+                raise ValueError("pooling must be 'mean', 'sum', or 'max'")
+
+        pooled = pooled.astype(points.dtype)
         out = _MLPStack(self.rho_layers, self.activation, self.layer_norm)(pooled)
         return TorchLinear(self.output_dim)(out).astype(jnp.float32)

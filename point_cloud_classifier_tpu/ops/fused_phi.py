@@ -1,0 +1,215 @@
+"""Fused φ-MLP + segment-sum pooling — the flagship Pallas TPU kernel.
+
+The reference's DeepSets hot path is a per-point MLP followed by a Python
+loop of per-event pools (`models/deep_sets.py:89-104`).  SURVEY §3.3 names
+"shared per-point MLP + symmetric pooling in one kernel" the #1 fusion
+target.  This module provides:
+
+- :func:`phi_forward_xla` / :func:`phi_pool_xla` — the XLA reference
+  implementation (also the VJP rule and the CPU fallback)
+- :func:`phi_pool_pallas` — one ``pallas_call`` computing the whole
+  φ chain and the pooled segment sums without writing any per-point
+  activation to HBM:
+
+  * grid over point tiles ``[T, F]``; all layer weights resident in VMEM
+  * each tile runs the matmul chain on the MXU (bf16 in, f32 accumulate)
+  * pooling is a tile-local one-hot matmul ``one_hotᵀ @ h`` accumulated
+    into a ``[S_pad, H]`` f32 output block — an MXU contraction instead of
+    the VPU scatter-add XLA emits for ``segment_sum``
+- :func:`phi_pool` — custom-VJP wrapper: Pallas forward, backward by
+  replaying the XLA implementation under ``jax.vjp`` (rematerialized, so no
+  per-point residuals are saved)
+
+φ layer spec: a tuple of ``("plain" | "residual", has_ln)`` entries plus a
+final un-activated linear, matching the reference φ structure
+(`models/deep_sets.py:44-55`).  The Pallas path supports specs without
+layer-norm (the shipped configs; LN specs fall back to XLA).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Spec = Tuple[Tuple[str, bool], ...]
+
+
+def _act(name: str):
+    table = {
+        "relu": jax.nn.relu,
+        "gelu": jax.nn.gelu,
+        "silu": jax.nn.silu,
+        "tanh": jnp.tanh,
+    }
+    return table[name]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# -- XLA reference implementation -------------------------------------------
+
+
+def _apply_layer(h, kind, has_ln, w, b, ln_scale, ln_bias, act):
+    out = jnp.dot(h, w.astype(h.dtype), preferred_element_type=jnp.float32).astype(
+        h.dtype
+    ) + b.astype(h.dtype)
+    if has_ln:
+        f32 = out.astype(jnp.float32)
+        mean = jnp.mean(f32, axis=-1, keepdims=True)
+        var = jnp.mean((f32 - mean) ** 2, axis=-1, keepdims=True)
+        out = ((f32 - mean) * jax.lax.rsqrt(var + 1e-5) * ln_scale + ln_bias).astype(
+            h.dtype
+        )
+    if kind == "residual":
+        return h + act(out)
+    return act(out)
+
+
+def phi_forward_xla(points, spec: Spec, params: Sequence, activation: str):
+    """Per-point features ``[P, H]`` through the φ chain (XLA)."""
+    act = _act(activation)
+    h = points
+    for (kind, has_ln), layer in zip(spec, params[:-1]):
+        w, b, ln_scale, ln_bias = layer
+        h = _apply_layer(h, kind, has_ln, w, b, ln_scale, ln_bias, act)
+    wf, bf = params[-1][0], params[-1][1]
+    return jnp.dot(
+        h, wf.astype(h.dtype), preferred_element_type=jnp.float32
+    ).astype(h.dtype) + bf.astype(h.dtype)
+
+
+def phi_pool_xla(points, seg, spec: Spec, params: Sequence, activation: str, num_segments: int):
+    """φ then f32 segment-sum pooling — the semantics contract."""
+    h = phi_forward_xla(points, spec, params, activation)
+    return jax.ops.segment_sum(
+        h.astype(jnp.float32), seg, num_segments=num_segments
+    )
+
+
+# -- Pallas kernel -----------------------------------------------------------
+
+
+def _make_kernel(spec: Spec, activation: str, s_pad: int, n_weight_refs: int):
+    act = _act(activation)
+
+    def kernel(seg_ref, x_ref, *rest):
+        out_ref = rest[n_weight_refs]
+        w_refs = rest[:n_weight_refs]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        h = x_ref[:]
+        r = 0
+        for kind, _ in spec:
+            w = w_refs[r][:]
+            b = w_refs[r + 1][:]
+            r += 2
+            out = (
+                jnp.dot(h, w, preferred_element_type=jnp.float32).astype(h.dtype)
+                + b
+            )
+            h = h + act(out) if kind == "residual" else act(out)
+        wf = w_refs[r][:]
+        bf = w_refs[r + 1][:]
+        h = jnp.dot(h, wf, preferred_element_type=jnp.float32).astype(h.dtype) + bf
+
+        # tile-local one-hot [T, S_pad] — pooling as an MXU contraction
+        seg_tile = seg_ref[:]  # [T, 1] int32
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
+        one_hot = (seg_tile == slot_ids).astype(h.dtype)
+        out_ref[:] += jax.lax.dot_general(
+            one_hot,
+            h,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return kernel
+
+
+def phi_pool_pallas(
+    points,
+    seg,
+    spec: Spec,
+    params: Sequence,
+    activation: str,
+    num_segments: int,
+    tile: int = 2048,
+    interpret: bool = False,
+):
+    """One fused pallas_call; returns f32 pooled sums ``[num_segments, H]``."""
+    assert all(not has_ln for _, has_ln in spec), "LN specs use the XLA path"
+    p, f = points.shape
+    h_dim = params[-1][0].shape[-1]
+    t = min(tile, p)
+    assert p % t == 0, f"point buffer {p} not a multiple of tile {t}"
+    s_pad = _round_up(num_segments, 8)
+
+    dtype = points.dtype
+    # flat weight operand list: (w, b) per layer, all cast to activation dtype
+    flat = []
+    for layer in params:
+        flat.append(layer[0].astype(dtype))
+        flat.append(layer[1].astype(dtype).reshape(1, -1))
+
+    kernel = _make_kernel(spec, activation, s_pad, len(flat))
+    grid = (p // t,)
+    weight_specs = [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for w in flat
+    ]
+    pooled = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *weight_specs,
+        ],
+        out_specs=pl.BlockSpec((s_pad, h_dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s_pad, h_dim), jnp.float32),
+        interpret=interpret,
+    )(seg.astype(jnp.int32).reshape(-1, 1), points, *flat)
+    return pooled[:num_segments]
+
+
+# -- custom-VJP wrapper -------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 4, 5, 6))
+def phi_pool(points, seg, spec: Spec, params, activation: str, num_segments: int, interpret: bool = False):
+    return phi_pool_pallas(
+        points, seg, spec, params, activation, num_segments, interpret=interpret
+    )
+
+
+def _phi_pool_fwd(points, seg, spec, params, activation, num_segments, interpret):
+    out = phi_pool_pallas(
+        points, seg, spec, params, activation, num_segments, interpret=interpret
+    )
+    return out, (points, seg, params)
+
+
+def _phi_pool_bwd(spec, activation, num_segments, interpret, residuals, g):
+    points, seg, params = residuals
+
+    def f(pts, prm):
+        return phi_pool_xla(pts, seg, spec, prm, activation, num_segments)
+
+    _, vjp = jax.vjp(f, points, params)
+    d_points, d_params = vjp(g)
+    d_seg = np.zeros(seg.shape, dtype=jax.dtypes.float0)
+    return d_points, d_seg, d_params
+
+
+phi_pool.defvjp(_phi_pool_fwd, _phi_pool_bwd)

@@ -1,0 +1,118 @@
+"""Pallas fused φ+pool kernel: parity vs the XLA reference implementation.
+
+Runs the kernel in interpreter mode (tests are CPU-only); the real-TPU
+compile path is exercised by bench.py and the driver's entry check.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from point_cloud_classifier_tpu.ops.fused_phi import (
+    phi_forward_xla,
+    phi_pool,
+    phi_pool_pallas,
+    phi_pool_xla,
+)
+
+
+def _make_params(key, spec, in_dim, width):
+    params = []
+    last = in_dim
+    for kind, has_ln in spec:
+        key, k1, k2 = jax.random.split(key, 3)
+        w = jax.random.normal(k1, (last, width)) * 0.3
+        b = jax.random.normal(k2, (width,)) * 0.1
+        ln = (jnp.ones(width), jnp.zeros(width)) if has_ln else (None, None)
+        params.append((w, b, *ln))
+        last = width
+    key, k1, k2 = jax.random.split(key, 3)
+    wf = jax.random.normal(k1, (last, last)) * 0.3
+    bf = jax.random.normal(k2, (last,)) * 0.1
+    params.append((wf, bf))
+    return tuple(params)
+
+
+def _inputs(p=64, f=6, b=5, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = jnp.asarray(rng.normal(size=(p, f)).astype(np.float32))
+    seg = jnp.asarray(np.sort(rng.integers(0, b + 1, size=(p,))).astype(np.int32))
+    return pts, seg, b + 1
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        (("plain", False),),
+        (("plain", False), ("residual", False)),
+        (("plain", False), ("residual", False), ("residual", False)),
+        (),
+    ],
+    ids=["plain", "plain+res", "deep", "empty"],
+)
+@pytest.mark.parametrize("activation", ["gelu", "relu"])
+def test_pallas_matches_xla_forward(spec, activation):
+    pts, seg, s = _inputs()
+    params = _make_params(jax.random.PRNGKey(0), spec, 6, 32)
+    ref = phi_pool_xla(pts, seg, spec, params, activation, s)
+    out = phi_pool_pallas(pts, seg, spec, params, activation, s, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_bf16_close_to_f32():
+    spec = (("plain", False), ("residual", False))
+    pts, seg, s = _inputs()
+    params = _make_params(jax.random.PRNGKey(1), spec, 6, 32)
+    ref = phi_pool_xla(pts, seg, spec, params, "gelu", s)
+    out = phi_pool_pallas(
+        pts.astype(jnp.bfloat16), seg, spec, params, "gelu", s, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=0.05, atol=0.1)
+
+
+def test_custom_vjp_matches_xla_grads():
+    spec = (("plain", False), ("residual", False))
+    pts, seg, s = _inputs()
+    params = _make_params(jax.random.PRNGKey(2), spec, 6, 32)
+
+    def loss_fused(pts, params):
+        out = phi_pool(pts, seg, spec, params, "gelu", s, True)
+        return jnp.sum(out**2)
+
+    def loss_xla(pts, params):
+        out = phi_pool_xla(pts, seg, spec, params, "gelu", s)
+        return jnp.sum(out**2)
+
+    (v1, g1) = jax.value_and_grad(loss_fused, argnums=(0, 1))(pts, params)
+    (v2, g2) = jax.value_and_grad(loss_xla, argnums=(0, 1))(pts, params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_deepsets_fused_on_matches_off():
+    """Full model: fused_phi='on' (interpreted pallas) == 'off' (XLA)."""
+    from point_cloud_classifier_tpu.models import DeepSets
+
+    from tests.test_parallel import _pointcloud_batch
+
+    batch = _pointcloud_batch()
+    mk = lambda mode: DeepSets(
+        input_dim=6,
+        phi_layers=[32, 32],
+        rho_layers=[32],
+        output_dim=1,
+        activation="gelu",
+        layer_norm=False,
+        residual_block=True,
+        pooling="mean",
+        fused_phi=mode,
+    )
+    off = mk("off")
+    variables = off.init(jax.random.PRNGKey(0), batch, train=False)
+    out_off = off.apply(variables, batch, train=False)
+    out_on = mk("on").apply(variables, batch, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_off), np.asarray(out_on), rtol=1e-4, atol=1e-4
+    )

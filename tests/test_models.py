@@ -186,7 +186,7 @@ def test_deepsets_sum_is_sum_over_sqrt_n():
     out_mean = m_mean.apply(v, batch(), train=False)
     # pooled_sum = pooled_mean * √4 = 2·pooled_mean (before rho bias) — check
     # via the linear structure: logits = W·pool + b
-    b = v["params"]["TorchLinear_1"]["bias"]
+    b = v["params"]["TorchLinear_0"]["bias"]  # classifier head
     np.testing.assert_allclose(
         np.asarray(out_sum - b), 2 * np.asarray(out_mean - b), atol=1e-5
     )
