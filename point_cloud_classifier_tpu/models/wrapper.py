@@ -47,6 +47,8 @@ class _ScalarLog:
 
     def __init__(self, log_dir: Optional[str]):
         self.log_dir = log_dir
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, "metrics.jsonl") if log_dir else None
         self._tb = None
         if log_dir and os.environ.get("PCC_TENSORBOARD") == "1":
@@ -205,21 +207,99 @@ class ModelWrapper:
         self._train_step = train_step
         self._eval_step = eval_step
 
+    # -- full-state checkpoint / resume (reference has none: its resume
+    # granularity is "retrain", SURVEY §5) --------------------------------
+
+    def _state_dir(self) -> Optional[str]:
+        return os.path.abspath(os.path.join(self.log_dir, "state")) if self.log_dir else None
+
+    def save_state(self, epoch: int) -> None:
+        """Orbax checkpoint of (params, batch_stats, opt_state) + counters."""
+        path = self._state_dir()
+        if path is None or self.params is None:
+            return
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            path,
+            {
+                "params": self.params,
+                "batch_stats": self.batch_stats,
+                "opt_state": self.opt_state,
+            },
+            force=True,
+        )
+        ckptr.wait_until_finished()
+        with open(os.path.join(path, "trainer_state.json"), "w") as f:
+            json.dump(
+                {
+                    "epoch": epoch,
+                    "best_val_loss": self.best_val_loss,
+                    "early_stop_counter": self.early_stop_counter,
+                },
+                f,
+                indent=4,
+            )
+
+    def restore_state(self) -> int:
+        """Restore a mid-training checkpoint; returns the next epoch index."""
+        path = self._state_dir()
+        meta_path = os.path.join(path, "trainer_state.json") if path else None
+        if not (meta_path and os.path.exists(meta_path)):
+            return 0
+        import orbax.checkpoint as ocp
+
+        raw = ocp.StandardCheckpointer().restore(path)
+        self.params = jax.tree.map(jnp.asarray, raw["params"])
+        self.batch_stats = jax.tree.map(jnp.asarray, raw.get("batch_stats", {}))
+        # optax state trees round-trip as nested lists/dicts; refit the
+        # restored leaves onto a freshly-init'd state's treedef
+        template = self.tx.init(self.params)
+        self.opt_state = jax.tree.unflatten(
+            jax.tree.structure(template),
+            [jnp.asarray(x) for x in jax.tree.leaves(raw["opt_state"])],
+        )
+        self._build_steps()
+        with open(meta_path) as f:
+            meta = json.load(f)
+        self.best_val_loss = meta["best_val_loss"]
+        self.early_stop_counter = meta["early_stop_counter"]
+        return meta["epoch"] + 1
+
     # -- training loop ---------------------------------------------------------
 
-    def fit(self, train_loader: Iterable, val_loader: Iterable = None) -> None:
+    def fit(
+        self, train_loader: Iterable, val_loader: Iterable = None, resume: bool = False
+    ) -> None:
+        from point_cloud_classifier_tpu.utils.profiling import StepTimer, maybe_trace
+
         log = _ScalarLog(self.log_dir)
         t0 = time.time()
-        for epoch in range(self.epochs):
+        start_epoch = self.restore_state() if resume else 0
+        for epoch in range(start_epoch, self.epochs):
             batch_losses = []
-            for batch in self._batches(train_loader):
-                self._ensure_initialized(batch)
-                self.params, self.batch_stats, self.opt_state, loss = self._train_step(
-                    self.params, self.batch_stats, self.opt_state, batch
-                )
-                batch_losses.append(loss)
+            timer = StepTimer()
+            with maybe_trace(self.log_dir, force=False):
+                for batch in self._batches(train_loader):
+                    with timer.step():
+                        self._ensure_initialized(batch)
+                        self.params, self.batch_stats, self.opt_state, loss = (
+                            self._train_step(
+                                self.params, self.batch_stats, self.opt_state, batch
+                            )
+                        )
+                    batch_losses.append(loss)
             epoch_loss = float(np.mean([float(l) for l in batch_losses]))
             log.scalar("Loss/train", epoch_loss, epoch)
+            perf = timer.summary()
+            if perf["steps"]:
+                log.scalar(
+                    "Throughput/steps_per_sec",
+                    perf["steps"] / max(perf["total_seconds"], 1e-9),
+                    epoch,
+                )
+                log.scalar("StepTime/p50_ms", perf["p50_ms"], epoch)
 
             if val_loader is not None:
                 val_loss, val_acc = self._evaluate(val_loader)
@@ -240,7 +320,9 @@ class ModelWrapper:
                     )
                 if self.early_stop_counter >= self.patience:
                     print("Early stopping triggered.")
+                    self.save_state(epoch)
                     break
+            self.save_state(epoch)
         log.scalar("train_wall_seconds", time.time() - t0, 0)
         log.close()
 

@@ -1,0 +1,103 @@
+"""Full-state checkpoint/resume + profiling counters.
+
+The reference's resume granularity is "retrain" (SURVEY §5); here a run can
+be continued mid-training: params, optimizer state, epoch index, best-val
+loss, and early-stop counter all round-trip through the orbax checkpoint.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from point_cloud_classifier_tpu.models import FullyConnectedNet, ModelWrapper
+from point_cloud_classifier_tpu.utils.profiling import StepTimer, maybe_trace
+from tests.test_parallel import _tabular_batch
+
+
+def _model():
+    return FullyConnectedNet(
+        input_dim=9, hidden_layers=[16, 16], batch_normalization=False, output_dim=1
+    )
+
+
+def _loaders():
+    train = [_tabular_batch(seed=s) for s in range(4)]
+    val = [_tabular_batch(seed=99)]
+    return train, val
+
+
+def test_resume_continues_exactly(tmp_path):
+    """Interrupt at epoch 2 of 4, resume → same result as uninterrupted run."""
+    train, val = _loaders()
+
+    full = ModelWrapper(_model(), learning_rate=1e-2, epochs=4, seed=0,
+                        log_dir=str(tmp_path / "full"))
+    full.fit(train, val)
+
+    part = ModelWrapper(_model(), learning_rate=1e-2, epochs=2, seed=0,
+                        log_dir=str(tmp_path / "part"))
+    part.fit(train, val)
+    # fresh wrapper picks up where the first left off
+    cont = ModelWrapper(_model(), learning_rate=1e-2, epochs=4, seed=0,
+                        log_dir=str(tmp_path / "part"))
+    cont.fit(train, val, resume=True)
+
+    _, p_full = full.predict(val, return_prob=True)
+    _, p_cont = cont.predict(val, return_prob=True)
+    np.testing.assert_allclose(p_full, p_cont, rtol=1e-5, atol=1e-6)
+    assert cont.best_val_loss == pytest.approx(full.best_val_loss, rel=1e-5)
+
+
+def test_state_dir_contents(tmp_path):
+    train, val = _loaders()
+    w = ModelWrapper(_model(), learning_rate=1e-2, epochs=1, seed=0,
+                     log_dir=str(tmp_path))
+    w.fit(train, val)
+    state = tmp_path / "state"
+    assert state.is_dir()
+    with open(state / "trainer_state.json") as f:
+        meta = json.load(f)
+    assert meta["epoch"] == 0
+    assert "best_val_loss" in meta and "early_stop_counter" in meta
+
+
+def test_resume_without_checkpoint_starts_fresh(tmp_path):
+    train, val = _loaders()
+    w = ModelWrapper(_model(), learning_rate=1e-2, epochs=1, seed=0,
+                     log_dir=str(tmp_path))
+    w.fit(train, val, resume=True)  # no state yet → trains from scratch
+    assert w.params is not None
+
+
+def test_throughput_metrics_logged(tmp_path):
+    train, val = _loaders()
+    w = ModelWrapper(_model(), learning_rate=1e-2, epochs=1, seed=0,
+                     log_dir=str(tmp_path))
+    w.fit(train, val)
+    tags = set()
+    with open(tmp_path / "metrics.jsonl") as f:
+        for line in f:
+            tags.add(json.loads(line)["tag"])
+    assert {"Loss/train", "Throughput/steps_per_sec", "StepTime/p50_ms"} <= tags
+
+
+def test_step_timer_percentiles():
+    t = StepTimer(examples_per_step=10)
+    for ms in (1, 2, 3, 4, 100):
+        t.times.append(ms / 1e3)
+    s = t.summary()
+    assert s["steps"] == 5
+    assert s["p50_ms"] == pytest.approx(3.0)
+    assert s["p99_ms"] == pytest.approx(100.0)
+    assert s["examples_per_sec"] == pytest.approx(50 / 0.110)
+
+
+def test_maybe_trace_noop_and_active(tmp_path, monkeypatch):
+    with maybe_trace(str(tmp_path)):  # PCC_TRACE unset → no-op
+        pass
+    assert not (tmp_path / "trace").exists()
+    with maybe_trace(str(tmp_path), force=True):
+        pass
+    assert (tmp_path / "trace").exists()

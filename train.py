@@ -151,6 +151,32 @@ def train_model(
     return None
 
 
+def resume_training(model_dir: str):
+    """Continue an interrupted run from its orbax full-state checkpoint.
+
+    The reference cannot do this — its resume granularity is "retrain"
+    (SURVEY §5).  Rebuilds loaders + model from the run dir's resolved
+    ``config.yaml``, restores (params, opt_state, epoch, early-stop
+    counters) and continues ``fit`` to the configured epoch count.
+    """
+    config = load_config(os.path.join(model_dir, "config.yaml"))
+    model_name = config["meta"]["model_name"]
+    dataset_name = config["meta"]["dataset_name"]
+    if model_name == "logistic_regression":
+        raise ValueError("logistic_regression trains in one shot; nothing to resume")
+
+    dataloader = get_dataloader(dataset_name=dataset_name, config=config)
+    model = get_model(model_name=model_name, config=config)
+    model.log_dir = model_dir
+    model.checkpoint_path = os.path.join(model_dir, "best_model.pt")
+
+    train_loader = dataloader.get_train_loader()
+    val_loader = dataloader.get_val_loader()
+    model.fit(train_loader, val_loader, resume=True)
+    model.save(save_dir=model_dir)
+    return model
+
+
 def evaluate_model(model_dir: str, save_dir: str):
     """Reload a finished run and score all splits (reference `train.py:88-139`)."""
     config_path = os.path.join(model_dir, "config.yaml")
@@ -222,6 +248,9 @@ def _build_parser() -> argparse.ArgumentParser:
     ep = sub.add_parser("evaluate", help="evaluate a finished run dir")
     ep.add_argument("model_dir")
     ep.add_argument("--save-dir", default=None, help="default: <model_dir>/eval")
+
+    rp = sub.add_parser("resume", help="resume an interrupted run dir")
+    rp.add_argument("model_dir")
     return parser
 
 
@@ -231,6 +260,10 @@ def main(argv=None) -> None:
         save_dir = args.save_dir or os.path.join(args.model_dir, "eval")
         os.makedirs(save_dir, exist_ok=True)
         evaluate_model(model_dir=args.model_dir, save_dir=save_dir)
+        return
+
+    if args.command == "resume":
+        resume_training(model_dir=args.model_dir)
         return
 
     if args.command != "train":
