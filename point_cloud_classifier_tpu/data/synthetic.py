@@ -10,8 +10,18 @@ HDF5 files with the exact schema the ingestion layer expects (see
 - ``particles``: id / parent_id / event_id  (MC-truth lineage tree)
 
 Events are statistically separable by class so end-to-end training can reach
-well-above-chance accuracy on tiny datasets: "protons" deposit a larger
-energy fraction in HCal, showers differ in spread and multiplicity.
+well-above-chance accuracy on tiny datasets — and the signal survives the
+per-event normalizations of every pipeline:
+
+- tabular: "protons" deposit a larger energy fraction in HCal, showers
+  differ in spread and multiplicity
+- point-cloud / graph: the S2PPC pipeline normalizes energy to per-event
+  fractions, min-maxes time per event and standardizes positions per event
+  (reference `utils/data.py:510-535`), so class signal must live in
+  distribution *shape*: protons have spiky energy spectra (few dominant
+  hits; gamma k=0.6), piM near-uniform sharing (k=3.5); proton hit times
+  ~uniform, piM heavy-tailed exponential; proton showers isotropic, piM
+  elongated along z.
 
 Lineage trees deliberately include particles that appear in the ``particles``
 table but leave **no steps** — this exercises the ancestor-BFS path of the
@@ -61,6 +71,12 @@ def _make_event(rng: np.random.Generator, particle: str) -> Tuple[Dict, Dict]:
 
     hcal_frac = 0.75 if is_proton else 0.35
     spread = 12.0 if is_proton else 7.0
+    # piM showers are elongated along z; protons isotropic — survives the
+    # per-axis per-event standardization as joint-shape signal
+    axis_scale = np.array([1.0, 1.0, 1.0]) if is_proton else np.array([0.8, 0.8, 1.6])
+    # energy sharing: proton spiky (few dominant hits), piM near-uniform —
+    # survives the energy→per-event-fraction normalization
+    energy_shape = 1.0 if is_proton else 2.2
     center = rng.normal(0.0, 3.0, size=3) + (np.array([0, 0, 40.0]))
 
     step_rows = {k: [] for k in ["energy", "time", "pos", "pid", "subdet"]}
@@ -69,9 +85,15 @@ def _make_event(rng: np.random.Generator, particle: str) -> Tuple[Dict, Dict]:
         n_steps = int(rng.integers(2, 7)) if pid == 0 else int(rng.integers(1, 5))
         for s in range(n_steps):
             step_rows["pid"].append(pid)
-            step_rows["time"].append(t_base + rng.exponential(1.5) + 0.2 * s + 0.1 * pid)
-            step_rows["energy"].append(float(rng.gamma(2.0, 0.05) + 0.005))
-            step_rows["pos"].append(center + rng.normal(0.0, spread, size=3))
+            # time *shape*: proton ~uniform, piM heavy-tailed — survives the
+            # per-event min-max normalization
+            if is_proton:
+                dt = rng.uniform(0.0, 3.0)
+            else:
+                dt = rng.exponential(1.2)
+            step_rows["time"].append(t_base + dt + 0.2 * s + 0.1 * pid)
+            step_rows["energy"].append(float(rng.gamma(energy_shape, 0.05) + 0.005))
+            step_rows["pos"].append(center + rng.normal(0.0, spread, size=3) * axis_scale)
             in_hcal = rng.random() < hcal_frac
             if rng.random() < 0.05:
                 step_rows["subdet"].append(4)  # TrackerBarrel → Other

@@ -196,6 +196,107 @@ def run_search(
     return top_runs
 
 
+def run_search_vmapped(
+    model_name: str,
+    dataset_name: str,
+    search_dir: str,
+    max_runs: int = 32,
+    config_dir: str = "configs",
+    epochs: int = 10,
+    force: bool = False,
+    data_dir: str = None,
+):
+    """TPU-native sweep: same-architecture configs train as ONE vmapped step.
+
+    Sampled configs are grouped by everything except ``trainer.learning_rate``
+    (widths/flags/batch define the XLA program shape); each group's arms are
+    stacked on a leading axis and trained simultaneously
+    (``parallel/vmap_sweep.py``).  Artifacts stay contract-identical to the
+    sequential sweep: one ``version_N`` dir per sampled config with resolved
+    ``config.yaml`` + ``meta.json`` metrics, plus the same
+    ``search_results.json`` leaderboard.
+    """
+    import json as _json
+
+    from point_cloud_classifier_tpu.models import DeepSets, FullyConnectedNet, GraphNet
+    from point_cloud_classifier_tpu.parallel.vmap_sweep import train_configs_vmapped
+    from point_cloud_classifier_tpu.utils.config import save_config
+    from point_cloud_classifier_tpu.utils.log import TrainingLogger
+    from train import get_dataloader
+
+    model_classes = {
+        "fully_connected_net": FullyConnectedNet,
+        "deep_sets": DeepSets,
+        "graph_net": GraphNet,
+    }
+    if model_name not in _SAMPLERS:
+        raise ValueError(f"No hyperparameter sampler for model: {model_name}")
+
+    search_dir = os.path.abspath(search_dir)
+    config = load_config(
+        os.path.join(config_dir, "base.yaml"),
+        os.path.join(config_dir, f"{model_name}.yaml"),
+    )
+    create_search_dir(search_dir=search_dir, force=force)
+    config["logging"]["log_dir"] = search_dir
+    config["trainer"]["epochs"] = epochs
+    if data_dir is not None:
+        config["dataset"]["data_dir"] = data_dir
+
+    # sample everything up front, then group by program shape
+    sampled = [_SAMPLERS[model_name](config=config) for _ in range(max_runs)]
+    groups = {}
+    for hp in sampled:
+        key = _json.dumps(
+            {
+                "model": hp["model"],
+                "dataset": hp["dataset"],
+                "optimizer": hp["trainer"].get("optimizer", "adam"),
+            },
+            sort_keys=True,
+        )
+        groups.setdefault(key, []).append(hp)
+
+    top_runs = []
+    print(
+        f"Starting vmapped search: {max_runs} configs in {len(groups)} "
+        f"architecture groups..."
+    )
+    for key, group in groups.items():
+        hp0 = group[0]
+        dataloader = get_dataloader(dataset_name, {"dataset": dict(hp0["dataset"])})
+        train_loader = dataloader.get_train_loader()
+        val_loader = dataloader.get_val_loader()
+        model = model_classes[model_name](**hp0["model"])
+        lrs = [hp["trainer"]["learning_rate"] for hp in group]
+
+        val_accs, train_accs, n_params = train_configs_vmapped(
+            model,
+            lrs,
+            hp0["trainer"].get("optimizer", "adam"),
+            epochs,
+            train_loader,
+            val_loader,
+        )
+
+        for hp, va, ta in zip(group, val_accs, train_accs):
+            logger = TrainingLogger(model_name, dataset_name, **hp["logging"])
+            version_dir = os.path.join(
+                search_dir, f"version_{logger.get_version()}"
+            )
+            hp["logging"]["log_dir"] = version_dir
+            hp["meta"]["model_name"] = model_name
+            hp["meta"]["dataset_name"] = dataset_name
+            save_config(config=hp, log_dir=version_dir)
+            logger.log_metric("accuracy/train", round(ta, 6))
+            logger.log_metric("accuracy/val", round(va, 6))
+            logger.log_metric("parameters", n_params)
+            update_leaderboard(top_runs=top_runs, version_dir=version_dir)
+        save_leaderboard(top_runs=top_runs, save_dir=search_dir)
+
+    return top_runs
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="Random hyperparameter search")
     parser.add_argument("model", choices=sorted(_SAMPLERS))
@@ -206,12 +307,18 @@ def main(argv=None) -> None:
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument("--data-dir", default=None, help="override dataset.data_dir")
     parser.add_argument("--force", action="store_true", help="clear search dir without prompting")
+    parser.add_argument(
+        "--vmap",
+        action="store_true",
+        help="train same-architecture configs simultaneously as one vmapped step",
+    )
     args = parser.parse_args(argv)
 
     from train import MODEL_DATASETS
 
     dataset = args.dataset or MODEL_DATASETS[args.model]
-    run_search(
+    search = run_search_vmapped if args.vmap else run_search
+    search(
         model_name=args.model,
         dataset_name=dataset,
         search_dir=args.search_dir,

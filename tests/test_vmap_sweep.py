@@ -1,0 +1,94 @@
+"""Vmapped multi-config sweep: parity with sequential training + artifacts."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from point_cloud_classifier_tpu.models import FullyConnectedNet, ModelWrapper
+from point_cloud_classifier_tpu.parallel.vmap_sweep import train_configs_vmapped
+from tests.test_parallel import _tabular_batch
+
+
+def _loaders():
+    train = [_tabular_batch(seed=s) for s in range(4)]
+    val = [_tabular_batch(seed=99)]
+    return train, val
+
+
+def test_vmapped_matches_sequential():
+    """K vmapped arms == K independent ModelWrapper runs (same seeds/lrs)."""
+    train, val = _loaders()
+    model = FullyConnectedNet(
+        input_dim=9, hidden_layers=[16, 16], batch_normalization=True, output_dim=1
+    )
+    lrs = [1e-2, 1e-3]
+    val_accs, train_accs, n_params = train_configs_vmapped(
+        model, lrs, "adam", epochs=3, train_loader=train, val_loader=val,
+        seeds=[0, 1],
+    )
+
+    for lr, seed, va in zip(lrs, [0, 1], val_accs):
+        w = ModelWrapper(model, learning_rate=lr, epochs=3, seed=seed)
+        w.fit(train)
+        _, preds = w.predict(val)
+        y = np.concatenate([b["y"][b["y_mask"].astype(bool)] for b in val])
+        acc = float((preds == (y >= 0.5)).mean())
+        assert va == pytest.approx(acc, abs=1e-6), f"lr={lr}"
+    assert n_params == w.get_trainable_parameters()
+
+
+def test_vmapped_adamw_runs():
+    train, val = _loaders()
+    model = FullyConnectedNet(
+        input_dim=9, hidden_layers=[8], batch_normalization=False, output_dim=1
+    )
+    val_accs, train_accs, _ = train_configs_vmapped(
+        model, [1e-2, 3e-3, 1e-3], "adamw", epochs=2, train_loader=train, val_loader=val
+    )
+    assert len(val_accs) == 3 and len(train_accs) == 3
+    assert all(0.0 <= a <= 1.0 for a in val_accs)
+
+
+def test_run_search_vmapped_artifacts(tmp_path):
+    """--vmap sweep writes the same artifact contract as the sequential one."""
+    import sweep as sweep_mod
+    from point_cloud_classifier_tpu.data.synthetic import write_synthetic_dataset
+    from train import get_dataloader
+    from point_cloud_classifier_tpu.utils.config import load_config
+
+    data_dir = str(tmp_path / "data")
+    write_synthetic_dataset(data_dir, n_events_per_file=30, seed=3)
+    config = load_config("configs/base.yaml", "configs/fully_connected_net.yaml")
+    config["dataset"]["data_dir"] = data_dir
+    config["dataset"]["create_dataset"] = True
+    get_dataloader("s2pt", config)
+
+    search_dir = str(tmp_path / "search")
+    np.random.seed(0)
+    top = sweep_mod.run_search_vmapped(
+        "fully_connected_net",
+        "s2pt",
+        search_dir=search_dir,
+        max_runs=3,
+        epochs=1,
+        force=True,
+        data_dir=data_dir,
+    )
+    assert len(top) == 3
+    accs = [r["val_acc"] for r in top]
+    assert accs == sorted(accs, reverse=True)
+
+    with open(os.path.join(search_dir, "search_results.json")) as f:
+        persisted = json.load(f)
+    assert persisted == top
+    for i in range(3):
+        vdir = os.path.join(search_dir, f"version_{i}")
+        assert os.path.exists(os.path.join(vdir, "config.yaml"))
+        with open(os.path.join(vdir, "meta.json")) as f:
+            meta = json.load(f)
+        assert {"accuracy/train", "accuracy/val", "parameters"} <= set(
+            meta["metrics"]
+        )
