@@ -90,6 +90,89 @@ def measure_jax(b: int, p: int, f: int, iters: int, warmup: int, dtype: str = "b
     return b * iters / dt
 
 
+def _graph_batch(b: int, n: int, e: int, f: int, seed: int = 0, half: bool = True):
+    rng = np.random.default_rng(seed)
+    idx_t = np.int16 if (half and n <= 32768) else np.int32
+    feat_t = np.float16 if half else np.float32
+    node_seg = np.sort(rng.integers(0, b, size=(n - 8,))).astype(idx_t)
+    node_seg = np.concatenate([node_seg, np.full((8,), b, dtype=idx_t)])
+    return {
+        "nodes": rng.normal(size=(n, f)).astype(feat_t),
+        "node_seg": node_seg,
+        "src": rng.integers(0, n - 8, size=(e,)).astype(idx_t),
+        "dst": rng.integers(0, n - 8, size=(e,)).astype(idx_t),
+        "edge_w": np.ones((e,), dtype=feat_t),
+        "edge_mask": np.ones((e,), dtype=feat_t),
+        "y": rng.integers(0, 2, size=(b, 1)).astype(np.float32),
+        "y_mask": np.ones((b,), dtype=np.float32),
+    }
+
+
+def measure_graph_jax(b: int, n: int, e: int, iters: int, warmup: int, dtype: str) -> float:
+    """graph_net train-step throughput (reference config: GraphConv h128 tanh)."""
+    import jax
+
+    from point_cloud_classifier_tpu.models import GraphNet, ModelWrapper
+
+    model = GraphNet(
+        input_dim=4,
+        hidden_dim=128,
+        output_dim=1,
+        activation="tanh",
+        deepchem_style=True,
+        compute_dtype=dtype,
+    )
+    wrapper = ModelWrapper(model, learning_rate=1e-3, epochs=1)
+    half = dtype == "bfloat16"
+    host_batches = [_graph_batch(b, n, e, 4, seed=s, half=half) for s in range(4)]
+    wrapper._ensure_initialized(host_batches[0])
+
+    def run(k):
+        loss = None
+        stream = (host_batches[i % len(host_batches)] for i in range(k))
+        for batch in wrapper._batches(stream):
+            wrapper.params, wrapper.batch_stats, wrapper.opt_state, loss = (
+                wrapper._train_step(
+                    wrapper.params, wrapper.batch_stats, wrapper.opt_state, batch
+                )
+            )
+        jax.block_until_ready(loss)
+
+    run(warmup)
+    t0 = time.perf_counter()
+    run(iters)
+    return b * iters / (time.perf_counter() - t0)
+
+
+def measure_infer_latency(b: int, p: int, f: int, iters: int, warmup: int, dtype: str):
+    """p50 single-batch inference latency (ms) for the flagship model."""
+    import jax
+
+    from point_cloud_classifier_tpu.models import DeepSets
+    from point_cloud_classifier_tpu.utils.profiling import StepTimer
+
+    model = DeepSets(
+        input_dim=f,
+        phi_layers=PHI,
+        rho_layers=RHO,
+        output_dim=1,
+        activation="gelu",
+        residual_block=True,
+        pooling="mean",
+        compute_dtype=dtype,
+    )
+    batch = _batch(b, p, f, half=(dtype == "bfloat16"))
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    fwd = jax.jit(lambda v, bt: model.apply(v, bt, train=False))
+    for _ in range(warmup):
+        jax.block_until_ready(fwd(variables, batch))
+    timer = StepTimer(examples_per_step=b)
+    for _ in range(iters):
+        with timer.step():
+            jax.block_until_ready(fwd(variables, batch))
+    return timer.summary()
+
+
 def measure_torch_reference(b: int, p: int, f: int, iters: int, warmup: int) -> float:
     """Reference-semantics deep_sets train step in torch on CPU.
 
@@ -179,12 +262,52 @@ def main(argv=None) -> None:
         choices=["bfloat16", "float32"],
         help="compute dtype for the jax measurement (params stay f32)",
     )
+    parser.add_argument(
+        "--model",
+        default="deep_sets",
+        choices=["deep_sets", "graph_net"],
+        help="which train-step workload to measure",
+    )
+    parser.add_argument(
+        "--latency",
+        action="store_true",
+        help="measure p50 single-batch inference latency instead of training throughput",
+    )
     args = parser.parse_args(argv)
 
     if args.smoke:
         b, p, iters, warmup = 32, 2048, 5, 2
     else:
         b, p, iters, warmup = B, P, args.iters or ITERS, WARMUP
+
+    if args.latency:
+        s = measure_infer_latency(b, p, F, max(iters, 20), warmup, args.dtype)
+        print(
+            json.dumps(
+                {
+                    "metric": "deep_sets_infer_p50_latency",
+                    "value": round(s["p50_ms"], 4),
+                    "unit": "ms",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
+
+    if args.model == "graph_net":
+        n, e = (p, 2 * p)
+        cps = measure_graph_jax(b, n, e, iters, warmup, args.dtype)
+        print(
+            json.dumps(
+                {
+                    "metric": "graph_net_train_clouds_per_sec",
+                    "value": round(cps, 2),
+                    "unit": "clouds/sec",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
 
     if args.measure_baseline:
         cps = measure_torch_reference(b, p, F, iters or 5, warmup)

@@ -34,7 +34,15 @@ def segment_sum(
     """
     if method == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        method = "matmul" if (on_tpu and data.ndim == 2) else "scatter"
+        # the one-hot is [P, num_segments]: only worth materializing for the
+        # per-event pooling case (small B) — graph message aggregation has
+        # num_segments = node count, where scatter is the only sane choice
+        onehot_mb = data.shape[0] * num_segments * data.dtype.itemsize / 2**20
+        method = (
+            "matmul"
+            if (on_tpu and data.ndim == 2 and num_segments <= 2048 and onehot_mb <= 128)
+            else "scatter"
+        )
     if method == "matmul" and data.ndim == 2:
         onehot = jax.nn.one_hot(segment_ids, num_segments, dtype=data.dtype)
         return jnp.einsum(
