@@ -242,7 +242,13 @@ class Step2PointGraph(DataModule):
                 if parent != -1:
                     parent_map[int(child)].append(int(parent))
 
-            edges = build_event_edges(pids_e, times_e, step_keys, parent_map)
+            # C++ edge builder when available (native/edge_builder.cpp — the
+            # preprocessing hot loop, SURVEY §3.2); Python oracle otherwise
+            from point_cloud_classifier_tpu.native import build_event_edges_native
+
+            edges = build_event_edges_native(pids_e, times_e, step_keys, parent_map)
+            if edges is None:
+                edges = build_event_edges(pids_e, times_e, step_keys, parent_map)
 
             total_energy = energy_e.sum()
             features = np.stack(
