@@ -257,27 +257,41 @@ def run_search_vmapped(
         )
         groups.setdefault(key, []).append(hp)
 
+    status_log = os.path.join(search_dir, "status_log.txt")
     top_runs = []
     print(
         f"Starting vmapped search: {max_runs} configs in {len(groups)} "
         f"architecture groups..."
     )
-    for key, group in groups.items():
+    for g_i, (key, group) in enumerate(groups.items()):
         hp0 = group[0]
-        dataloader = get_dataloader(dataset_name, {"dataset": dict(hp0["dataset"])})
-        train_loader = dataloader.get_train_loader()
-        val_loader = dataloader.get_val_loader()
-        model = model_classes[model_name](**hp0["model"])
-        lrs = [hp["trainer"]["learning_rate"] for hp in group]
+        try:
+            dataloader = get_dataloader(dataset_name, {"dataset": dict(hp0["dataset"])})
+            train_loader = dataloader.get_train_loader()
+            val_loader = dataloader.get_val_loader()
+            model = model_classes[model_name](**hp0["model"])
+            lrs = [hp["trainer"]["learning_rate"] for hp in group]
 
-        val_accs, train_accs, n_params = train_configs_vmapped(
-            model,
-            lrs,
-            hp0["trainer"].get("optimizer", "adam"),
-            epochs,
-            train_loader,
-            val_loader,
-        )
+            val_accs, train_accs, n_params = train_configs_vmapped(
+                model,
+                lrs,
+                hp0["trainer"].get("optimizer", "adam"),
+                epochs,
+                train_loader,
+                val_loader,
+            )
+        except Exception as e:
+            # same failure-capture contract as the sequential sweep
+            # (`sweep.py:53-61` in the reference): log and keep searching
+            print(f"[Group {g_i}/{len(groups)}] Configuration group failed: {e}")
+            with open(status_log, "a") as f:
+                f.write(f"Group {g_i} ({len(group)} configs) FAILED\n")
+                f.write(f"Error: {e}\n")
+                f.write("Hyperparameters:\n")
+                f.write(f"{hp0}\n")
+                f.write("-" * 80 + "\n\n")
+            save_leaderboard(top_runs=top_runs, save_dir=search_dir)
+            continue
 
         for hp, va, ta in zip(group, val_accs, train_accs):
             logger = TrainingLogger(model_name, dataset_name, **hp["logging"])

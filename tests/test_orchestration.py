@@ -186,3 +186,18 @@ def test_cli_train_and_evaluate(caches, tmp_path):
     assert os.path.exists(os.path.join(run_dir, "meta.json"))
     train_mod.main(["evaluate", run_dir])
     assert os.path.exists(os.path.join(run_dir, "eval", "metrics.json"))
+
+
+def test_cli_infer(caches, tmp_path):
+    log_root = str(tmp_path / "infer_log")
+    config = _base_config("fully_connected_net", caches, log_root, epochs=1)
+    run_dir = train_mod.train_model(
+        "fully_connected_net", "s2pt", config, return_log_dir=True
+    )
+    out = train_mod.infer(run_dir, split="val")
+    with open(out) as f:
+        lines = f.read().strip().split("\n")
+    assert lines[0] == "index,y_true,probability,prediction"
+    assert len(lines) > 1
+    idx, y, prob, pred = lines[1].split(",")
+    assert y in ("0", "1") and 0.0 <= float(prob) <= 1.0

@@ -151,6 +151,38 @@ def train_model(
     return None
 
 
+def infer(model_dir: str, split: str = "test", output: str = None):
+    """Batch inference from a finished run dir → CSV of probabilities.
+
+    A serving-shaped surface the reference lacks (its closest is
+    ``evaluate_model``, which only writes aggregate metrics).
+    """
+    import numpy as np
+
+    config = load_config(os.path.join(model_dir, "config.yaml"))
+    model_name = config["meta"]["model_name"]
+    dataset_name = config["meta"]["dataset_name"]
+
+    dataloader = get_dataloader(dataset_name=dataset_name, config=config)
+    model = get_model(model_name=model_name, config=config, model_dir=model_dir)
+    loader = {
+        "train": dataloader.get_train_loader,
+        "val": dataloader.get_val_loader,
+        "test": dataloader.get_test_loader,
+    }[split]()
+
+    y_true, y_prob = model.predict(loader, return_prob=True)
+    y_true = np.asarray(y_true).reshape(-1)
+    y_prob = np.asarray(y_prob).reshape(-1)
+    output = output or os.path.join(model_dir, f"predictions_{split}.csv")
+    with open(output, "w") as f:
+        f.write("index,y_true,probability,prediction\n")
+        for i, (t, p) in enumerate(zip(y_true, y_prob)):
+            f.write(f"{i},{int(t)},{p:.6f},{int(p >= 0.5)}\n")
+    print(f"Wrote {len(y_true)} predictions to {output}")
+    return output
+
+
 def resume_training(model_dir: str):
     """Continue an interrupted run from its orbax full-state checkpoint.
 
@@ -251,6 +283,11 @@ def _build_parser() -> argparse.ArgumentParser:
 
     rp = sub.add_parser("resume", help="resume an interrupted run dir")
     rp.add_argument("model_dir")
+
+    ip = sub.add_parser("infer", help="batch inference from a run dir → CSV")
+    ip.add_argument("model_dir")
+    ip.add_argument("--split", default="test", choices=["train", "val", "test"])
+    ip.add_argument("--output", default=None)
     return parser
 
 
@@ -264,6 +301,10 @@ def main(argv=None) -> None:
 
     if args.command == "resume":
         resume_training(model_dir=args.model_dir)
+        return
+
+    if args.command == "infer":
+        infer(model_dir=args.model_dir, split=args.split, output=args.output)
         return
 
     if args.command != "train":
