@@ -170,18 +170,31 @@ class GraphNet(nn.Module):
     deepchem_style: bool = False
     compute_dtype: str = "float32"  # "bfloat16": conv matmuls in bf16,
     # segment aggregations and norms stay f32
+    knn_k: int = 0  # >0: ignore provided edges and build kNN edges from node
+    # positions ON DEVICE inside the jit'd step (ops/knn.py) — the idiomatic
+    # TPU alternative to the reference's offline lineage edges (SURVEY §0)
 
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = True) -> jnp.ndarray:
         x = batch["nodes"].astype(resolve_dtype(self.compute_dtype))
         # loaders may ship compact int16/int32 ids; index ops want int32
         node_seg = batch["node_seg"].astype(jnp.int32)
-        src = batch["src"].astype(jnp.int32)
-        dst = batch["dst"].astype(jnp.int32)
-        edge_w, edge_valid = batch["edge_w"], batch["edge_mask"]
+        num_graphs = batch["y"].shape[0]
+        if self.knn_k > 0:
+            if self.input_dim < 4:
+                raise ValueError("knn_k needs position features (n_features=4)")
+            from point_cloud_classifier_tpu.ops.knn import knn_edges
+
+            src, dst, edge_valid = knn_edges(
+                x[:, 1:4], node_seg, self.knn_k, num_graphs
+            )
+            edge_w = jnp.ones_like(edge_valid)
+        else:
+            src = batch["src"].astype(jnp.int32)
+            dst = batch["dst"].astype(jnp.int32)
+            edge_w, edge_valid = batch["edge_w"], batch["edge_mask"]
         edge_w = edge_w.astype(x.dtype)
         edge_valid = edge_valid.astype(x.dtype)
-        num_graphs = batch["y"].shape[0]
         node_valid = (node_seg < num_graphs).astype(x.dtype)
         act = activation_fn(self.activation)
 
