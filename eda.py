@@ -60,10 +60,19 @@ def _event_level(raw: dict, particle: str) -> pd.DataFrame:
 def load_all(data_dir: str):
     events, raws = [], {}
     for particle in PARTICLES:
+        per_file = []
         for path in find_shower_files(data_dir, particle):
             raw = load_shower_file(path)
-            raws.setdefault(particle, raw)
+            per_file.append(raw)
             events.append(_event_level(raw, particle))
+        if per_file:
+            # concatenate ALL files per particle so the missing-value audit
+            # and distribution plots cover the same data as summary_stats
+            raws[particle] = {
+                k: np.concatenate([r[k] for r in per_file])
+                for k, v in per_file[0].items()
+                if isinstance(v, np.ndarray)
+            }
     return pd.concat(events, ignore_index=True), raws
 
 

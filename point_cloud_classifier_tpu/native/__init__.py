@@ -106,6 +106,18 @@ def build_event_edges_native(
     pids64 = _as_i64(pids)
     times64 = np.ascontiguousarray(times, dtype=np.float64)
     keys64 = _as_i64(step_keys)
+
+    # tie-order parity guard: the oracle (and the reference) order each
+    # particle's temporal chain with np.argsort, whose introsort is only
+    # insertion-sort-stable for short arrays.  The C++ stable_sort matches
+    # that exactly when chains are short OR tie-free; if any particle has a
+    # long chain with duplicated times, defer to the Python oracle.
+    uniq, counts = np.unique(pids64, return_counts=True)
+    for p, c in zip(uniq, counts):
+        if c > 15:
+            t = times64[pids64 == p]
+            if len(np.unique(t)) != len(t):
+                return None
     child_rows: List[int] = []
     parent_rows: List[int] = []
     for child, parents in parent_map.items():

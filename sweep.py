@@ -229,6 +229,8 @@ def run_search_vmapped(
         "deep_sets": DeepSets,
         "graph_net": GraphNet,
     }
+    model_name = model_name.lower()
+    dataset_name = dataset_name.lower()
     if model_name not in _SAMPLERS:
         raise ValueError(f"No hyperparameter sampler for model: {model_name}")
 
@@ -272,7 +274,7 @@ def run_search_vmapped(
             model = model_classes[model_name](**hp0["model"])
             lrs = [hp["trainer"]["learning_rate"] for hp in group]
 
-            val_accs, train_accs, n_params = train_configs_vmapped(
+            result = train_configs_vmapped(
                 model,
                 lrs,
                 hp0["trainer"].get("optimizer", "adam"),
@@ -280,6 +282,8 @@ def run_search_vmapped(
                 train_loader,
                 val_loader,
             )
+            val_accs, train_accs = result["val_accs"], result["train_accs"]
+            n_params = result["n_params"]
         except Exception as e:
             # same failure-capture contract as the sequential sweep
             # (`sweep.py:53-61` in the reference): log and keep searching
@@ -293,7 +297,9 @@ def run_search_vmapped(
             save_leaderboard(top_runs=top_runs, save_dir=search_dir)
             continue
 
-        for hp, va, ta in zip(group, val_accs, train_accs):
+        import pickle
+
+        for arm, (hp, va, ta) in enumerate(zip(group, val_accs, train_accs)):
             logger = TrainingLogger(model_name, dataset_name, **hp["logging"])
             version_dir = os.path.join(
                 search_dir, f"version_{logger.get_version()}"
@@ -302,6 +308,12 @@ def run_search_vmapped(
             hp["meta"]["model_name"] = model_name
             hp["meta"]["dataset_name"] = dataset_name
             save_config(config=hp, log_dir=version_dir)
+            # weights in ModelWrapper's checkpoint format so
+            # `train.py evaluate/infer <version_dir>` work on sweep winners
+            with open(os.path.join(version_dir, "model.pt"), "wb") as f:
+                pickle.dump(result["final_state"][arm], f)
+            with open(os.path.join(version_dir, "best_model.pt"), "wb") as f:
+                pickle.dump(result["best_state"][arm], f)
             logger.log_metric("accuracy/train", round(ta, 6))
             logger.log_metric("accuracy/val", round(va, 6))
             logger.log_metric("parameters", n_params)

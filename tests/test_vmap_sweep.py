@@ -25,10 +25,11 @@ def test_vmapped_matches_sequential():
         input_dim=9, hidden_layers=[16, 16], batch_normalization=True, output_dim=1
     )
     lrs = [1e-2, 1e-3]
-    val_accs, train_accs, n_params = train_configs_vmapped(
+    result = train_configs_vmapped(
         model, lrs, "adam", epochs=3, train_loader=train, val_loader=val,
         seeds=[0, 1],
     )
+    val_accs, n_params = result["val_accs"], result["n_params"]
 
     for lr, seed, va in zip(lrs, [0, 1], val_accs):
         w = ModelWrapper(model, learning_rate=lr, epochs=3, seed=seed)
@@ -45,11 +46,16 @@ def test_vmapped_adamw_runs():
     model = FullyConnectedNet(
         input_dim=9, hidden_layers=[8], batch_normalization=False, output_dim=1
     )
-    val_accs, train_accs, _ = train_configs_vmapped(
+    result = train_configs_vmapped(
         model, [1e-2, 3e-3, 1e-3], "adamw", epochs=2, train_loader=train, val_loader=val
     )
+    val_accs, train_accs = result["val_accs"], result["train_accs"]
     assert len(val_accs) == 3 and len(train_accs) == 3
     assert all(0.0 <= a <= 1.0 for a in val_accs)
+    # per-arm weight states come back in ModelWrapper checkpoint format
+    assert len(result["final_state"]) == 3 and len(result["best_state"]) == 3
+    for st in result["final_state"]:
+        assert set(st) == {"params", "batch_stats"}
 
 
 def test_run_search_vmapped_artifacts(tmp_path):
@@ -92,3 +98,18 @@ def test_run_search_vmapped_artifacts(tmp_path):
         assert {"accuracy/train", "accuracy/val", "parameters"} <= set(
             meta["metrics"]
         )
+        # trained weights persisted → evaluate/infer work on sweep winners
+        assert os.path.exists(os.path.join(vdir, "model.pt"))
+        assert os.path.exists(os.path.join(vdir, "best_model.pt"))
+
+    # the winning run restores through the normal get_model path
+    import train as train_mod
+    from point_cloud_classifier_tpu.utils.config import load_config as _lc
+
+    win = os.path.join(search_dir, f"version_{top[0]['version']}")
+    cfg = _lc(os.path.join(win, "config.yaml"))
+    model = train_mod.get_model("fully_connected_net", cfg, model_dir=win)
+    loader = train_mod.get_dataloader("s2pt", cfg).get_val_loader()
+    y_true, y_pred = model.predict(loader)
+    acc = float((y_pred.reshape(-1) == y_true.reshape(-1)).mean())
+    assert acc == pytest.approx(top[0]["val_acc"], abs=0.2)

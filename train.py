@@ -312,7 +312,7 @@ def main(argv=None) -> None:
         return
 
     model = args.model
-    dataset = args.dataset or MODEL_DATASETS[model]
+    dataset = (args.dataset or MODEL_DATASETS[model]).lower()
     config = load_config(
         os.path.join(args.config_dir, "base.yaml"),
         os.path.join(args.config_dir, f"{model}.yaml"),
