@@ -37,24 +37,45 @@ WARMUP, ITERS = 5, 20
 
 
 def _batch(b: int, p: int, f: int, seed: int = 0, half: bool = True):
-    """One host batch in the loaders' wire format (fp16/int16 when half)."""
+    """One host batch in the loaders' wire format.
+
+    half=True is the production wire: fp16 features + the counts encoding of
+    segment ids (the loaders' ``transfer_dtype="float16"``/
+    ``seg_encoding="counts"`` options).
+    """
     rng = np.random.default_rng(seed)
     # roughly uniform cloud sizes summing to p, sorted segment ids
-    seg = np.sort(rng.integers(0, b, size=(p,))).astype(
-        np.int16 if half else np.int32
-    )
-    return {
+    seg = np.sort(rng.integers(0, b, size=(p,))).astype(np.int32)
+    out = {
         "points": rng.normal(size=(p, f)).astype(np.float16 if half else np.float32),
-        "seg": seg,
         "y": rng.integers(0, 2, size=(b, 1)).astype(np.float32),
         "y_mask": np.ones((b,), dtype=np.float32),
     }
+    if half:
+        out["seg_counts"] = np.bincount(seg, minlength=b + 1).astype(np.int32)
+    else:
+        out["seg"] = seg
+    return out
 
 
-def measure_jax(b: int, p: int, f: int, iters: int, warmup: int, dtype: str = "bfloat16") -> float:
+def measure_jax(
+    b: int,
+    p: int,
+    f: int,
+    iters: int,
+    warmup: int,
+    dtype: str = "bfloat16",
+    use_mesh: bool = False,
+) -> float:
     import jax
 
     from point_cloud_classifier_tpu.models import DeepSets, ModelWrapper
+
+    mesh = None
+    if use_mesh:
+        from point_cloud_classifier_tpu.parallel import default_mesh
+
+        mesh = default_mesh()
 
     model = DeepSets(
         input_dim=f,
@@ -67,7 +88,9 @@ def measure_jax(b: int, p: int, f: int, iters: int, warmup: int, dtype: str = "b
         pooling="mean",
         compute_dtype=dtype,
     )
-    wrapper = ModelWrapper(model, learning_rate=1e-3, epochs=1, optimizer="adamw")
+    wrapper = ModelWrapper(
+        model, learning_rate=1e-3, epochs=1, optimizer="adamw", mesh=mesh
+    )
     # a stream of distinct host batches in the fp16/int16 wire format, so the
     # measurement includes the real (H2D-transfer-inclusive) input pipeline
     host_batches = [_batch(b, p, f, seed=s, half=(dtype == "bfloat16")) for s in range(4)]
@@ -276,6 +299,11 @@ def main(argv=None) -> None:
         action="store_true",
         help="measure p50 single-batch inference latency instead of training throughput",
     )
+    parser.add_argument(
+        "--mesh",
+        action="store_true",
+        help="shard the flagship train step over all visible devices (data axis)",
+    )
     args = parser.parse_args(argv)
 
     if args.smoke:
@@ -326,7 +354,7 @@ def main(argv=None) -> None:
         )
         return
 
-    cps = measure_jax(b, p, F, iters, warmup, dtype=args.dtype)
+    cps = measure_jax(b, p, F, iters, warmup, dtype=args.dtype, use_mesh=args.mesh)
     vs = (
         round(cps / REFERENCE_CPU_CLOUDS_PER_SEC, 2)
         if (REFERENCE_CPU_CLOUDS_PER_SEC and not args.smoke)

@@ -95,7 +95,13 @@ class PointCloudLoader:
         seed: int = 0,
         min_bucket: int = 256,
         transfer_dtype: str = "float32",
+        seg_encoding: str = "ids",
     ):
+        # seg_encoding="counts": ship per-event point counts [B+1] (~1KB)
+        # instead of the per-point id array (~P*2B); the model reconstructs
+        # ids on device with jnp.repeat (sizes are static).  The training
+        # pipeline is H2D-bandwidth-bound, so every wire byte counts.
+        self.seg_encoding = seg_encoding
         # "float16" halves the bytes shipped host→device per step (features
         # fp16, segment ids int16); models upcast on device.  The training
         # pipeline is H2D-bandwidth-bound on TPU, so this directly scales
@@ -146,14 +152,25 @@ class PointCloudLoader:
             mask = np.zeros((b,), dtype=np.float32)
 
             cursor = 0
+            seg_counts = np.zeros((b + 1,), dtype=np.int32)
             for slot, ev in enumerate(idx):
                 lo, hi = self.offsets[ev], self.offsets[ev + 1]
                 points[cursor : cursor + (hi - lo)] = self.flat[lo:hi]
                 seg[cursor : cursor + (hi - lo)] = slot
+                seg_counts[slot] = hi - lo
                 cursor += hi - lo
+            seg_counts[b] = p_pad - cursor  # padding rows → segment B
             yb[:k, 0] = self.labels[idx]
             mask[:k] = 1.0
-            yield {"points": points, "seg": seg, "y": yb, "y_mask": mask}
+            if self.seg_encoding == "counts":
+                yield {
+                    "points": points,
+                    "seg_counts": seg_counts,
+                    "y": yb,
+                    "y_mask": mask,
+                }
+            else:
+                yield {"points": points, "seg": seg, "y": yb, "y_mask": mask}
 
 
 class GraphLoader:

@@ -54,10 +54,12 @@ class Step2PointPointCloud(DataModule):
         sparse_batching: bool = True,
         energy_cutoff: float = None,
         transfer_dtype: str = "float32",
+        seg_encoding: str = "ids",
         **kwargs,
     ):
         super().__init__(data_dir=data_dir, **kwargs)
         self.transfer_dtype = transfer_dtype
+        self.seg_encoding = seg_encoding
         self.parts = parts
         self.sparse_batching = sparse_batching  # kept for config compat; the
         # static-shape flattened layout subsumes both reference collates
@@ -223,6 +225,7 @@ class Step2PointPointCloud(DataModule):
             batch_size=self.batch_size,
             shuffle=(split == "train"),
             transfer_dtype=self.transfer_dtype,
+            seg_encoding=self.seg_encoding,
         )
 
     def get_train_loader(self) -> PointCloudLoader:

@@ -129,11 +129,19 @@ class DeepSets(nn.Module):
 
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = True) -> jnp.ndarray:
-        points, seg = batch["points"], batch["seg"]
-        points = points.astype(resolve_dtype(self.compute_dtype))
-        seg = seg.astype(jnp.int32)  # loaders may ship compact int16 ids
+        points = batch["points"].astype(resolve_dtype(self.compute_dtype))
         num_events = batch["y"].shape[0]
         num_segments = num_events + 1  # final slot collects padding points
+        if "seg" in batch:
+            seg = batch["seg"].astype(jnp.int32)  # compact int16 ids allowed
+        else:
+            # counts wire encoding (~1KB instead of ~P·2B on the H2D link):
+            # rebuild the per-point ids on device; total length is static
+            seg = jnp.repeat(
+                jnp.arange(num_segments, dtype=jnp.int32),
+                batch["seg_counts"],
+                total_repeat_length=points.shape[0],
+            )
 
         spec, params = self._phi_spec_params()
         counts = segment_count(seg, num_segments)[:num_events]

@@ -102,6 +102,47 @@ def test_fp16_wire_format_matches_f32():
     np.testing.assert_allclose(f32, f16, rtol=0.05, atol=0.05)
 
 
+def test_counts_seg_encoding_matches_ids():
+    """seg_encoding='counts' wire format == explicit per-point ids."""
+    from point_cloud_classifier_tpu.data.batching import PointCloudLoader
+
+    rng = np.random.default_rng(4)
+    events = [rng.normal(size=(rng.integers(3, 30), 6)) for _ in range(12)]
+    labels = rng.integers(0, 2, size=12)
+
+    model = DeepSets(
+        input_dim=6, phi_layers=[16], rho_layers=[16], output_dim=1,
+        activation="relu", layer_norm=False, pooling="mean",
+    )
+
+    def run(enc):
+        loader = PointCloudLoader(
+            events, labels, batch_size=6, shuffle=False, seg_encoding=enc
+        )
+        batches = list(loader)
+        variables = model.init(jax.random.PRNGKey(0), batches[0], train=False)
+        return np.concatenate(
+            [np.asarray(model.apply(variables, b, train=False)) for b in batches]
+        )
+
+    np.testing.assert_allclose(run("ids"), run("counts"), rtol=1e-5, atol=1e-6)
+
+
+def test_counts_encoding_wire_size():
+    from point_cloud_classifier_tpu.data.batching import PointCloudLoader
+
+    rng = np.random.default_rng(5)
+    events = [rng.normal(size=(50, 6)) for _ in range(8)]
+    loader = PointCloudLoader(
+        events, np.zeros(8), batch_size=8, shuffle=False,
+        transfer_dtype="float16", seg_encoding="counts",
+    )
+    batch = next(iter(loader))
+    assert "seg" not in batch
+    assert batch["seg_counts"].shape == (9,)
+    assert batch["seg_counts"].sum() == batch["points"].shape[0]
+
+
 def test_fp16_loader_dtypes():
     from point_cloud_classifier_tpu.data.batching import PointCloudLoader
 

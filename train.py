@@ -288,6 +288,15 @@ def _build_parser() -> argparse.ArgumentParser:
     ip.add_argument("model_dir")
     ip.add_argument("--split", default="test", choices=["train", "val", "test"])
     ip.add_argument("--output", default=None)
+
+    cp = sub.add_parser(
+        "create-datasets", help="run offline preprocessing for all representations"
+    )
+    cp.add_argument("--data-dir", required=True)
+    cp.add_argument(
+        "--datasets", nargs="+", default=["s2pt", "s2ppc", "s2pg"],
+        choices=["s2pt", "s2ppc", "s2pg"],
+    )
     return parser
 
 
@@ -305,6 +314,23 @@ def main(argv=None) -> None:
 
     if args.command == "infer":
         infer(model_dir=args.model_dir, split=args.split, output=args.output)
+        return
+
+    if args.command == "create-datasets":
+        # the module-level equivalent of the reference's utils/data.py
+        # __main__ block (`utils/data.py:1264-1266`)
+        dataset_models = {
+            "s2pt": "fully_connected_net",
+            "s2ppc": "deep_sets",
+            "s2pg": "graph_net",
+        }
+        for ds in args.datasets:
+            config = load_config(
+                "configs/base.yaml", f"configs/{dataset_models[ds]}.yaml"
+            )
+            config["dataset"]["data_dir"] = args.data_dir
+            config["dataset"]["create_dataset"] = True
+            get_dataloader(ds, config)
         return
 
     if args.command != "train":
