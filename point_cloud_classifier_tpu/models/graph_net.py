@@ -81,6 +81,25 @@ class GraphConv(nn.Module):
         return TorchLinear(self.features)(agg) + TorchLinear(self.features, use_bias=False)(x)
 
 
+class DenseGraphConv(nn.Module):
+    """GraphConv over a dense [N, N] adjacency — aggregation is one matmul.
+
+    Same math as :class:`GraphConv` on the equivalent edge list; used by the
+    on-device kNN path where the adjacency is built implicitly
+    (``ops/knn.knn_adjacency``) and gather/scatter never happen.
+    """
+
+    features: int
+    aggr: str = "add"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, adj: jnp.ndarray) -> jnp.ndarray:
+        from point_cloud_classifier_tpu.ops.knn import adjacency_aggregate
+
+        agg = adjacency_aggregate(adj, x, self.aggr)
+        return TorchLinear(self.features)(agg) + TorchLinear(self.features, use_bias=False)(x)
+
+
 class GATConv(nn.Module):
     """Multi-head graph attention (GATv1) with self-loops, concat heads."""
 
@@ -180,32 +199,49 @@ class GraphNet(nn.Module):
         # loaders may ship compact int16/int32 ids; index ops want int32
         node_seg = batch["node_seg"].astype(jnp.int32)
         num_graphs = batch["y"].shape[0]
+        adj = None
         if self.knn_k > 0:
             if self.input_dim < 4:
                 raise ValueError("knn_k needs position features (n_features=4)")
-            from point_cloud_classifier_tpu.ops.knn import knn_edges
+            if (
+                not self.use_gat
+                and not self.sag_pool
+                and self.local_pooling in ("add", "mean")
+            ):
+                # fully dense path: implicit adjacency, aggregation by matmul
+                from point_cloud_classifier_tpu.ops.knn import knn_adjacency
 
-            src, dst, edge_valid = knn_edges(
-                x[:, 1:4], node_seg, self.knn_k, num_graphs
-            )
-            edge_w = jnp.ones_like(edge_valid)
+                adj = knn_adjacency(x[:, 1:4], node_seg, self.knn_k, num_graphs)
+                src = dst = edge_w = edge_valid = None
+            else:
+                from point_cloud_classifier_tpu.ops.knn import knn_edges
+
+                src, dst, edge_valid = knn_edges(
+                    x[:, 1:4], node_seg, self.knn_k, num_graphs
+                )
+                edge_w = jnp.ones_like(edge_valid)
         else:
             src = batch["src"].astype(jnp.int32)
             dst = batch["dst"].astype(jnp.int32)
             edge_w, edge_valid = batch["edge_w"], batch["edge_mask"]
-        edge_w = edge_w.astype(x.dtype)
-        edge_valid = edge_valid.astype(x.dtype)
+        if adj is None:
+            edge_w = edge_w.astype(x.dtype)
+            edge_valid = edge_valid.astype(x.dtype)
         node_valid = (node_seg < num_graphs).astype(x.dtype)
         act = activation_fn(self.activation)
 
-        if self.use_gat:
-            x = GATConv(self.hidden_dim // self.gat_heads, self.gat_heads)(
-                x, src, dst, edge_valid, node_valid
+        def conv(h):
+            if adj is not None:
+                return DenseGraphConv(self.hidden_dim, self.local_pooling)(h, adj)
+            if self.use_gat:
+                return GATConv(self.hidden_dim // self.gat_heads, self.gat_heads)(
+                    h, src, dst, edge_valid, node_valid
+                )
+            return GraphConv(self.hidden_dim, self.local_pooling)(
+                h, src, dst, edge_w, edge_valid
             )
-        else:
-            x = GraphConv(self.hidden_dim, self.local_pooling)(
-                x, src, dst, edge_w, edge_valid
-            )
+
+        x = conv(x)
         x = act(x)
         x = MaskedBatchNorm()(x, mask=node_valid, train=train)
 
@@ -214,14 +250,7 @@ class GraphNet(nn.Module):
                 x, node_seg, src, dst, edge_w, edge_valid, node_valid, num_graphs
             )
 
-        if self.use_gat:
-            x = GATConv(self.hidden_dim // self.gat_heads, self.gat_heads)(
-                x, src, dst, edge_valid, node_valid
-            )
-        else:
-            x = GraphConv(self.hidden_dim, self.local_pooling)(
-                x, src, dst, edge_w, edge_valid
-            )
+        x = conv(x)
         x = act(x)
         x = MaskedBatchNorm()(x, mask=node_valid, train=train)
 

@@ -69,3 +69,71 @@ def knn_edges(
     # node itself so gathers stay in-bounds and masked
     src = jnp.where(edge_mask > 0, src, dst)
     return src, dst, edge_mask
+
+
+def knn_adjacency(
+    positions: jnp.ndarray,
+    node_seg: jnp.ndarray,
+    k: int,
+    num_graphs: int,
+) -> jnp.ndarray:
+    """Dense [N, N] kNN adjacency: ``A[i, j] = 1`` iff ``j`` is among ``i``'s
+    k nearest same-graph neighbours (per-row top-k threshold on the distance
+    matrix).  Exact distance ties at the k-th neighbour may admit all tied
+    candidates (``knn_edges`` breaks such ties arbitrarily instead); ties are
+    measure-zero for continuous coordinates.
+    """
+    n = positions.shape[0]
+    pos = positions.astype(jnp.float32)
+    node_seg = node_seg.astype(jnp.int32)
+
+    sq = jnp.sum(pos * pos, axis=-1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
+        pos, pos.T, preferred_element_type=jnp.float32
+    )
+    valid_node = node_seg < num_graphs
+    allowed = (
+        (node_seg[:, None] == node_seg[None, :])
+        & ~jnp.eye(n, dtype=bool)
+        & valid_node[None, :]
+        & valid_node[:, None]
+    )
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    masked = jnp.where(allowed, d2, big)
+
+    # k-th smallest distance per row = the neighbourhood threshold
+    neg_topk, _ = jax.lax.top_k(-masked, k)
+    kth = -neg_topk[:, -1]
+    return (allowed & (masked <= kth[:, None])).astype(jnp.float32)
+
+
+def adjacency_aggregate(adj: jnp.ndarray, x: jnp.ndarray, aggr: str = "add") -> jnp.ndarray:
+    """Neighbour aggregation as one MXU matmul: ``A @ x`` (or its row-mean)."""
+    agg = jnp.dot(adj.astype(x.dtype), x, preferred_element_type=jnp.float32)
+    if aggr == "mean":
+        deg = jnp.sum(adj.astype(jnp.float32), axis=1, keepdims=True)
+        agg = agg / jnp.maximum(deg, 1.0)
+    elif aggr != "add":
+        raise ValueError("aggr must be 'add' or 'mean'")
+    return agg.astype(x.dtype)
+
+
+def knn_aggregate(
+    x: jnp.ndarray,
+    positions: jnp.ndarray,
+    node_seg: jnp.ndarray,
+    k: int,
+    num_graphs: int,
+    aggr: str = "add",
+) -> jnp.ndarray:
+    """Fused kNN construction + neighbour aggregation — no edge lists at all.
+
+    The fully matmul formulation of a kNN graph convolution's message
+    aggregation: implicit adjacency (``knn_adjacency``) times features —
+    MXU end to end, no gather, no scatter.  Equivalent to ``knn_edges`` +
+    ``segment_sum`` over the edge list (tested), but the edge list never
+    exists.
+    """
+    return adjacency_aggregate(
+        knn_adjacency(positions, node_seg, k, num_graphs), x, aggr
+    )

@@ -73,6 +73,52 @@ def test_graphnet_knn_mode_trains():
     assert np.all(np.isfinite(probs)) and probs.shape[1] == 1
 
 
+def test_knn_aggregate_matches_edge_list():
+    """Dense adjacency matmul == gather/scatter over the explicit edge list."""
+    from point_cloud_classifier_tpu.ops.knn import knn_aggregate
+    from point_cloud_classifier_tpu.ops.segment import segment_sum
+
+    rng = np.random.default_rng(3)
+    n, k = 32, 4
+    pos = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    seg = jnp.asarray(np.sort(rng.integers(0, 3, size=n)), jnp.int32)
+    x = jnp.asarray(rng.normal(size=(n, 8)), jnp.float32)
+
+    src, dst, mask = knn_edges(pos, seg, k, 3)
+    msg = x[src] * mask[:, None]
+    ref_add = segment_sum(msg, dst, n)
+    deg = segment_sum(mask[:, None], dst, n)
+    ref_mean = ref_add / jnp.maximum(deg, 1.0)
+
+    np.testing.assert_allclose(
+        np.asarray(knn_aggregate(x, pos, seg, k, 3, "add")),
+        np.asarray(ref_add),
+        rtol=1e-5,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(knn_aggregate(x, pos, seg, k, 3, "mean")),
+        np.asarray(ref_mean),
+        rtol=1e-5,
+        atol=1e-5,
+    )
+
+
+def test_graphnet_dense_knn_path_trains():
+    from point_cloud_classifier_tpu.models import GraphNet, ModelWrapper
+    from tests.test_parallel import _graph_batch
+
+    # add local pooling + no GAT/SAG → the dense adjacency path
+    model = GraphNet(
+        input_dim=4, hidden_dim=16, output_dim=1, activation="relu",
+        knn_k=4, local_pooling="mean",
+    )
+    w = ModelWrapper(model, learning_rate=1e-3, epochs=2, seed=0)
+    w.fit([_graph_batch(seed=s) for s in range(2)])
+    _, probs = w.predict([_graph_batch(seed=9)], return_prob=True)
+    assert np.all(np.isfinite(probs))
+
+
 def test_knn_jit_compatible():
     pos = jnp.asarray(np.random.default_rng(2).normal(size=(16, 3)), jnp.float32)
     seg = jnp.asarray(np.repeat([0, 1], 8), jnp.int32)
