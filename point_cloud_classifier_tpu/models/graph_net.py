@@ -82,21 +82,18 @@ class GraphConv(nn.Module):
 
 
 class DenseGraphConv(nn.Module):
-    """GraphConv over a dense [N, N] adjacency — aggregation is one matmul.
+    """GraphConv where neighbour aggregation is precomputed densely.
 
     Same math as :class:`GraphConv` on the equivalent edge list; used by the
-    on-device kNN path where the adjacency is built implicitly
-    (``ops/knn.knn_adjacency``) and gather/scatter never happen.
+    on-device kNN path, where the aggregation comes either from the fused
+    Pallas kernel (``ops/knn_pallas``, TPU) or an explicit adjacency matmul
+    (``ops/knn.adjacency_aggregate``) — gather/scatter never happen.
     """
 
     features: int
-    aggr: str = "add"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, adj: jnp.ndarray) -> jnp.ndarray:
-        from point_cloud_classifier_tpu.ops.knn import adjacency_aggregate
-
-        agg = adjacency_aggregate(adj, x, self.aggr)
+    def __call__(self, x: jnp.ndarray, agg: jnp.ndarray) -> jnp.ndarray:
         return TorchLinear(self.features)(agg) + TorchLinear(self.features, use_bias=False)(x)
 
 
@@ -208,10 +205,32 @@ class GraphNet(nn.Module):
                 and not self.sag_pool
                 and self.local_pooling in ("add", "mean")
             ):
-                # fully dense path: implicit adjacency, aggregation by matmul
-                from point_cloud_classifier_tpu.ops.knn import knn_adjacency
+                # fully dense path: implicit adjacency, aggregation fused.
+                # On TPU the Pallas kernel computes distances, the top-k
+                # threshold, and the aggregation matmul without the [N, N]
+                # matrices ever touching HBM (~10x the XLA dense path).
+                pos3 = x[:, 1:4]
+                if jax.default_backend() == "tpu":
+                    from point_cloud_classifier_tpu.ops.knn_pallas import (
+                        knn_aggregate_pallas,
+                    )
 
-                adj = knn_adjacency(x[:, 1:4], node_seg, self.knn_k, num_graphs)
+                    adj = lambda h: knn_aggregate_pallas(
+                        h, pos3, node_seg, self.knn_k, num_graphs,
+                        self.local_pooling, 512, False,
+                    )
+                else:
+                    from point_cloud_classifier_tpu.ops.knn import (
+                        adjacency_aggregate,
+                        knn_adjacency,
+                    )
+
+                    dense_adj = knn_adjacency(
+                        pos3, node_seg, self.knn_k, num_graphs
+                    )
+                    adj = lambda h: adjacency_aggregate(
+                        dense_adj, h, self.local_pooling
+                    )
                 src = dst = edge_w = edge_valid = None
             else:
                 from point_cloud_classifier_tpu.ops.knn import knn_edges
@@ -232,7 +251,7 @@ class GraphNet(nn.Module):
 
         def conv(h):
             if adj is not None:
-                return DenseGraphConv(self.hidden_dim, self.local_pooling)(h, adj)
+                return DenseGraphConv(self.hidden_dim)(h, adj(h))
             if self.use_gat:
                 return GATConv(self.hidden_dim // self.gat_heads, self.gat_heads)(
                     h, src, dst, edge_valid, node_valid
