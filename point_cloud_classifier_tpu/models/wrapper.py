@@ -85,12 +85,17 @@ class ModelWrapper:
         mesh=None,
         data_parallel: bool = False,
         n_model: int = 1,
+        state_every: int = 1,
     ):
         self.model = model
         self.learning_rate = learning_rate
         self.epochs = epochs
         self.log_dir = log_dir
         self.seed = seed
+        # full-state (resume) checkpoint cadence in epochs; 0 disables.
+        # Sweeps disable it — their runs only need meta.json + final weights,
+        # and an orbax write per epoch would dominate tiny-model epochs.
+        self.state_every = state_every
         # distribution: a (data, model) jax mesh; None = single device.  The
         # reference has no distributed path at all (its device policy is one
         # line, `models/wrapper.py:22`); here batches shard over the ``data``
@@ -213,10 +218,14 @@ class ModelWrapper:
     def _state_dir(self) -> Optional[str]:
         return os.path.abspath(os.path.join(self.log_dir, "state")) if self.log_dir else None
 
-    def save_state(self, epoch: int) -> None:
+    def save_state(self, epoch: int, force: bool = False) -> None:
         """Orbax checkpoint of (params, batch_stats, opt_state) + counters."""
         path = self._state_dir()
         if path is None or self.params is None:
+            return
+        if not force and (
+            self.state_every <= 0 or (epoch + 1) % self.state_every != 0
+        ):
             return
         import orbax.checkpoint as ocp
 
@@ -290,7 +299,22 @@ class ModelWrapper:
                             )
                         )
                     batch_losses.append(loss)
-            epoch_loss = float(np.mean([float(l) for l in batch_losses]))
+            # ONE device→host transfer per epoch: each individual float()
+            # is a full host↔device round trip (hundreds of ms on remote
+            # TPU transports)
+            epoch_loss = float(jnp.mean(jnp.stack(batch_losses)))
+            if not np.isfinite(epoch_loss):
+                # failure detection: halt with state on disk instead of
+                # training on garbage; sweep drivers catch this and log it
+                # to status_log.txt like any failed configuration
+                log.scalar("Loss/train", epoch_loss, epoch)
+                log.close()
+                state = self._state_dir()
+                raise FloatingPointError(
+                    f"Non-finite training loss ({epoch_loss}) at epoch "
+                    f"{epoch + 1}"
+                    + (f"; last good checkpoint in {state}" if state else "")
+                )
             log.scalar("Loss/train", epoch_loss, epoch)
             perf = timer.summary()
             if perf["steps"]:
@@ -320,34 +344,52 @@ class ModelWrapper:
                     )
                 if self.early_stop_counter >= self.patience:
                     print("Early stopping triggered.")
-                    self.save_state(epoch)
+                    self.save_state(epoch, force=self.state_every > 0)
                     break
             self.save_state(epoch)
         log.scalar("train_wall_seconds", time.time() - t0, 0)
         log.close()
 
     def _evaluate(self, loader: Iterable):
-        losses, correct, total = [], 0.0, 0.0
+        # dispatch every eval step first (async), convert to host once — a
+        # per-batch float()/np.asarray() here would sync the device each
+        # iteration and serialize the eval pipeline
+        results = []
         for batch in self._batches(loader):
             self._ensure_initialized(batch)
             loss, probs = self._eval_step(self.params, self.batch_stats, batch)
-            losses.append(float(loss))
-            preds = np.asarray(probs) >= 0.5
-            mask = batch["y_mask"].astype(bool)
-            correct += float((preds[mask, 0] == (batch["y"][mask, 0] >= 0.5)).sum())
+            results.append((loss, probs, batch["y"], batch["y_mask"]))
+
+        # batch ALL device→host conversions into two transfers (losses,
+        # probs) — per-batch float()/asarray() costs a round trip each
+        losses = np.asarray(jnp.stack([r[0] for r in results]))
+        probs_all = np.asarray(jnp.stack([r[1] for r in results]))
+        correct, total = 0.0, 0.0
+        for (_, _, y, y_mask), probs in zip(results, probs_all):
+            preds = probs >= 0.5
+            mask = np.asarray(y_mask).astype(bool)
+            y = np.asarray(y)
+            correct += float((preds[mask, 0] == (y[mask, 0] >= 0.5)).sum())
             total += float(mask.sum())
         return float(np.mean(losses)), correct / max(total, 1.0)
 
     # -- inference ----------------------------------------------------------------
 
     def predict(self, data_loader: Iterable, return_prob: bool = False):
-        y_true, y_out = [], []
+        # same async-dispatch-then-convert pattern as _evaluate
+        results = []
         for batch in self._batches(data_loader):
             self._ensure_initialized(batch)
             _, probs = self._eval_step(self.params, self.batch_stats, batch)
-            mask = batch["y_mask"].astype(bool)
-            probs = np.asarray(probs)[mask]
-            y_true.append(batch["y"][mask])
+            results.append((probs, batch["y"], batch["y_mask"]))
+
+        # one device→host transfer for all probabilities (see _evaluate)
+        probs_all = np.asarray(jnp.stack([r[0] for r in results]))
+        y_true, y_out = [], []
+        for (_, y, y_mask), probs in zip(results, probs_all):
+            mask = np.asarray(y_mask).astype(bool)
+            probs = probs[mask]
+            y_true.append(np.asarray(y)[mask])
             y_out.append(probs if return_prob else (probs >= 0.5).astype(np.float32))
         return np.concatenate(y_true), np.concatenate(y_out)
 

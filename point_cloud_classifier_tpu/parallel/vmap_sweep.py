@@ -14,6 +14,7 @@ Per-config learning rates ride inside the optimizer state via
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Iterable, List, Sequence, Tuple
 
 import jax
@@ -37,52 +38,31 @@ def _make_tx(optimizer: str):
     return optax.inject_hyperparams(base)(learning_rate=1.0, **kwargs)
 
 
-def _arm_slice(tree, i: int):
-    """Arm ``i``'s unstacked pytree (numpy leaves)."""
-    return jax.tree.map(lambda x: np.asarray(x[i]), tree)
+def _unstack(tree, k: int):
+    """Stacked [K, ...] pytree → list of K numpy pytrees.
 
-
-def train_configs_vmapped(
-    model: nn.Module,
-    learning_rates: Sequence[float],
-    optimizer: str,
-    epochs: int,
-    train_loader: Iterable,
-    val_loader: Iterable,
-    seeds: Sequence[int] = None,
-    patience: int = 10,
-):
-    """Train K same-architecture configs simultaneously.
-
-    Reproduces the sequential trainer's semantics per arm
-    (`models/wrapper.py` / reference `models/wrapper.py:97-139`): per-epoch
-    validation loss, best-val checkpoint tracking, and early stopping with
-    the given patience — stopped arms simply freeze (their updates are
-    masked out) while the rest keep training in the same vmapped step.
-
-    Returns a dict with per-arm ``val_accs`` / ``train_accs`` (scored with
-    the FINAL params, like the reference's post-fit ``predict``), the per-arm
-    ``final_state`` / ``best_state`` lists (``{"params", "batch_stats"}``
-    pytrees, ModelWrapper checkpoint format), and ``n_params``.
+    Converts each stacked leaf to host exactly once — slicing device arrays
+    per arm would cost K separate device→host round trips per leaf.
     """
-    k = len(learning_rates)
-    if seeds is None:
-        seeds = [0] * k
-    lrs = jnp.asarray(learning_rates, dtype=jnp.float32)
+    host = jax.tree.map(np.asarray, tree)
+    return [jax.tree.map(lambda x: x[i], host) for i in range(k)]
 
-    first = next(iter(train_loader))
-    variables = jax.vmap(
-        lambda s: model.init(jax.random.PRNGKey(s), first, train=False)
-    )(jnp.asarray(seeds, dtype=jnp.uint32))
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
 
+_FN_CACHE: Dict[tuple, tuple] = {}
+
+
+def _build_group_fns(model: nn.Module, optimizer: str, patience: int):
+    """Jitted (vstep, veval, epoch_update, tx) for one architecture group.
+
+    Cached on the module's full repr (flax modules with list attributes are
+    unhashable) + optimizer + patience, so repeated groups with the same
+    architecture reuse compiled programs — defining these closures per call
+    would recompile the whole vmapped step for every group.
+    """
+    key = (repr(model), optimizer, patience)
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
     tx = _make_tx(optimizer)
-    opt_state = jax.vmap(tx.init)(params)
-    # per-arm learning rate lives in the injected hyperparams
-    opt_state = opt_state._replace(
-        hyperparams={**opt_state.hyperparams, "learning_rate": lrs}
-    )
 
     def one_train_step(p, stats, s, active, batch):
         def loss_fn(pp):
@@ -122,6 +102,73 @@ def train_configs_vmapped(
 
     veval = jax.jit(jax.vmap(one_eval, in_axes=(0, 0, None)))
 
+    @jax.jit
+    def epoch_update(val_loss, best_val_loss, stall, params, batch_stats, best_params, best_stats):
+        """Best-checkpoint + early-stop bookkeeping as ONE program — doing
+        this eagerly dispatches a per-leaf where() through the host each
+        epoch, which dwarfs the actual training time for small models."""
+        active = stall < patience
+        improved = (val_loss < best_val_loss) & active
+        best_val_loss = jnp.where(improved, val_loss, best_val_loss)
+        stall = jnp.where(improved, 0, stall + active.astype(jnp.int32))
+
+        def sel(new, old):
+            return jax.tree.map(
+                lambda a, b: jnp.where(
+                    improved.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+                ),
+                new,
+                old,
+            )
+
+        return best_val_loss, stall, sel(params, best_params), sel(batch_stats, best_stats)
+
+    _FN_CACHE[key] = (vstep, veval, epoch_update, tx)
+    return _FN_CACHE[key]
+
+
+def train_configs_vmapped(
+    model: nn.Module,
+    learning_rates: Sequence[float],
+    optimizer: str,
+    epochs: int,
+    train_loader: Iterable,
+    val_loader: Iterable,
+    seeds: Sequence[int] = None,
+    patience: int = 10,
+):
+    """Train K same-architecture configs simultaneously.
+
+    Reproduces the sequential trainer's semantics per arm
+    (`models/wrapper.py` / reference `models/wrapper.py:97-139`): per-epoch
+    validation loss, best-val checkpoint tracking, and early stopping with
+    the given patience — stopped arms simply freeze (their updates are
+    masked out) while the rest keep training in the same vmapped step.
+
+    Returns a dict with per-arm ``val_accs`` / ``train_accs`` (scored with
+    the FINAL params, like the reference's post-fit ``predict``), the per-arm
+    ``final_state`` / ``best_state`` lists (``{"params", "batch_stats"}``
+    pytrees, ModelWrapper checkpoint format), and ``n_params``.
+    """
+    k = len(learning_rates)
+    if seeds is None:
+        seeds = [0] * k
+    lrs = jnp.asarray(learning_rates, dtype=jnp.float32)
+
+    first = next(iter(train_loader))
+    variables = jax.vmap(
+        lambda s: model.init(jax.random.PRNGKey(s), first, train=False)
+    )(jnp.asarray(seeds, dtype=jnp.uint32))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    vstep, veval, epoch_update, tx = _build_group_fns(model, optimizer, patience)
+    opt_state = jax.vmap(tx.init)(params)
+    # per-arm learning rate lives in the injected hyperparams
+    opt_state = opt_state._replace(
+        hyperparams={**opt_state.hyperparams, "learning_rate": lrs}
+    )
+
     best_val_loss = jnp.full((k,), jnp.inf)
     stall = jnp.zeros((k,), dtype=jnp.int32)
     # explicit copies: the train step donates (params, stats, opt_state)
@@ -130,9 +177,9 @@ def train_configs_vmapped(
     best_stats = jax.tree.map(jnp.copy, batch_stats)
 
     for _ in range(epochs):
+        # no early-exit sync here: checking jnp.any(active) on the host
+        # costs a full round trip per epoch; frozen arms are already no-ops
         active = stall < patience
-        if not bool(jnp.any(active)):
-            break
         for batch in train_loader:
             params, batch_stats, opt_state, _ = vstep(
                 params, batch_stats, opt_state, active, batch
@@ -145,22 +192,9 @@ def train_configs_vmapped(
             losses = losses + loss
             n_batches += 1
         val_loss = losses / max(n_batches, 1)
-        improved = (val_loss < best_val_loss) & active
-        best_val_loss = jnp.where(improved, val_loss, best_val_loss)
-        stall = jnp.where(improved, 0, stall + active.astype(jnp.int32))
-
-        def sel(new, old):
-            # leaves are stacked [K, ...]; broadcast the [K] mask per leaf
-            return jax.tree.map(
-                lambda a, b: jnp.where(
-                    improved.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
-                ),
-                new,
-                old,
-            )
-
-        best_params = sel(params, best_params)
-        best_stats = sel(batch_stats, best_stats)
+        best_val_loss, stall, best_params, best_stats = epoch_update(
+            val_loss, best_val_loss, stall, params, batch_stats, best_params, best_stats
+        )
 
     def accuracy(loader):
         correct = jnp.zeros((k,))
@@ -174,19 +208,16 @@ def train_configs_vmapped(
     val_accs = accuracy(val_loader)
     train_accs = accuracy(train_loader)
     n_params = int(sum(x.size for x in jax.tree.leaves(params)) // max(k, 1))
+    final_p, final_s = _unstack(params, k), _unstack(batch_stats, k)
+    best_p, best_s = _unstack(best_params, k), _unstack(best_stats, k)
     return {
         "val_accs": val_accs,
         "train_accs": train_accs,
         "n_params": n_params,
         "final_state": [
-            {"params": _arm_slice(params, i), "batch_stats": _arm_slice(batch_stats, i)}
-            for i in range(k)
+            {"params": final_p[i], "batch_stats": final_s[i]} for i in range(k)
         ],
         "best_state": [
-            {
-                "params": _arm_slice(best_params, i),
-                "batch_stats": _arm_slice(best_stats, i),
-            }
-            for i in range(k)
+            {"params": best_p[i], "batch_stats": best_s[i]} for i in range(k)
         ],
     }

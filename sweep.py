@@ -163,6 +163,9 @@ def run_search(
 
     config["logging"]["log_dir"] = search_dir
     config["trainer"]["epochs"] = epochs
+    # sweep runs are leaderboard fodder — skip per-epoch resume checkpoints
+    # (the reference sweep writes none either; best_model.pt still appears)
+    config["trainer"]["state_every"] = 0
     if data_dir is not None:
         config["dataset"]["data_dir"] = data_dir
 

@@ -83,6 +83,18 @@ def test_throughput_metrics_logged(tmp_path):
     assert {"Loss/train", "Throughput/steps_per_sec", "StepTime/p50_ms"} <= tags
 
 
+def test_nonfinite_loss_watchdog(tmp_path):
+    """A NaN loss halts training with a clear error instead of continuing."""
+    train, val = _loaders()
+    train = [dict(b) for b in train]
+    train[0]["x"] = train[0]["x"].copy()
+    train[0]["x"][0, 0] = np.nan
+    w = ModelWrapper(_model(), learning_rate=1e-2, epochs=2, seed=0,
+                     log_dir=str(tmp_path))
+    with pytest.raises(FloatingPointError, match="Non-finite training loss"):
+        w.fit(train, val)
+
+
 def test_step_timer_percentiles():
     t = StepTimer(examples_per_step=10)
     for ms in (1, 2, 3, 4, 100):
