@@ -58,7 +58,7 @@ def _event_level(raw: dict, particle: str) -> pd.DataFrame:
 
 
 def load_all(data_dir: str):
-    events, raws = [], {}
+    events, raws, first_raws = [], {}, {}
     for particle in PARTICLES:
         per_file = []
         for path in find_shower_files(data_dir, particle):
@@ -66,6 +66,10 @@ def load_all(data_dir: str):
             per_file.append(raw)
             events.append(_event_level(raw, particle))
         if per_file:
+            # the single-shower 3D plot needs ONE file's id space — event
+            # ids restart at 0 per raw file, so selecting by id on the
+            # concatenation would overlay one event from every file
+            first_raws[particle] = per_file[0]
             # concatenate ALL files per particle so the missing-value audit
             # and distribution plots cover the same data as summary_stats
             raws[particle] = {
@@ -73,7 +77,7 @@ def load_all(data_dir: str):
                 for k, v in per_file[0].items()
                 if isinstance(v, np.ndarray)
             }
-    return pd.concat(events, ignore_index=True), raws
+    return pd.concat(events, ignore_index=True), raws, first_raws
 
 
 def summary_stats(events: pd.DataFrame, out_dir: str) -> dict:
@@ -176,11 +180,11 @@ def plot_pairplot(data_dir: str, out_dir: str, sample: int) -> bool:
 
 def run_eda(data_dir: str, out_dir: str, sample: int = 1000) -> dict:
     os.makedirs(out_dir, exist_ok=True)
-    events, raws = load_all(data_dir)
+    events, raws, first_raws = load_all(data_dir)
     stats = summary_stats(events, out_dir)
     audit = missing_values(raws, out_dir)
     plot_energy_distribution(raws, out_dir)
-    plot_shower_3d(raws, out_dir)
+    plot_shower_3d(first_raws, out_dir)
     plot_correlation(events, out_dir)
     plot_pairplot(data_dir, out_dir, sample)
     print(f"EDA artifacts written to {out_dir}")

@@ -318,9 +318,11 @@ class Step2PointGraph(DataModule):
             stratify=train_val_labels,
             random_state=42,
         )
-        train = [g for g in graphs if g["event_id"] in train_ids]
-        val = [g for g in graphs if g["event_id"] in val_ids]
-        test = [g for g in graphs if g["event_id"] in test_ids]
+        # set membership: list scans would make the split O(G^2) per file
+        train_set, val_set, test_set = set(train_ids), set(val_ids), set(test_ids)
+        train = [g for g in graphs if g["event_id"] in train_set]
+        val = [g for g in graphs if g["event_id"] in val_set]
+        test = [g for g in graphs if g["event_id"] in test_set]
         return train, val, test
 
     def _scale_features(self) -> None:

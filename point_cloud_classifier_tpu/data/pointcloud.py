@@ -150,11 +150,12 @@ class Step2PointPointCloud(DataModule):
             save_dir = self._split_dir(split)
             os.makedirs(save_dir, exist_ok=True)
             print(f"Saving {split} dataset")
-            parts = {parse_part_number(f): f for f in df["source_file"].unique()}
-            by_part = {}
-            for part in sorted(parts):
-                sel = df[df["source_file"].apply(parse_part_number) == part]
-                by_part[part] = sel
+            # parse each filename once — re-applying the parser per part
+            # would be O(parts x rows) string parsing
+            part_col = df["source_file"].map(parse_part_number)
+            by_part = {
+                part: df[part_col == part] for part in sorted(part_col.unique())
+            }
             for part, sel in by_part.items():
                 np.savez(
                     os.path.join(save_dir, f"{self.name}_{split}_{part}.npz"),

@@ -71,8 +71,11 @@ class GraphConv(nn.Module):
             counts = segment_count(dst, n, valid=edge_valid)
             agg = segment_sum(msg, dst, n) / jnp.maximum(counts, 1.0)[:, None]
         elif self.aggr == "max":
-            neg = jnp.finfo(jnp.float32).min
-            masked = jnp.where(edge_valid[:, None] > 0, msg, neg)
+            # mask with -inf, NOT finfo.min: the isfinite guard below must
+            # catch nodes whose incoming edges are ALL masked (padded
+            # self-loops, SAG-dropped neighbours), else they'd get ~-3.4e38
+            # activations that overflow downstream into NaN batch stats
+            masked = jnp.where(edge_valid[:, None] > 0, msg, -jnp.inf)
             agg = jax.ops.segment_max(masked, dst, num_segments=n)
             agg = jnp.where(jnp.isfinite(agg), agg, 0.0)
         else:
@@ -209,7 +212,10 @@ class GraphNet(nn.Module):
                 # On TPU the Pallas kernel computes distances, the top-k
                 # threshold, and the aggregation matmul without the [N, N]
                 # matrices ever touching HBM (~10x the XLA dense path).
-                pos3 = x[:, 1:4]
+                # positions come from the PRE-cast nodes: building the graph
+                # from bf16-rounded coordinates would silently change
+                # neighbour topology under mixed precision
+                pos3 = batch["nodes"][:, 1:4].astype(jnp.float32)
                 if jax.default_backend() == "tpu":
                     from point_cloud_classifier_tpu.ops.knn_pallas import (
                         knn_aggregate_pallas,
@@ -236,7 +242,10 @@ class GraphNet(nn.Module):
                 from point_cloud_classifier_tpu.ops.knn import knn_edges
 
                 src, dst, edge_valid = knn_edges(
-                    x[:, 1:4], node_seg, self.knn_k, num_graphs
+                    batch["nodes"][:, 1:4].astype(jnp.float32),
+                    node_seg,
+                    self.knn_k,
+                    num_graphs,
                 )
                 edge_w = jnp.ones_like(edge_valid)
         else:

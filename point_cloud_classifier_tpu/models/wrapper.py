@@ -42,6 +42,61 @@ def masked_bce(logits: jnp.ndarray, y: jnp.ndarray, y_mask: jnp.ndarray) -> jnp.
     return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def _make_tx(optimizer: str) -> optax.GradientTransformation:
+    """adam/adamw at torch defaults, with the learning rate riding in the
+    optimizer state (``inject_hyperparams``) so one compiled train step
+    serves every learning rate."""
+    if optimizer == "adam":
+        return optax.inject_hyperparams(optax.adam)(
+            learning_rate=1.0, b1=0.9, b2=0.999, eps=1e-8
+        )
+    if optimizer == "adamw":
+        return optax.inject_hyperparams(optax.adamw)(
+            learning_rate=1.0, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01
+        )
+    raise ValueError(f"Unknown optimizer: {optimizer}")
+
+
+# compiled (train_step, eval_step, tx) shared across ModelWrapper instances
+# with the same architecture + optimizer: jit caches are per-function-object,
+# so per-instance closures would recompile on every sweep run
+_STEP_CACHE: Dict[tuple, tuple] = {}
+_INIT_CACHE: Dict[str, object] = {}
+_TRANSFER_WARMED = False
+
+
+def _warm_transfer_async() -> None:
+    """Prime the device→host path on a background thread.
+
+    On tunneled TPU backends the FIRST D2H transfer of a process can stall
+    for tens of seconds (lazy transport setup); issuing a 1-element
+    round-trip early overlaps that stall with data loading and compilation
+    instead of eating it inside the first checkpoint write or eval.
+    """
+    global _TRANSFER_WARMED
+    if _TRANSFER_WARMED:
+        return
+    _TRANSFER_WARMED = True
+    import threading
+
+    def warm():
+        try:
+            np.asarray(jnp.zeros((1,)))
+        except Exception:
+            pass
+
+    threading.Thread(target=warm, daemon=True).start()
+
+
+@jax.jit
+def _pack_leaves(leaves):
+    """Flatten a list of same-dtype arrays into one device array.
+
+    Must be jitted: on backends where eager ops compile remotely, the
+    per-leaf ravel/concatenate chain costs a remote compilation EACH."""
+    return jnp.concatenate([l.ravel() for l in leaves])
+
+
 class _ScalarLog:
     """metrics.jsonl writer with optional TensorBoard mirroring."""
 
@@ -111,14 +166,9 @@ class ModelWrapper:
         self.early_stop_counter = 0
         self.checkpoint_path = os.path.join(log_dir, "best_model.pt") if log_dir else None
 
-        if optimizer == "adam":
-            self.tx = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
-        elif optimizer == "adamw":
-            self.tx = optax.adamw(
-                learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01
-            )
-        else:
-            raise ValueError(f"Unknown optimizer: {optimizer}")
+        self.optimizer_name = optimizer
+        self.tx = _make_tx(optimizer)  # lr set in opt_state at init
+        _warm_transfer_async()
 
         self.params = None
         self.batch_stats = None
@@ -131,15 +181,32 @@ class ModelWrapper:
     def _ensure_initialized(self, batch: Dict[str, np.ndarray]) -> None:
         if self.params is not None:
             return
-        variables = self.model.init(
-            jax.random.PRNGKey(self.seed), jax.tree.map(jnp.asarray, batch), train=False
+        # jit the init: run eagerly it dispatches one remote compilation per
+        # primitive on AOT-compiled backends.  Cached per architecture so
+        # sweep runs share it.
+        key = repr(self.model)
+        if key not in _INIT_CACHE:
+            _INIT_CACHE[key] = jax.jit(
+                lambda rng, b: self.model.init(rng, b, train=False)
+            )
+        variables = _INIT_CACHE[key](
+            jax.random.PRNGKey(self.seed), jax.tree.map(jnp.asarray, batch)
         )
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
         if self.mesh is not None:
             self._place_state()
-        self.opt_state = self.tx.init(self.params)
+        self.opt_state = self._init_opt_state()
         self._build_steps()
+
+    def _init_opt_state(self):
+        state = self.tx.init(self.params)
+        return state._replace(
+            hyperparams={
+                **state.hyperparams,
+                "learning_rate": jnp.asarray(self.learning_rate, dtype=jnp.float32),
+            }
+        )
 
     def _place_state(self) -> None:
         from point_cloud_classifier_tpu.parallel.mesh import (
@@ -179,6 +246,10 @@ class ModelWrapper:
         return loader
 
     def _build_steps(self) -> None:
+        key = (repr(self.model), self.optimizer_name)
+        if key in _STEP_CACHE:
+            self._train_step, self._eval_step = _STEP_CACHE[key]
+            return
         model, tx = self.model, self.tx
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -211,6 +282,7 @@ class ModelWrapper:
 
         self._train_step = train_step
         self._eval_step = eval_step
+        _STEP_CACHE[key] = (train_step, eval_step)
 
     # -- full-state checkpoint / resume (reference has none: its resume
     # granularity is "retrain", SURVEY §5) --------------------------------
@@ -264,7 +336,7 @@ class ModelWrapper:
         self.batch_stats = jax.tree.map(jnp.asarray, raw.get("batch_stats", {}))
         # optax state trees round-trip as nested lists/dicts; refit the
         # restored leaves onto a freshly-init'd state's treedef
-        template = self.tx.init(self.params)
+        template = self._init_opt_state()
         self.opt_state = jax.tree.unflatten(
             jax.tree.structure(template),
             [jnp.asarray(x) for x in jax.tree.leaves(raw["opt_state"])],
@@ -396,8 +468,25 @@ class ModelWrapper:
     # -- persistence -----------------------------------------------------------------
 
     def _state_dict(self):
-        to_np = lambda t: jax.tree.map(np.asarray, t)
-        return {"params": to_np(self.params), "batch_stats": to_np(self.batch_stats)}
+        """Params + batch stats as one host pytree — via a SINGLE transfer.
+
+        Converting leaf-by-leaf costs one device→host round trip per array
+        (~0.5 s each on remote transports), which made every best-checkpoint
+        write during fit cost seconds.  All leaves are f32, so they pack
+        into one flat device array, one copy, then reshape on host.
+        """
+        tree = {"params": self.params, "batch_stats": self.batch_stats}
+        leaves, treedef = jax.tree.flatten(tree)
+        if not leaves:
+            return {"params": {}, "batch_stats": {}}
+        if any(l.dtype != leaves[0].dtype for l in leaves):
+            return jax.tree.map(np.asarray, tree)  # mixed dtypes: per-leaf
+        flat = np.asarray(_pack_leaves(leaves))
+        out, offset = [], 0
+        for l in leaves:
+            out.append(flat[offset : offset + l.size].reshape(l.shape))
+            offset += l.size
+        return jax.tree.unflatten(treedef, out)
 
     def _write_checkpoint(self, path: str) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -414,7 +503,7 @@ class ModelWrapper:
         self.batch_stats = jax.tree.map(jnp.asarray, state["batch_stats"])
         if self.mesh is not None:
             self._place_state()
-        self.opt_state = self.tx.init(self.params)
+        self.opt_state = self._init_opt_state()
         self._build_steps()
 
     def get_trainable_parameters(self) -> int:

@@ -19,9 +19,11 @@ Behavior parity with the reference sweep (`sweep.py:13-197`):
 
 TPU-native addition: instead of torch's ``empty_cache`` between runs
 (`sweep.py:64-66`), live jax arrays are dropped with the run's Python refs
-and a ``gc.collect()``; XLA compilation caches persist deliberately so runs
-sharing a bucketed batch shape skip recompilation — that is where the sweep
-throughput comes from.
+and a ``gc.collect()``; compiled train/eval steps are shared across runs of
+the same architecture+optimizer (the trainer keys them in a module-level
+cache with the learning rate riding in the optimizer state), so repeat
+configurations skip recompilation entirely.  ``--vmap`` goes further and
+trains same-architecture arms as one program (``parallel/vmap_sweep.py``).
 """
 
 from __future__ import annotations

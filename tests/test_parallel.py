@@ -132,7 +132,7 @@ def test_data_parallel_matches_single_device(model, batch_fn):
 
     single = run(None)
     sharded = run(make_mesh())
-    np.testing.assert_allclose(single, sharded, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(single, sharded, rtol=5e-4, atol=5e-5)
 
 
 def test_tensor_parallel_matches_single_device():
@@ -154,7 +154,7 @@ def test_tensor_parallel_matches_single_device():
 
     single = run(None)
     tp = run(make_mesh(n_model=2))
-    np.testing.assert_allclose(single, tp, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(single, tp, rtol=5e-4, atol=5e-5)
 
 
 def test_shard_batch_places_arrays():

@@ -293,6 +293,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "create-datasets", help="run offline preprocessing for all representations"
     )
     cp.add_argument("--data-dir", required=True)
+    cp.add_argument("--config-dir", default="configs")
     cp.add_argument(
         "--datasets", nargs="+", default=["s2pt", "s2ppc", "s2pg"],
         choices=["s2pt", "s2ppc", "s2pg"],
@@ -326,7 +327,8 @@ def main(argv=None) -> None:
         }
         for ds in args.datasets:
             config = load_config(
-                "configs/base.yaml", f"configs/{dataset_models[ds]}.yaml"
+                os.path.join(args.config_dir, "base.yaml"),
+                os.path.join(args.config_dir, f"{dataset_models[ds]}.yaml"),
             )
             config["dataset"]["data_dir"] = args.data_dir
             config["dataset"]["create_dataset"] = True
