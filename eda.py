@@ -152,6 +152,25 @@ def plot_correlation(events: pd.DataFrame, out_dir: str) -> None:
     plt.close(fig)
 
 
+def plot_energy_vs_hits(data_dir: str, out_dir: str) -> bool:
+    """Reference `utils/plots.py:6-34` scatter over the cached S2PT frame."""
+    cache = os.path.join(data_dir, "S2PT", "train", "S2PT_train.npz")
+    if not os.path.exists(cache):
+        return False
+    from point_cloud_classifier_tpu.utils.plots import plot_data
+
+    data = np.load(cache)
+    df = pd.DataFrame(
+        {
+            "energy_total": data["energy_total"],
+            "hits_total": data["hits_total"],
+            "label": data["label"],
+        }
+    )
+    plot_data(df, save_dir=out_dir)
+    return True
+
+
 def plot_pairplot(data_dir: str, out_dir: str, sample: int) -> bool:
     """Scatter matrix over the 9 engineered tabular features (S2PT cache)."""
     cache = os.path.join(data_dir, "S2PT", "train", "S2PT_train.npz")
@@ -186,6 +205,7 @@ def run_eda(data_dir: str, out_dir: str, sample: int = 1000) -> dict:
     plot_energy_distribution(raws, out_dir)
     plot_shower_3d(first_raws, out_dir)
     plot_correlation(events, out_dir)
+    plot_energy_vs_hits(data_dir, out_dir)
     plot_pairplot(data_dir, out_dir, sample)
     print(f"EDA artifacts written to {out_dir}")
     return {"stats": stats, "missing": audit}

@@ -36,6 +36,46 @@ from point_cloud_classifier_tpu.data.module import LABEL_MAP, SPLITS, DataModule
 FEATURE_COLS = ["energy", "energy_total", "position_x", "position_y", "position_z", "time"]
 
 
+def frame_to_point_loader(
+    df,
+    batch_size: int,
+    shuffle: bool,
+    transfer_dtype: str = "float32",
+    seg_encoding: str = "ids",
+):
+    """Per-hit frame → (PointCloudLoader, event ids in loader order).
+
+    Rows group by event in order of first appearance (the reference wrapper
+    iterates ``df["event_id"].unique()``, `utils/data.py:452`).  Shared by
+    the cached-split loaders and the raw-inference path.
+    """
+    feature_cols = [c for c in df.columns if c not in ("label", "event_id")]
+    event_ids = df["event_id"].to_numpy()
+    uniq, first_idx, inv = np.unique(event_ids, return_index=True, return_inverse=True)
+    appearance_order = np.argsort(first_idx, kind="stable")
+
+    feats_all = df[feature_cols].to_numpy(dtype=np.float32)
+    labels_all = df["label"].to_numpy()
+    order = np.argsort(inv, kind="stable")
+    boundaries = np.concatenate([[0], np.cumsum(np.bincount(inv, minlength=len(uniq)))])
+
+    event_features, labels, ordered_ids = [], [], []
+    for e in appearance_order:
+        rows = order[boundaries[e] : boundaries[e + 1]]
+        event_features.append(feats_all[rows])
+        labels.append(labels_all[rows[0]])
+        ordered_ids.append(uniq[e])
+    loader = PointCloudLoader(
+        event_features,
+        np.asarray(labels),
+        batch_size=batch_size,
+        shuffle=shuffle,
+        transfer_dtype=transfer_dtype,
+        seg_encoding=seg_encoding,
+    )
+    return loader, np.asarray(ordered_ids)
+
+
 def _segment_stats(values: np.ndarray, inv: np.ndarray, n_seg: int):
     """(sum, count) per segment."""
     return (
@@ -55,6 +95,7 @@ class Step2PointPointCloud(DataModule):
         energy_cutoff: float = None,
         transfer_dtype: str = "float32",
         seg_encoding: str = "ids",
+        load_cache: bool = True,
         **kwargs,
     ):
         super().__init__(data_dir=data_dir, **kwargs)
@@ -67,8 +108,9 @@ class Step2PointPointCloud(DataModule):
         if self.create_dataset:
             print("Creating Step2PointPointCloud (S2PPC) dataset")
             self._create_dataset()
-        else:
+        elif load_cache:
             self._load_dataset()
+        # load_cache=False: preprocessing-only instance (raw inference path)
 
     # -- preprocessing -------------------------------------------------------
 
@@ -202,32 +244,14 @@ class Step2PointPointCloud(DataModule):
     # -- loaders ----------------------------------------------------------------
 
     def _make_loader(self, split: str) -> PointCloudLoader:
-        df = self.datasets[split]
-        feature_cols = [c for c in df.columns if c not in ("label", "event_id")]
-        # group rows by event in order of first appearance (reference wrapper
-        # iterates df["event_id"].unique(), utils/data.py:452)
-        event_ids = df["event_id"].to_numpy()
-        uniq, first_idx, inv = np.unique(event_ids, return_index=True, return_inverse=True)
-        appearance_order = np.argsort(first_idx, kind="stable")
-
-        feats_all = df[feature_cols].to_numpy(dtype=np.float32)
-        labels_all = df["label"].to_numpy()
-        order = np.argsort(inv, kind="stable")
-        boundaries = np.concatenate([[0], np.cumsum(np.bincount(inv, minlength=len(uniq)))])
-
-        event_features, labels = [], []
-        for e in appearance_order:
-            rows = order[boundaries[e] : boundaries[e + 1]]
-            event_features.append(feats_all[rows])
-            labels.append(labels_all[rows[0]])
-        return PointCloudLoader(
-            event_features,
-            np.asarray(labels),
+        loader, _ = frame_to_point_loader(
+            self.datasets[split],
             batch_size=self.batch_size,
             shuffle=(split == "train"),
             transfer_dtype=self.transfer_dtype,
             seg_encoding=self.seg_encoding,
         )
+        return loader
 
     def get_train_loader(self) -> PointCloudLoader:
         return self._make_loader("train")

@@ -67,14 +67,21 @@ COLUMN_ORDER = [
 class Step2PointTabular(DataModule):
     name = "S2PT"
 
-    def __init__(self, data_dir: str, convert_to_tensor: bool = False, **kwargs):
+    def __init__(
+        self,
+        data_dir: str,
+        convert_to_tensor: bool = False,
+        load_cache: bool = True,
+        **kwargs,
+    ):
         super().__init__(data_dir=data_dir, **kwargs)
         self.convert_to_tensor = convert_to_tensor
         if self.create_dataset:
             print("Creating Step2PointTabular (S2PT) dataset")
             self._create_dataset()
-        else:
+        elif load_cache:
             self._load_dataset()
+        # load_cache=False: preprocessing-only instance (raw inference path)
 
     # -- preprocessing -------------------------------------------------------
 

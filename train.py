@@ -183,6 +183,35 @@ def infer(model_dir: str, split: str = "test", output: str = None):
     return output
 
 
+def infer_raw(model_dir: str, input_path: str, output: str = None):
+    """Serve predictions for a RAW shower HDF5 file (no labels, no cache).
+
+    Runs the run's preprocessing pipeline on the input with the scalers
+    persisted at dataset-creation time, then scores with the run's
+    checkpoint — the serving surface the reference lacks entirely.
+    """
+    import numpy as np
+
+    from point_cloud_classifier_tpu.data.inference import inference_loader
+
+    config = load_config(os.path.join(model_dir, "config.yaml"))
+    model_name = config["meta"]["model_name"]
+    dataset_name = config["meta"]["dataset_name"]
+
+    loader, event_ids = inference_loader(dataset_name, config, input_path)
+    model = get_model(model_name=model_name, config=config, model_dir=model_dir)
+    _, y_prob = model.predict(loader, return_prob=True)
+    y_prob = np.asarray(y_prob).reshape(-1)
+
+    output = output or os.path.splitext(input_path)[0] + "_predictions.csv"
+    with open(output, "w") as f:
+        f.write("event_id,probability,prediction\n")
+        for ev, p in zip(event_ids, y_prob):
+            f.write(f"{int(ev)},{p:.6f},{int(p >= 0.5)}\n")
+    print(f"Wrote {len(y_prob)} predictions to {output}")
+    return output
+
+
 def resume_training(model_dir: str):
     """Continue an interrupted run from its orbax full-state checkpoint.
 
@@ -270,6 +299,7 @@ def _build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--data-dir", default=None, help="override dataset.data_dir")
     tp.add_argument("--log-dir", default=None, help="override logging.log_dir")
     tp.add_argument("--epochs", type=int, default=None, help="override trainer.epochs")
+    tp.add_argument("--seed", type=int, default=None, help="override trainer.seed (init RNG)")
     tp.add_argument("--plots", action="store_true")
     tp.add_argument(
         "--create-dataset",
@@ -288,6 +318,13 @@ def _build_parser() -> argparse.ArgumentParser:
     ip.add_argument("model_dir")
     ip.add_argument("--split", default="test", choices=["train", "val", "test"])
     ip.add_argument("--output", default=None)
+
+    irp = sub.add_parser(
+        "infer-raw", help="serve predictions for a raw shower HDF5 file"
+    )
+    irp.add_argument("model_dir")
+    irp.add_argument("--input", required=True, help="raw .h5 shower file")
+    irp.add_argument("--output", default=None)
 
     cp = sub.add_parser(
         "create-datasets", help="run offline preprocessing for all representations"
@@ -315,6 +352,10 @@ def main(argv=None) -> None:
 
     if args.command == "infer":
         infer(model_dir=args.model_dir, split=args.split, output=args.output)
+        return
+
+    if args.command == "infer-raw":
+        infer_raw(model_dir=args.model_dir, input_path=args.input, output=args.output)
         return
 
     if args.command == "create-datasets":
@@ -351,6 +392,8 @@ def main(argv=None) -> None:
         config["logging"]["log_dir"] = args.log_dir
     if args.epochs is not None:
         config.setdefault("trainer", {})["epochs"] = args.epochs
+    if args.seed is not None and "trainer" in config:
+        config["trainer"]["seed"] = args.seed
     if args.create_dataset:
         config["dataset"]["create_dataset"] = True
         get_dataloader(dataset, config)
