@@ -1,0 +1,181 @@
+"""Property-based tests (hypothesis): loaders and segment ops.
+
+Invariants the static-shape batching redesign must hold for ANY event-size
+distribution — not just the fixture sizes the example-based tests use.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from point_cloud_classifier_tpu.data.batching import (
+    GraphLoader,
+    PointCloudLoader,
+    pow2_bucket,
+)
+
+settings.register_profile("ci", deadline=None, max_examples=30)
+settings.load_profile("ci")
+
+
+# -- pow2 bucketing -----------------------------------------------------------
+
+
+@given(st.integers(min_value=0, max_value=10**6), st.sampled_from([1, 64, 256]))
+def test_pow2_bucket_properties(n, min_size):
+    b = pow2_bucket(n, min_size)
+    assert b >= n and b >= min_size
+    assert b & (b - 1) == 0  # power of two
+    assert b == min_size or b // 2 < max(n, min_size)  # tight
+
+
+# -- point-cloud loader ---------------------------------------------------------
+
+event_sizes = st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=40)
+
+
+@given(event_sizes, st.integers(min_value=1, max_value=16), st.booleans())
+def test_pointcloud_loader_roundtrip(sizes, batch_size, counts_enc):
+    """Every point appears exactly once, in its event's segment."""
+    rng = np.random.default_rng(0)
+    events = [rng.normal(size=(n, 3)).astype(np.float64) for n in sizes]
+    labels = rng.integers(0, 2, size=len(sizes))
+    loader = PointCloudLoader(
+        events,
+        labels,
+        batch_size=batch_size,
+        shuffle=False,
+        seg_encoding="counts" if counts_enc else "ids",
+    )
+
+    seen_events = 0
+    for batch in loader:
+        b = batch["y"].shape[0]
+        if "seg" in batch:
+            seg = batch["seg"].astype(np.int64)
+        else:
+            assert batch["seg_counts"].sum() == batch["points"].shape[0]
+            seg = np.repeat(np.arange(b + 1), batch["seg_counts"])
+        mask = batch["y_mask"].astype(bool)
+        # padding slots hold no points
+        for slot in range(b):
+            if not mask[slot]:
+                assert len(batch["points"][seg == slot]) == 0
+        k = int(mask.sum())
+        for slot in range(k):
+            ev_idx = seen_events + slot
+            rows = batch["points"][seg == slot]
+            np.testing.assert_allclose(
+                rows, events[ev_idx].astype(np.float32), rtol=1e-6
+            )
+            assert batch["y"][slot, 0] == labels[ev_idx]
+        # padding points land in segment b
+        assert np.all(batch["points"][seg == b] == 0.0)
+        seen_events += k
+    assert seen_events == len(sizes)
+
+
+# -- graph loader ---------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=20), min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=5),
+)
+def test_graph_loader_edge_offsets(sizes, batch_size):
+    """Edges reference exactly their own graph's node block, remapped."""
+    rng = np.random.default_rng(1)
+    graphs = []
+    for g_i, n in enumerate(sizes):
+        e = max(1, int(rng.integers(1, 3 * n)))
+        edges = rng.integers(0, n, size=(2, e)).astype(np.int64)
+        graphs.append(
+            {
+                "features": rng.normal(size=(n, 4)),
+                "edges": edges,
+                "weights": rng.uniform(0.1, 1.0, size=e),
+                "label": float(g_i % 2),
+            }
+        )
+    loader = GraphLoader(graphs, batch_size=batch_size, shuffle=False)
+
+    g_cursor = 0
+    for batch in loader:
+        b = batch["y"].shape[0]
+        node_seg = batch["node_seg"].astype(np.int64)
+        src, dst = batch["src"].astype(np.int64), batch["dst"].astype(np.int64)
+        emask = batch["edge_mask"].astype(bool)
+        k = int(batch["y_mask"].sum())
+
+        # real edges connect nodes of the SAME real graph
+        assert np.all(node_seg[src[emask]] == node_seg[dst[emask]])
+        assert np.all(node_seg[src[emask]] < b)
+        # padded edges self-loop on the reserved padding node
+        assert np.all(src[~emask] == dst[~emask])
+        assert np.all(node_seg[src[~emask]] == b)
+
+        # per-graph edge counts survive batching
+        for slot in range(k):
+            expected = graphs[g_cursor + slot]["edges"].shape[1]
+            assert int(np.sum(emask & (node_seg[src] == slot))) == expected
+        g_cursor += k
+    assert g_cursor == len(sizes)
+
+
+# -- segment ops ------------------------------------------------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_segment_sum_matmul_equals_scatter(n_rows, n_segments, seed):
+    import jax.numpy as jnp
+
+    from point_cloud_classifier_tpu.ops.segment import segment_sum
+
+    rng = np.random.default_rng(seed)
+    data = jnp.asarray(rng.normal(size=(n_rows, 4)).astype(np.float32))
+    seg = jnp.asarray(rng.integers(0, n_segments, size=n_rows).astype(np.int32))
+    a = segment_sum(data, seg, n_segments, method="scatter")
+    b = segment_sum(data, seg, n_segments, method="matmul")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+@given(st.integers(min_value=2, max_value=40), st.integers(min_value=1, max_value=6))
+def test_segment_softmax_normalizes(n_rows, n_segments):
+    import jax.numpy as jnp
+
+    from point_cloud_classifier_tpu.ops.segment import segment_softmax, segment_sum
+
+    rng = np.random.default_rng(n_rows * 7 + n_segments)
+    logits = jnp.asarray(rng.normal(size=n_rows).astype(np.float32) * 3)
+    seg = jnp.asarray(np.sort(rng.integers(0, n_segments, size=n_rows)).astype(np.int32))
+    p = segment_softmax(logits, seg, n_segments)
+    sums = np.asarray(segment_sum(np.asarray(p), seg, n_segments, method="scatter"))
+    present = np.bincount(np.asarray(seg), minlength=n_segments) > 0
+    np.testing.assert_allclose(sums[present], 1.0, rtol=1e-5)
+
+
+@given(st.integers(min_value=1, max_value=40), st.integers(min_value=1, max_value=5))
+def test_segment_rank_is_valid_ranking(n_rows, n_segments):
+    import jax.numpy as jnp
+
+    from point_cloud_classifier_tpu.ops.segment import segment_rank_desc
+
+    rng = np.random.default_rng(n_rows * 13 + n_segments)
+    score = jnp.asarray(rng.normal(size=n_rows).astype(np.float32))
+    seg = jnp.asarray(np.sort(rng.integers(0, n_segments, size=n_rows)).astype(np.int32))
+    valid = jnp.ones(n_rows, jnp.float32)
+    ranks = np.asarray(segment_rank_desc(score, seg, n_segments, valid))
+
+    seg_np, score_np = np.asarray(seg), np.asarray(score)
+    for s in range(n_segments):
+        idx = np.where(seg_np == s)[0]
+        if len(idx) == 0:
+            continue
+        r = ranks[idx]
+        assert sorted(r) == list(range(len(idx)))  # permutation 0..m-1
+        # rank order respects descending score
+        order = idx[np.argsort(r)]
+        assert np.all(np.diff(score_np[order]) <= 1e-7)
