@@ -120,9 +120,8 @@ def _graph_batch(b: int, n: int, e: int, f: int, seed: int = 0, half: bool = Tru
     feat_t = np.float16 if half else np.float32
     node_seg = np.sort(rng.integers(0, b, size=(n - 8,))).astype(idx_t)
     node_seg = np.concatenate([node_seg, np.full((8,), b, dtype=idx_t)])
-    return {
+    out = {
         "nodes": rng.normal(size=(n, f)).astype(feat_t),
-        "node_seg": node_seg,
         "src": rng.integers(0, n - 8, size=(e,)).astype(idx_t),
         "dst": rng.integers(0, n - 8, size=(e,)).astype(idx_t),
         "edge_w": np.ones((e,), dtype=feat_t),
@@ -130,6 +129,13 @@ def _graph_batch(b: int, n: int, e: int, f: int, seed: int = 0, half: bool = Tru
         "y": rng.integers(0, 2, size=(b, 1)).astype(np.float32),
         "y_mask": np.ones((b,), dtype=np.float32),
     }
+    if half:  # production wire: counts encoding for the contiguous node ids
+        out["node_seg_counts"] = np.bincount(
+            node_seg.astype(np.int64), minlength=b + 1
+        ).astype(np.int32)
+    else:
+        out["node_seg"] = node_seg
+    return out
 
 
 def measure_graph_jax(b: int, n: int, e: int, iters: int, warmup: int, dtype: str) -> float:

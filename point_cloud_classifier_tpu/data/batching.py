@@ -193,9 +193,12 @@ class GraphLoader:
         min_node_bucket: int = 256,
         min_edge_bucket: int = 512,
         transfer_dtype: str = "float32",
+        seg_encoding: str = "ids",
     ):
         # "float16": fp16 features/weights + int16 ids on the wire (see
-        # PointCloudLoader) — models upcast on device
+        # PointCloudLoader) — models upcast on device.  seg_encoding
+        # "counts" ships per-graph node counts instead of per-node ids.
+        self.seg_encoding = seg_encoding
         self.half = transfer_dtype == "float16"
         feat_dtype = np.float16 if self.half else np.float32
         self.graphs: List[Dict[str, np.ndarray]] = []
@@ -257,12 +260,14 @@ class GraphLoader:
 
             node_cursor = 0
             edge_cursor = 0
+            seg_counts = np.zeros((b + 1,), dtype=np.int32)
             for slot, g_i in enumerate(idx):
                 g = self.graphs[g_i]
                 n_i = len(g["features"])
                 e_i = g["edges"].shape[1]
                 nodes[node_cursor : node_cursor + n_i] = g["features"]
                 node_seg[node_cursor : node_cursor + n_i] = slot
+                seg_counts[slot] = n_i
                 src[edge_cursor : edge_cursor + e_i] = g["edges"][0] + node_cursor
                 dst[edge_cursor : edge_cursor + e_i] = g["edges"][1] + node_cursor
                 if self.use_weights:
@@ -273,10 +278,10 @@ class GraphLoader:
                 yb[slot, 0] = g["label"]
                 node_cursor += n_i
                 edge_cursor += e_i
+            seg_counts[b] = n_pad - node_cursor  # padding nodes → segment B
             ymask[:k] = 1.0
-            yield {
+            batch = {
                 "nodes": nodes,
-                "node_seg": node_seg,
                 "src": src,
                 "dst": dst,
                 "edge_w": edge_w,
@@ -284,3 +289,8 @@ class GraphLoader:
                 "y": yb,
                 "y_mask": ymask,
             }
+            if self.seg_encoding == "counts":
+                batch["node_seg_counts"] = seg_counts
+            else:
+                batch["node_seg"] = node_seg
+            yield batch

@@ -177,10 +177,12 @@ class Step2PointGraph(DataModule):
         parts: int = None,
         use_weights: bool = True,
         transfer_dtype: str = "float32",
+        seg_encoding: str = "ids",
         **kwargs,
     ):
         super().__init__(data_dir=data_dir, **kwargs)
         self.transfer_dtype = transfer_dtype
+        self.seg_encoding = seg_encoding
         self.n_features = n_features
         self.parts = parts
         self.use_weights = use_weights
@@ -400,6 +402,7 @@ class Step2PointGraph(DataModule):
             use_weights=self.use_weights,
             n_features=self.n_features,
             transfer_dtype=self.transfer_dtype,
+            seg_encoding=self.seg_encoding,
         )
 
     def get_train_loader(self) -> GraphLoader:

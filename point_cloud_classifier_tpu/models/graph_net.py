@@ -196,9 +196,17 @@ class GraphNet(nn.Module):
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = True) -> jnp.ndarray:
         x = batch["nodes"].astype(resolve_dtype(self.compute_dtype))
-        # loaders may ship compact int16/int32 ids; index ops want int32
-        node_seg = batch["node_seg"].astype(jnp.int32)
         num_graphs = batch["y"].shape[0]
+        # loaders may ship compact int16/int32 ids, or the counts wire
+        # encoding (graphs are node-contiguous; rebuild ids on device)
+        if "node_seg" in batch:
+            node_seg = batch["node_seg"].astype(jnp.int32)
+        else:
+            node_seg = jnp.repeat(
+                jnp.arange(num_graphs + 1, dtype=jnp.int32),
+                batch["node_seg_counts"],
+                total_repeat_length=x.shape[0],
+            )
         adj = None
         if self.knn_k > 0:
             if self.input_dim < 4:

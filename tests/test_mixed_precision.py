@@ -143,6 +143,37 @@ def test_counts_encoding_wire_size():
     assert batch["seg_counts"].sum() == batch["points"].shape[0]
 
 
+def test_graph_counts_encoding_matches_ids():
+    """GraphLoader seg_encoding='counts' == explicit per-node ids."""
+    from point_cloud_classifier_tpu.data.batching import GraphLoader
+    from point_cloud_classifier_tpu.models import GraphNet
+
+    rng = np.random.default_rng(6)
+    graphs = []
+    for g_i in range(10):
+        n = int(rng.integers(3, 15))
+        e = int(rng.integers(2, 3 * n))
+        graphs.append(
+            {
+                "features": rng.normal(size=(n, 4)),
+                "edges": rng.integers(0, n, size=(2, e)),
+                "weights": rng.uniform(0.1, 1, size=e),
+                "label": float(g_i % 2),
+            }
+        )
+    model = GraphNet(input_dim=4, hidden_dim=8, output_dim=1, activation="tanh")
+
+    def run(enc):
+        loader = GraphLoader(graphs, batch_size=5, shuffle=False, seg_encoding=enc)
+        batches = list(loader)
+        variables = model.init(jax.random.PRNGKey(0), batches[0], train=False)
+        return np.concatenate(
+            [np.asarray(model.apply(variables, b, train=False)) for b in batches]
+        )
+
+    np.testing.assert_allclose(run("ids"), run("counts"), rtol=1e-5, atol=1e-6)
+
+
 def test_fp16_loader_dtypes():
     from point_cloud_classifier_tpu.data.batching import PointCloudLoader
 
