@@ -136,6 +136,7 @@ def train_configs_vmapped(
     val_loader: Iterable,
     seeds: Sequence[int] = None,
     patience: int = 10,
+    mesh=None,
 ):
     """Train K same-architecture configs simultaneously.
 
@@ -144,6 +145,12 @@ def train_configs_vmapped(
     validation loss, best-val checkpoint tracking, and early stopping with
     the given patience — stopped arms simply freeze (their updates are
     masked out) while the rest keep training in the same vmapped step.
+
+    With ``mesh``, the stacked ARM axis shards over the mesh's ``data``
+    axis: each chip trains K/n arms with zero collectives (sweeps are
+    embarrassingly parallel — the multi-chip scaling story for search).
+    Requires K divisible by the data-axis size; falls back to replication
+    otherwise.
 
     Returns a dict with per-arm ``val_accs`` / ``train_accs`` (scored with
     the FINAL params, like the reference's post-fit ``predict``), the per-arm
@@ -161,6 +168,23 @@ def train_configs_vmapped(
     )(jnp.asarray(seeds, dtype=jnp.uint32))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+
+    arm_sharding = None
+    if mesh is not None and k % mesh.shape["data"] == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def shard_arms(tree):
+            return jax.tree.map(
+                lambda x: jax.device_put(
+                    x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+                ),
+                tree,
+            )
+
+        arm_sharding = shard_arms
+        params = shard_arms(params)
+        batch_stats = shard_arms(batch_stats)
+        lrs = jax.device_put(lrs, NamedSharding(mesh, P("data")))
 
     vstep, veval, epoch_update, tx = _build_group_fns(model, optimizer, patience)
     opt_state = jax.vmap(tx.init)(params)

@@ -210,6 +210,7 @@ def run_search_vmapped(
     epochs: int = 10,
     force: bool = False,
     data_dir: str = None,
+    use_mesh: bool = False,
 ):
     """TPU-native sweep: same-architecture configs train as ONE vmapped step.
 
@@ -279,6 +280,11 @@ def run_search_vmapped(
             model = model_classes[model_name](**hp0["model"])
             lrs = [hp["trainer"]["learning_rate"] for hp in group]
 
+            mesh = None
+            if use_mesh:
+                from point_cloud_classifier_tpu.parallel import default_mesh
+
+                mesh = default_mesh()
             result = train_configs_vmapped(
                 model,
                 lrs,
@@ -286,6 +292,7 @@ def run_search_vmapped(
                 epochs,
                 train_loader,
                 val_loader,
+                mesh=mesh,
             )
             val_accs, train_accs = result["val_accs"], result["train_accs"]
             n_params = result["n_params"]
@@ -343,13 +350,17 @@ def main(argv=None) -> None:
         action="store_true",
         help="train same-architecture configs simultaneously as one vmapped step",
     )
+    parser.add_argument(
+        "--mesh",
+        action="store_true",
+        help="with --vmap: shard the arm axis over all visible devices",
+    )
     args = parser.parse_args(argv)
 
     from train import MODEL_DATASETS
 
     dataset = args.dataset or MODEL_DATASETS[args.model]
-    search = run_search_vmapped if args.vmap else run_search
-    search(
+    kwargs = dict(
         model_name=args.model,
         dataset_name=dataset,
         search_dir=args.search_dir,
@@ -359,6 +370,10 @@ def main(argv=None) -> None:
         force=args.force,
         data_dir=args.data_dir,
     )
+    if args.vmap:
+        run_search_vmapped(use_mesh=args.mesh, **kwargs)
+    else:
+        run_search(**kwargs)
 
 
 if __name__ == "__main__":

@@ -58,6 +58,45 @@ def test_vmapped_adamw_runs():
         assert set(st) == {"params", "batch_stats"}
 
 
+def test_arm_sharded_matches_unsharded():
+    """Arms sharded over the 8-device mesh == unsharded vmapped training."""
+    from point_cloud_classifier_tpu.parallel import make_mesh
+
+    train, val = _loaders()
+    model = FullyConnectedNet(
+        input_dim=9, hidden_layers=[16], batch_normalization=False, output_dim=1
+    )
+    lrs = [10 ** (-2 - 0.1 * i) for i in range(8)]
+    plain = train_configs_vmapped(
+        model, lrs, "adam", epochs=3, train_loader=train, val_loader=val
+    )
+    sharded = train_configs_vmapped(
+        model, lrs, "adam", epochs=3, train_loader=train, val_loader=val,
+        mesh=make_mesh(),
+    )
+    np.testing.assert_allclose(plain["val_accs"], sharded["val_accs"], atol=1e-6)
+    for a, b in zip(plain["final_state"], sharded["final_state"]):
+        for la, lb in zip(
+            jax.tree.leaves(a["params"]), jax.tree.leaves(b["params"])
+        ):
+            np.testing.assert_allclose(la, lb, rtol=1e-4, atol=1e-6)
+
+
+def test_arm_sharding_requires_divisibility():
+    """K not divisible by the data axis → silently falls back to replication."""
+    from point_cloud_classifier_tpu.parallel import make_mesh
+
+    train, val = _loaders()
+    model = FullyConnectedNet(
+        input_dim=9, hidden_layers=[8], batch_normalization=False, output_dim=1
+    )
+    result = train_configs_vmapped(
+        model, [1e-2, 1e-3, 3e-3], "adam", epochs=1,
+        train_loader=train, val_loader=val, mesh=make_mesh(),
+    )
+    assert len(result["val_accs"]) == 3
+
+
 def test_run_search_vmapped_artifacts(tmp_path):
     """--vmap sweep writes the same artifact contract as the sequential one."""
     import sweep as sweep_mod
