@@ -108,10 +108,14 @@ def measure_jax(
         jax.block_until_ready(loss)
 
     run(warmup)
-    t0 = time.perf_counter()
-    run(iters)
-    dt = time.perf_counter() - t0
-    return b * iters / dt
+    # best-of-3 windows: throughput = capability, and transient transport
+    # stalls (CLAUDE.md gotchas) would otherwise poison a single window
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(iters)
+        best = max(best, b * iters / (time.perf_counter() - t0))
+    return best
 
 
 def _graph_batch(b: int, n: int, e: int, f: int, seed: int = 0, half: bool = True):
@@ -169,9 +173,12 @@ def measure_graph_jax(b: int, n: int, e: int, iters: int, warmup: int, dtype: st
         jax.block_until_ready(loss)
 
     run(warmup)
-    t0 = time.perf_counter()
-    run(iters)
-    return b * iters / (time.perf_counter() - t0)
+    best = 0.0
+    for _ in range(3):  # best-of-3 (see measure_jax)
+        t0 = time.perf_counter()
+        run(iters)
+        best = max(best, b * iters / (time.perf_counter() - t0))
+    return best
 
 
 def measure_infer_latency(b: int, p: int, f: int, iters: int, warmup: int, dtype: str):
