@@ -268,8 +268,9 @@ class Step2PointGraph(DataModule):
                 }
             )
 
-        for new_id, g in enumerate(graphs):
-            g["event_id"] = new_id
+        if getattr(self, "remap_event_ids", True):
+            for new_id, g in enumerate(graphs):
+                g["event_id"] = new_id
         return graphs
 
     # -- pipeline (list-based, overrides the DataFrame pipeline) --------------

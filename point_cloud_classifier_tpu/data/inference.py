@@ -57,10 +57,12 @@ def inference_loader(dataset_name: str, config: dict, raw_path: str) -> Tuple[ob
 
     if dataset_name == "s2pt":
         module = Step2PointTabular(load_cache=False, **_ds_kwargs(config))
+        module.remap_event_ids = False  # keep the input file's event ids
         df = module._preprocess_data(raw, particle="proton")  # dummy label
-        scaler = _load_scaler(module.data_dir, module.name)
         df = df.copy()
-        df[FEATURE_ORDER] = scaler.transform(df[FEATURE_ORDER])
+        if module.feature_scaling:
+            scaler = _load_scaler(module.data_dir, module.name)
+            df[FEATURE_ORDER] = scaler.transform(df[FEATURE_ORDER])
         event_ids = df["event_id"].to_numpy()
         if not module.convert_to_tensor:
             return df.drop(columns=["event_id"]), event_ids
@@ -74,10 +76,12 @@ def inference_loader(dataset_name: str, config: dict, raw_path: str) -> Tuple[ob
 
     if dataset_name == "s2ppc":
         module = Step2PointPointCloud(load_cache=False, **_ds_kwargs(config))
+        module.remap_event_ids = False
         df = module._preprocess_data(raw, particle="proton")
-        scaler = _load_scaler(module.data_dir, module.name)
         df = df.copy()
-        df[["energy"]] = scaler.transform(df[["energy"]])
+        if module.feature_scaling:
+            scaler = _load_scaler(module.data_dir, module.name)
+            df[["energy"]] = scaler.transform(df[["energy"]])
         return frame_to_point_loader(
             df,
             batch_size=module.batch_size,
@@ -88,13 +92,15 @@ def inference_loader(dataset_name: str, config: dict, raw_path: str) -> Tuple[ob
 
     if dataset_name == "s2pg":
         module = Step2PointGraph(**_ds_kwargs(config))
+        module.remap_event_ids = False
         graphs = module._preprocess_data(raw, particle="proton")
-        scaler = _load_scaler(module.data_dir, module.name)
-        for g in graphs:
-            g["features"] = scale_positions_inplace(
-                np.asarray(g["features"], dtype=np.float64)
-            )
-            g["features"][:, 0:1] = scaler.transform(g["features"][:, 0:1])
+        if module.feature_scaling:
+            scaler = _load_scaler(module.data_dir, module.name)
+            for g in graphs:
+                g["features"] = scale_positions_inplace(
+                    np.asarray(g["features"], dtype=np.float64)
+                )
+                g["features"][:, 0:1] = scaler.transform(g["features"][:, 0:1])
         loader = GraphLoader(
             graphs,
             batch_size=module.batch_size,
@@ -102,6 +108,7 @@ def inference_loader(dataset_name: str, config: dict, raw_path: str) -> Tuple[ob
             use_weights=module.use_weights,
             n_features=module.n_features,
             transfer_dtype=module.transfer_dtype,
+            seg_encoding=module.seg_encoding,
         )
         return loader, np.asarray([g["event_id"] for g in graphs])
 

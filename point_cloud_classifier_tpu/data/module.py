@@ -52,6 +52,10 @@ class DataModule:
         self.batch_size = batch_size
         self.data_split = (0.6, 0.2, 0.2)
         self.datasets: Dict[str, object] = {s: [] for s in SPLITS}
+        # dataset creation renumbers events to contiguous ids (reference
+        # `utils/data.py:156-162`); the raw-inference path turns this off so
+        # predictions stay joinable to the input file's original event ids
+        self.remap_event_ids = True
 
     # -- ingestion ---------------------------------------------------------
 

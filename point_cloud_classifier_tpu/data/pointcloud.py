@@ -169,7 +169,8 @@ class Step2PointPointCloud(DataModule):
                 "label": LABEL_MAP[particle],
             }
         )
-        df = self._remap_event_ids(df)
+        if getattr(self, "remap_event_ids", True):
+            df = self._remap_event_ids(df)
         if df.isna().any().any():
             print("There are NaN values in the dataset!")
         else:

@@ -334,6 +334,8 @@ class ModelWrapper:
         raw = ocp.StandardCheckpointer().restore(path)
         self.params = jax.tree.map(jnp.asarray, raw["params"])
         self.batch_stats = jax.tree.map(jnp.asarray, raw.get("batch_stats", {}))
+        if self.mesh is not None:
+            self._place_state()  # resume under the declared shardings
         # optax state trees round-trip as nested lists/dicts; refit the
         # restored leaves onto a freshly-init'd state's treedef
         template = self._init_opt_state()

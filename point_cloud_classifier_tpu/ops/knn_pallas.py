@@ -115,6 +115,8 @@ def _auto_tile(n: int, cap: int) -> int:
 def _knn_aggregate_pallas_impl(
     x, positions, node_seg, k: int, num_graphs: int, aggr: str, tile: int, interpret: bool
 ):
+    if aggr not in ("add", "mean"):
+        raise ValueError("aggr must be 'add' or 'mean'")
     n, h = x.shape
     t = _auto_tile(n, tile)
     assert n % t == 0, f"node buffer {n} not a multiple of tile {t}"

@@ -26,16 +26,8 @@ from flax import linen as nn
 from point_cloud_classifier_tpu.models.wrapper import masked_bce
 
 
-def _make_tx(optimizer: str):
-    if optimizer == "adam":
-        base = optax.adam
-        kwargs = dict(b1=0.9, b2=0.999, eps=1e-8)
-    elif optimizer == "adamw":
-        base = optax.adamw
-        kwargs = dict(b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
-    else:
-        raise ValueError(f"Unknown optimizer: {optimizer}")
-    return optax.inject_hyperparams(base)(learning_rate=1.0, **kwargs)
+# one source of truth for optimizer construction: the trainer's
+from point_cloud_classifier_tpu.models.wrapper import _make_tx  # noqa: E402
 
 
 def _unstack(tree, k: int):
@@ -163,6 +155,10 @@ def train_configs_vmapped(
     lrs = jnp.asarray(learning_rates, dtype=jnp.float32)
 
     first = next(iter(train_loader))
+    if hasattr(train_loader, "_epoch"):
+        # the shape probe consumed a shuffle epoch; rewind so the first real
+        # training epoch uses the same permutation the sequential trainer does
+        train_loader._epoch = max(0, train_loader._epoch - 1)
     variables = jax.vmap(
         lambda s: model.init(jax.random.PRNGKey(s), first, train=False)
     )(jnp.asarray(seeds, dtype=jnp.uint32))
@@ -210,10 +206,15 @@ def train_configs_vmapped(
             )
 
         # per-arm val loss → best-checkpoint + early-stop bookkeeping
+        # (also accumulate correct-counts: the LAST epoch's pass doubles as
+        # the final val-accuracy evaluation, saving a whole re-scan)
         losses, n_batches = jnp.zeros((k,)), 0
+        last_val_correct, last_val_total = jnp.zeros((k,)), 0.0
         for batch in val_loader:
-            loss, _ = veval(params, batch_stats, batch)
+            loss, correct = veval(params, batch_stats, batch)
             losses = losses + loss
+            last_val_correct = last_val_correct + correct
+            last_val_total += float(np.sum(batch["y_mask"]))
             n_batches += 1
         val_loss = losses / max(n_batches, 1)
         best_val_loss, stall, best_params, best_stats = epoch_update(
@@ -229,7 +230,14 @@ def train_configs_vmapped(
             total += float(np.sum(batch["y_mask"]))
         return [float(c) / max(total, 1.0) for c in np.asarray(correct)]
 
-    val_accs = accuracy(val_loader)
+    if epochs > 0:
+        # reuse the final epoch's validation pass (same params, same batches)
+        val_accs = [
+            float(c) / max(last_val_total, 1.0)
+            for c in np.asarray(last_val_correct)
+        ]
+    else:
+        val_accs = accuracy(val_loader)
     train_accs = accuracy(train_loader)
     n_params = int(sum(x.size for x in jax.tree.leaves(params)) // max(k, 1))
     final_p, final_s = _unstack(params, k), _unstack(batch_stats, k)

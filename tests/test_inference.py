@@ -68,6 +68,25 @@ def test_infer_raw_end_to_end(model_name, dataset_name, setup, tmp_path):
     assert ids == sorted(ids)
 
 
+def test_infer_raw_preserves_original_event_ids(setup, tmp_path):
+    """Predictions stay joinable to the input file's own event ids."""
+    import h5py
+
+    data_dir, serve_path, _ = setup
+    # a raw file with NON-contiguous event ids
+    oddball = str(tmp_path / "oddball.h5")
+    write_shower_file(oddball, "proton", n_events=5, seed=33)
+    with h5py.File(oddball, "r+") as f:
+        for grp in ("steps", "particles"):
+            ids = f[grp]["event_id"][...]
+            del f[grp]["event_id"]
+            f[grp]["event_id"] = ids * 10 + 1001
+    config = load_config("configs/base.yaml", "configs/deep_sets.yaml")
+    config["dataset"]["data_dir"] = data_dir
+    loader, event_ids = inference_loader("s2ppc", config, oddball)
+    assert sorted(event_ids.tolist()) == [1001, 1011, 1021, 1031, 1041]
+
+
 def test_inference_loader_shapes(setup):
     data_dir, serve_path, _ = setup
     config = load_config("configs/base.yaml", "configs/deep_sets.yaml")
