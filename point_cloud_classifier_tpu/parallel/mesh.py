@@ -20,6 +20,14 @@ Axes:
   all-gathers/reduce-scatters.  For the reference model sizes (≤~1M params)
   this axis is usually 1, but the layouts are declared so the same code runs
   TP>1 unchanged (SURVEY §2 parallelism table).
+
+Batch-norm under data parallelism (SURVEY §7 hard part iv) is handled by
+construction: ``MaskedBatchNorm`` computes its batch statistics with global
+reductions inside the jit'd step, so when the batch is sharded XLA emits the
+cross-replica ``psum`` automatically — statistics are exact global-batch
+moments, identical to the single-device run (asserted by
+tests/test_parallel.py's DP-equals-single-device tests).  No ``sync_batch_
+stats`` plumbing exists because none is needed under SPMD.
 """
 
 from __future__ import annotations
