@@ -52,7 +52,10 @@ def _make_event(rng: np.random.Generator, particle: str) -> Tuple[Dict, Dict]:
 
     # lineage: pid 0 is the incident particle (parent -1); a chain of
     # secondaries, some of which never produce steps ("unrecorded").
-    n_secondaries = int(rng.integers(2, 6))
+    # hadronic piM showers fragment more: deeper/wider MC-truth trees —
+    # class signal that lives in the GRAPH STRUCTURE itself (node count,
+    # connectivity), surviving all per-graph feature normalizations
+    n_secondaries = int(rng.integers(2, 5)) if is_proton else int(rng.integers(5, 9))
     pids = [0] + list(range(1, n_secondaries + 1))
     parents = [-1]
     for pid in pids[1:]:
