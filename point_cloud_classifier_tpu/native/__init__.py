@@ -112,11 +112,16 @@ def build_event_edges_native(
     # insertion-sort-stable for short arrays.  The C++ stable_sort matches
     # that exactly when chains are short OR tie-free; if any particle has a
     # long chain with duplicated times, defer to the Python oracle.
+    # (single lexsort + adjacent-dup scan: a per-particle loop here costs
+    # more than the C++ saves on small events)
     uniq, counts = np.unique(pids64, return_counts=True)
-    for p, c in zip(uniq, counts):
-        if c > 15:
-            t = times64[pids64 == p]
-            if len(np.unique(t)) != len(t):
+    if counts.max() > 15:
+        order = np.lexsort((times64, pids64))
+        sp, stt = pids64[order], times64[order]
+        dup = (sp[1:] == sp[:-1]) & (stt[1:] == stt[:-1])
+        if dup.any():
+            big = set(uniq[counts > 15].tolist())
+            if any(int(p) in big for p in sp[:-1][dup]):
                 return None
     child_rows: List[int] = []
     parent_rows: List[int] = []
