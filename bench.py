@@ -66,6 +66,7 @@ def measure_jax(
     warmup: int,
     dtype: str = "bfloat16",
     use_mesh: bool = False,
+    fuse: int = 1,
 ) -> float:
     import jax
 
@@ -89,7 +90,8 @@ def measure_jax(
         compute_dtype=dtype,
     )
     wrapper = ModelWrapper(
-        model, learning_rate=1e-3, epochs=1, optimizer="adamw", mesh=mesh
+        model, learning_rate=1e-3, epochs=1, optimizer="adamw", mesh=mesh,
+        fuse_steps=fuse,
     )
     # a stream of distinct host batches in the fp16/int16 wire format, so the
     # measurement includes the real (H2D-transfer-inclusive) input pipeline
@@ -99,6 +101,25 @@ def measure_jax(
     def run(n):
         stream = (host_batches[i % len(host_batches)] for i in range(n))
         loss = None
+        if fuse > 1:
+            # drive through fit's fusion path: stack K batches per dispatch
+            stacked = None
+            bufs = []
+            for batch in stream:
+                bufs.append(batch)
+                if len(bufs) == fuse:
+                    stacked = {k: np.stack([x[k] for x in bufs]) for k in bufs[0]}
+                    (
+                        wrapper.params,
+                        wrapper.batch_stats,
+                        wrapper.opt_state,
+                        loss,
+                    ) = wrapper._train_step_fused(
+                        wrapper.params, wrapper.batch_stats, wrapper.opt_state, stacked
+                    )
+                    bufs = []
+            jax.block_until_ready(loss)
+            return
         for batch in wrapper._batches(stream):
             wrapper.params, wrapper.batch_stats, wrapper.opt_state, loss = (
                 wrapper._train_step(
@@ -317,6 +338,12 @@ def main(argv=None) -> None:
         action="store_true",
         help="shard the flagship train step over all visible devices (data axis)",
     )
+    parser.add_argument(
+        "--fuse",
+        type=int,
+        default=1,
+        help="scan K train steps per dispatch (step fusion)",
+    )
     args = parser.parse_args(argv)
 
     if args.smoke:
@@ -367,7 +394,9 @@ def main(argv=None) -> None:
         )
         return
 
-    cps = measure_jax(b, p, F, iters, warmup, dtype=args.dtype, use_mesh=args.mesh)
+    cps = measure_jax(
+        b, p, F, iters, warmup, dtype=args.dtype, use_mesh=args.mesh, fuse=args.fuse
+    )
     vs = (
         round(cps / REFERENCE_CPU_CLOUDS_PER_SEC, 2)
         if (REFERENCE_CPU_CLOUDS_PER_SEC and not args.smoke)

@@ -141,6 +141,7 @@ class ModelWrapper:
         data_parallel: bool = False,
         n_model: int = 1,
         state_every: int = 1,
+        fuse_steps: int = 1,
     ):
         self.model = model
         self.learning_rate = learning_rate
@@ -151,6 +152,12 @@ class ModelWrapper:
         # Sweeps disable it — their runs only need meta.json + final weights,
         # and an orbax write per epoch would dominate tiny-model epochs.
         self.state_every = state_every
+        # step fusion: scan over K consecutive same-shape batches in ONE
+        # dispatched program.  Semantics identical to K sequential steps
+        # (lax.scan carries the optimizer chain in order); the win is K-fold
+        # fewer dispatches — decisive on high-latency transports, a modest
+        # Python-overhead cut everywhere else.
+        self.fuse_steps = max(1, int(fuse_steps))
         # distribution: a (data, model) jax mesh; None = single device.  The
         # reference has no distributed path at all (its device policy is one
         # line, `models/wrapper.py:22`); here batches shard over the ``data``
@@ -248,12 +255,11 @@ class ModelWrapper:
     def _build_steps(self) -> None:
         key = (repr(self.model), self.optimizer_name)
         if key in _STEP_CACHE:
-            self._train_step, self._eval_step = _STEP_CACHE[key]
+            self._train_step, self._eval_step, self._train_step_fused = _STEP_CACHE[key]
             return
         model, tx = self.model, self.tx
 
-        @partial(jax.jit, donate_argnums=(0, 1, 2))
-        def train_step(params, batch_stats, opt_state, batch):
+        def _step_math(params, batch_stats, opt_state, batch):
             def loss_fn(p):
                 logits, mutated = model.apply(
                     {"params": p, "batch_stats": batch_stats},
@@ -271,6 +277,8 @@ class ModelWrapper:
             params = optax.apply_updates(params, updates)
             return params, new_stats, opt_state, loss
 
+        train_step = partial(jax.jit, donate_argnums=(0, 1, 2))(_step_math)
+
         @jax.jit
         def eval_step(params, batch_stats, batch):
             logits = model.apply(
@@ -280,9 +288,24 @@ class ModelWrapper:
             probs = jax.nn.sigmoid(logits)
             return loss, probs
 
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_step_fused(params, batch_stats, opt_state, batches):
+            """K train steps in one program: scan over stacked batches."""
+
+            def body(carry, batch):
+                p, stats, opt = carry
+                p, stats, opt, loss = _step_math(p, stats, opt, batch)
+                return (p, stats, opt), loss
+
+            (params, batch_stats, opt_state), losses = jax.lax.scan(
+                body, (params, batch_stats, opt_state), batches
+            )
+            return params, batch_stats, opt_state, losses
+
         self._train_step = train_step
         self._eval_step = eval_step
-        _STEP_CACHE[key] = (train_step, eval_step)
+        self._train_step_fused = train_step_fused
+        _STEP_CACHE[key] = (train_step, eval_step, train_step_fused)
 
     # -- full-state checkpoint / resume (reference has none: its resume
     # granularity is "retrain", SURVEY §5) --------------------------------
@@ -363,20 +386,55 @@ class ModelWrapper:
         for epoch in range(start_epoch, self.epochs):
             batch_losses = []
             timer = StepTimer()
-            with maybe_trace(self.log_dir, force=False):
-                for batch in self._batches(train_loader):
-                    with timer.step():
-                        self._ensure_initialized(batch)
+            pending = []  # same-shape batches awaiting a fused dispatch
+
+            def flush():
+                if not pending:
+                    return
+                with timer.step():
+                    if len(pending) == 1:
                         self.params, self.batch_stats, self.opt_state, loss = (
                             self._train_step(
-                                self.params, self.batch_stats, self.opt_state, batch
+                                self.params, self.batch_stats, self.opt_state, pending[0]
                             )
                         )
-                    batch_losses.append(loss)
+                    else:
+                        # stack K batches leaf-wise → ONE scanned dispatch
+                        if isinstance(next(iter(pending[0].values())), np.ndarray):
+                            stacked = {
+                                k: np.stack([b[k] for b in pending]) for k in pending[0]
+                            }
+                        else:
+                            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *pending)
+                        self.params, self.batch_stats, self.opt_state, loss = (
+                            self._train_step_fused(
+                                self.params, self.batch_stats, self.opt_state, stacked
+                            )
+                        )
+                batch_losses.append(loss)
+                pending.clear()
+
+            def shape_key(b):
+                return tuple(sorted((k, v.shape, str(v.dtype)) for k, v in b.items()))
+
+            with maybe_trace(self.log_dir, force=False):
+                for batch in self._batches(train_loader):
+                    self._ensure_initialized(batch)
+                    if pending and (
+                        len(pending) >= self.fuse_steps
+                        or shape_key(pending[0]) != shape_key(batch)
+                    ):
+                        flush()
+                    pending.append(batch)
+                    if self.fuse_steps <= 1:
+                        flush()
+                flush()
             # ONE device→host transfer per epoch: each individual float()
             # is a full host↔device round trip (hundreds of ms on remote
-            # TPU transports)
-            epoch_loss = float(jnp.mean(jnp.stack(batch_losses)))
+            # TPU transports); fused flushes contribute [K] loss rows
+            epoch_loss = float(
+                jnp.mean(jnp.concatenate([jnp.atleast_1d(l) for l in batch_losses]))
+            )
             if not np.isfinite(epoch_loss):
                 # failure detection: halt with state on disk instead of
                 # training on garbage; sweep drivers catch this and log it

@@ -83,6 +83,45 @@ def test_throughput_metrics_logged(tmp_path):
     assert {"Loss/train", "Throughput/steps_per_sec", "StepTime/p50_ms"} <= tags
 
 
+def test_fused_steps_match_sequential():
+    """fuse_steps=K (scan over stacked batches) == K sequential steps."""
+    train, val = _loaders()
+
+    def run(fuse):
+        w = ModelWrapper(
+            _model(), learning_rate=1e-2, epochs=3, seed=0, fuse_steps=fuse
+        )
+        w.fit(train, val)
+        _, probs = w.predict(val, return_prob=True)
+        return probs
+
+    np.testing.assert_allclose(run(1), run(4), rtol=1e-5, atol=1e-6)
+    # partial flush path: fuse larger than the batch count per epoch
+    np.testing.assert_allclose(run(1), run(16), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_steps_mixed_shapes():
+    """Shape changes force a flush; fused run still equals sequential."""
+    rng = np.random.default_rng(0)
+    small = {
+        "x": rng.normal(size=(16, 9)).astype(np.float32),
+        "y": rng.integers(0, 2, size=(16, 1)).astype(np.float32),
+        "y_mask": np.ones((16,), np.float32),
+    }
+    batches = [_tabular_batch(seed=0), _tabular_batch(seed=1), small,
+               _tabular_batch(seed=2), _tabular_batch(seed=3)]
+
+    def run(fuse):
+        w = ModelWrapper(
+            _model(), learning_rate=1e-2, epochs=2, seed=0, fuse_steps=fuse
+        )
+        w.fit(batches)
+        _, probs = w.predict([_tabular_batch(seed=9)], return_prob=True)
+        return probs
+
+    np.testing.assert_allclose(run(1), run(3), rtol=1e-5, atol=1e-6)
+
+
 def test_nonfinite_loss_watchdog(tmp_path):
     """A NaN loss halts training with a clear error instead of continuing."""
     train, val = _loaders()
