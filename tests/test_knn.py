@@ -119,6 +119,36 @@ def test_graphnet_dense_knn_path_trains():
     assert np.all(np.isfinite(probs))
 
 
+def test_graphnet_knn_gat_trains():
+    """kNN edge-list path composes with GAT attention."""
+    from point_cloud_classifier_tpu.models import GraphNet, ModelWrapper
+    from tests.test_parallel import _graph_batch
+
+    model = GraphNet(
+        input_dim=4, hidden_dim=16, output_dim=1, activation="relu",
+        knn_k=4, use_gat=True, gat_heads=4,
+    )
+    w = ModelWrapper(model, learning_rate=1e-3, epochs=1, seed=0)
+    w.fit([_graph_batch(seed=s) for s in range(2)])
+    _, probs = w.predict([_graph_batch(seed=9)], return_prob=True)
+    assert np.all(np.isfinite(probs))
+
+
+def test_graphnet_knn_sag_trains():
+    """kNN edge-list path composes with SAG pooling."""
+    from point_cloud_classifier_tpu.models import GraphNet, ModelWrapper
+    from tests.test_parallel import _graph_batch
+
+    model = GraphNet(
+        input_dim=4, hidden_dim=16, output_dim=1, activation="tanh",
+        knn_k=4, sag_pool=True, pool_ratio=0.5,
+    )
+    w = ModelWrapper(model, learning_rate=1e-3, epochs=1, seed=0)
+    w.fit([_graph_batch(seed=s) for s in range(2)])
+    _, probs = w.predict([_graph_batch(seed=9)], return_prob=True)
+    assert np.all(np.isfinite(probs))
+
+
 def test_knn_jit_compatible():
     pos = jnp.asarray(np.random.default_rng(2).normal(size=(16, 3)), jnp.float32)
     seg = jnp.asarray(np.repeat([0, 1], 8), jnp.int32)
