@@ -121,6 +121,17 @@ class _ScalarLog:
         if self._tb:
             self._tb.add_scalar(tag, value, step)
 
+    def histograms(self, named_arrays, step: int) -> None:
+        """Per-parameter weight histograms (reference `models/wrapper.py:82-84`).
+
+        Opt-in via PCC_TB_HISTOGRAMS=1 (+ PCC_TENSORBOARD=1): forces a full
+        device→host copy of the weights every epoch — exactly the throughput
+        sink the reference pays unconditionally.
+        """
+        if self._tb and os.environ.get("PCC_TB_HISTOGRAMS") == "1":
+            for name, arr in named_arrays:
+                self._tb.add_histogram(name, np.asarray(arr), step)
+
     def close(self) -> None:
         if self._tb:
             self._tb.close()
@@ -478,6 +489,12 @@ class ModelWrapper:
                     print("Early stopping triggered.")
                     self.save_state(epoch, force=self.state_every > 0)
                     break
+            if os.environ.get("PCC_TB_HISTOGRAMS") == "1" and self.params is not None:
+                flat = {}
+                for path, leaf in jax.tree_util.tree_flatten_with_path(self.params)[0]:
+                    name = "/".join(str(getattr(p, "key", p)) for p in path)
+                    flat[name] = leaf
+                log.histograms(flat.items(), epoch)
             self.save_state(epoch)
         log.scalar("train_wall_seconds", time.time() - t0, 0)
         log.close()

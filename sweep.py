@@ -355,7 +355,13 @@ def main(argv=None) -> None:
         action="store_true",
         help="with --vmap: shard the arm axis over all visible devices",
     )
+    parser.add_argument(
+        "--seed", type=int, default=None,
+        help="seed the hyperparameter sampler (reproducible searches)",
+    )
     args = parser.parse_args(argv)
+    if args.seed is not None:
+        np.random.seed(args.seed)
 
     from train import MODEL_DATASETS
 
