@@ -255,6 +255,10 @@ class ModelWrapper:
         double-buffered ``device_put`` prefetch (``data/prefetch.py``), which
         wins on hosts where eager transfers overlap better than jit's.
         """
+        if os.environ.get("PCC_BG_LOADER") == "1":
+            from point_cloud_classifier_tpu.data.background import BackgroundIterator
+
+            loader = BackgroundIterator(loader, prefetch=2)
         if os.environ.get("PCC_PREFETCH") == "1":
             from point_cloud_classifier_tpu.data.prefetch import prefetch_to_device
 

@@ -24,6 +24,39 @@ def test_prefetch_with_mesh_shards():
     assert out[0]["x"].sharding.spec == P("data", None)
 
 
+def test_background_iterator_order_and_exceptions():
+    from point_cloud_classifier_tpu.data.background import BackgroundIterator
+
+    items = list(range(20))
+    assert list(BackgroundIterator(items, prefetch=3)) == items
+    # re-iterable (fresh thread per pass)
+    bg = BackgroundIterator(items)
+    assert list(bg) == items and list(bg) == items
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    out = []
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="producer failed"):
+        for x in BackgroundIterator(boom()):
+            out.append(x)
+    assert out == [1]
+
+
+def test_wrapper_bg_loader_env_path(monkeypatch):
+    monkeypatch.setenv("PCC_BG_LOADER", "1")
+    model = FullyConnectedNet(
+        input_dim=9, hidden_layers=[8], batch_normalization=False, output_dim=1
+    )
+    w = ModelWrapper(model, learning_rate=1e-2, epochs=2, seed=0)
+    w.fit([_tabular_batch(seed=s) for s in range(3)], [_tabular_batch(seed=9)])
+    _, probs = w.predict([_tabular_batch(seed=9)], return_prob=True)
+    assert np.all(np.isfinite(probs))
+
+
 def test_wrapper_prefetch_env_path(monkeypatch):
     monkeypatch.setenv("PCC_PREFETCH", "1")
     model = FullyConnectedNet(
