@@ -47,13 +47,17 @@ def _batch(b: int, p: int, f: int, seed: int = 0, half: bool = True):
     # roughly uniform cloud sizes summing to p, sorted segment ids
     seg = np.sort(rng.integers(0, b, size=(p,))).astype(np.int32)
     out = {
-        "points": rng.normal(size=(p, f)).astype(np.float16 if half else np.float32),
         "y": rng.integers(0, 2, size=(b, 1)).astype(np.float32),
         "y_mask": np.ones((b,), dtype=np.float32),
     }
     if half:
+        # production wire: fp16 features, counts-encoded segments, and the
+        # per-event-constant energy_total column factored out (col 1)
+        out["points"] = rng.normal(size=(p, f - 1)).astype(np.float16)
+        out["event_feats"] = rng.normal(size=(b + 1, 1)).astype(np.float16)
         out["seg_counts"] = np.bincount(seg, minlength=b + 1).astype(np.int32)
     else:
+        out["points"] = rng.normal(size=(p, f)).astype(np.float32)
         out["seg"] = seg
     return out
 
@@ -88,6 +92,7 @@ def measure_jax(
         residual_block=True,
         pooling="mean",
         compute_dtype=dtype,
+        factored_cols=(1,) if dtype == "bfloat16" else (),
     )
     wrapper = ModelWrapper(
         model, learning_rate=1e-3, epochs=1, optimizer="adamw", mesh=mesh,
@@ -219,6 +224,7 @@ def measure_infer_latency(b: int, p: int, f: int, iters: int, warmup: int, dtype
         residual_block=True,
         pooling="mean",
         compute_dtype=dtype,
+        factored_cols=(1,) if dtype == "bfloat16" else (),
     )
     batch = _batch(b, p, f, half=(dtype == "bfloat16"))
     variables = model.init(jax.random.PRNGKey(0), batch, train=False)

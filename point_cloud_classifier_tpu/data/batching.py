@@ -96,12 +96,19 @@ class PointCloudLoader:
         min_bucket: int = 256,
         transfer_dtype: str = "float32",
         seg_encoding: str = "ids",
+        factor_event_cols: Sequence[int] = (),
     ):
         # seg_encoding="counts": ship per-event point counts [B+1] (~1KB)
         # instead of the per-point id array (~P*2B); the model reconstructs
         # ids on device with jnp.repeat (sizes are static).  The training
         # pipeline is H2D-bandwidth-bound, so every wire byte counts.
         self.seg_encoding = seg_encoding
+        # factor_event_cols: feature columns that are CONSTANT per event
+        # (e.g. energy_total) ship once per event as "event_feats" [B, C]
+        # instead of replicated per point; the model re-gathers them by
+        # segment id — exact, and each factored column saves P×itemsize on
+        # the wire.
+        self.factor_event_cols = tuple(factor_event_cols)
         # "float16" halves the bytes shipped host→device per step (features
         # fp16, segment ids int16); models upcast on device.  The training
         # pipeline is H2D-bandwidth-bound on TPU, so this directly scales
@@ -139,6 +146,8 @@ class PointCloudLoader:
             order = np.random.default_rng(self.seed + self._epoch).permutation(n)
             self._epoch += 1
         feat_dim = self.flat.shape[1]
+        fac = list(self.factor_event_cols)
+        keep_cols = [c for c in range(feat_dim) if c not in fac]
         for start in range(0, n, b):
             idx = order[start : start + b]
             k = len(idx)
@@ -146,7 +155,10 @@ class PointCloudLoader:
             p_pad = pow2_bucket(total, self.min_bucket)
 
             seg_dtype = np.int16 if (self.half and b < 32767) else np.int32
-            points = np.zeros((p_pad, feat_dim), dtype=self.flat.dtype)
+            points = np.zeros((p_pad, len(keep_cols)), dtype=self.flat.dtype)
+            event_feats = (
+                np.zeros((b + 1, len(fac)), dtype=self.flat.dtype) if fac else None
+            )
             seg = np.full((p_pad,), b, dtype=seg_dtype)
             yb = np.zeros((b, 1), dtype=np.float32)
             mask = np.zeros((b,), dtype=np.float32)
@@ -155,22 +167,26 @@ class PointCloudLoader:
             seg_counts = np.zeros((b + 1,), dtype=np.int32)
             for slot, ev in enumerate(idx):
                 lo, hi = self.offsets[ev], self.offsets[ev + 1]
-                points[cursor : cursor + (hi - lo)] = self.flat[lo:hi]
+                rows = self.flat[lo:hi]
+                points[cursor : cursor + (hi - lo)] = rows[:, keep_cols]
+                if fac:
+                    event_feats[slot] = rows[0, fac]  # constant per event
                 seg[cursor : cursor + (hi - lo)] = slot
                 seg_counts[slot] = hi - lo
                 cursor += hi - lo
             seg_counts[b] = p_pad - cursor  # padding rows → segment B
             yb[:k, 0] = self.labels[idx]
             mask[:k] = 1.0
+            batch = {"points": points, "y": yb, "y_mask": mask}
+            if fac:
+                # which columns were factored is a STATIC wire contract the
+                # model mirrors via its factored_cols config (like input_dim)
+                batch["event_feats"] = event_feats
             if self.seg_encoding == "counts":
-                yield {
-                    "points": points,
-                    "seg_counts": seg_counts,
-                    "y": yb,
-                    "y_mask": mask,
-                }
+                batch["seg_counts"] = seg_counts
             else:
-                yield {"points": points, "seg": seg, "y": yb, "y_mask": mask}
+                batch["seg"] = seg
+            yield batch
 
 
 class GraphLoader:

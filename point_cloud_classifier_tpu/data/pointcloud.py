@@ -42,6 +42,7 @@ def frame_to_point_loader(
     shuffle: bool,
     transfer_dtype: str = "float32",
     seg_encoding: str = "ids",
+    factor_event_cols=(),
 ):
     """Per-hit frame → (PointCloudLoader, event ids in loader order).
 
@@ -72,6 +73,7 @@ def frame_to_point_loader(
         shuffle=shuffle,
         transfer_dtype=transfer_dtype,
         seg_encoding=seg_encoding,
+        factor_event_cols=factor_event_cols,
     )
     return loader, np.asarray(ordered_ids)
 
@@ -95,12 +97,14 @@ class Step2PointPointCloud(DataModule):
         energy_cutoff: float = None,
         transfer_dtype: str = "float32",
         seg_encoding: str = "ids",
+        factor_event_cols=(),
         load_cache: bool = True,
         **kwargs,
     ):
         super().__init__(data_dir=data_dir, **kwargs)
         self.transfer_dtype = transfer_dtype
         self.seg_encoding = seg_encoding
+        self.factor_event_cols = tuple(factor_event_cols)
         self.parts = parts
         self.sparse_batching = sparse_batching  # kept for config compat; the
         # static-shape flattened layout subsumes both reference collates
@@ -251,6 +255,7 @@ class Step2PointPointCloud(DataModule):
             shuffle=(split == "train"),
             transfer_dtype=self.transfer_dtype,
             seg_encoding=self.seg_encoding,
+            factor_event_cols=self.factor_event_cols,
         )
         return loader
 

@@ -94,6 +94,9 @@ class DeepSets(nn.Module):
     # (params and pooling reductions stay f32)
     fused_phi: str = "auto"  # "auto": Pallas kernel on TPU, XLA elsewhere;
     # "on": always Pallas (interpreted off-TPU); "off": always XLA
+    factored_cols: Sequence[int] = ()  # wire contract with the loader's
+    # factor_event_cols: per-event-constant feature columns arrive as
+    # "event_feats" [B+1, C] and are re-gathered by segment id on device
 
     def _phi_spec_params(self):
         """Flat φ parameters (torch Linear init) + the layer spec."""
@@ -142,6 +145,20 @@ class DeepSets(nn.Module):
                 batch["seg_counts"],
                 total_repeat_length=points.shape[0],
             )
+
+        if self.factored_cols:
+            # rebuild the full per-point feature matrix in original column
+            # order: factored columns gather from the per-event table
+            per_point = batch["event_feats"].astype(points.dtype)[seg]
+            cols, ki, fi = [], 0, 0
+            for c in range(self.input_dim):
+                if c in self.factored_cols:
+                    cols.append(per_point[:, fi : fi + 1])
+                    fi += 1
+                else:
+                    cols.append(points[:, ki : ki + 1])
+                    ki += 1
+            points = jnp.concatenate(cols, axis=1)
 
         spec, params = self._phi_spec_params()
         counts = segment_count(seg, num_segments)[:num_events]

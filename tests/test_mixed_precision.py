@@ -143,6 +143,38 @@ def test_counts_encoding_wire_size():
     assert batch["seg_counts"].sum() == batch["points"].shape[0]
 
 
+def test_factored_event_columns_match_full():
+    """factor_event_cols wire format == full per-point replication."""
+    from point_cloud_classifier_tpu.data.batching import PointCloudLoader
+
+    rng = np.random.default_rng(7)
+    events = []
+    for _ in range(12):
+        n = int(rng.integers(4, 25))
+        ev = rng.normal(size=(n, 6))
+        ev[:, 1] = rng.normal()  # column 1 constant per event (energy_total)
+        events.append(ev)
+    labels = rng.integers(0, 2, size=12)
+
+    def run(factored):
+        model = DeepSets(
+            input_dim=6, phi_layers=[16], rho_layers=[16], output_dim=1,
+            activation="relu", layer_norm=False, pooling="mean",
+            factored_cols=(1,) if factored else (),
+        )
+        loader = PointCloudLoader(
+            events, labels, batch_size=6, shuffle=False,
+            factor_event_cols=(1,) if factored else (),
+        )
+        batches = list(loader)
+        variables = model.init(jax.random.PRNGKey(0), batches[0], train=False)
+        return np.concatenate(
+            [np.asarray(model.apply(variables, b, train=False)) for b in batches]
+        )
+
+    np.testing.assert_allclose(run(False), run(True), rtol=1e-5, atol=1e-6)
+
+
 def test_graph_counts_encoding_matches_ids():
     """GraphLoader seg_encoding='counts' == explicit per-node ids."""
     from point_cloud_classifier_tpu.data.batching import GraphLoader
