@@ -24,12 +24,15 @@ from typing import Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 
-def pow2_bucket(n: int, min_size: int = 256) -> int:
-    """Smallest power-of-two >= max(n, min_size)."""
-    size = min_size
+def pow2_bucket(n: int, min_size: int = 256, factor: float = 2.0) -> int:
+    """Smallest ``min_size * factor^k`` (rounded up to a multiple of 8) that
+    covers ``n``.  factor=2.0 keeps the classic power-of-two ladder; smaller
+    factors (e.g. 1.25) trade a few extra compiled shapes for up to ~40%
+    less padding shipped over the host→device link."""
+    size = float(min_size)
     while size < n:
-        size *= 2
-    return size
+        size *= factor
+    return -(-int(round(size)) // 8) * 8
 
 
 Batch = Dict[str, np.ndarray]
@@ -97,7 +100,14 @@ class PointCloudLoader:
         transfer_dtype: str = "float32",
         seg_encoding: str = "ids",
         factor_event_cols: Sequence[int] = (),
+        bucket_factor: float = 2.0,
+        length_sorted: bool = False,
     ):
+        # length_sorted: group similar-size events into the same batch
+        # (shuffling BATCH order, not event order) — less padding per
+        # batch at the cost of within-batch size correlation
+        self.bucket_factor = float(bucket_factor)
+        self.length_sorted = bool(length_sorted)
         # seg_encoding="counts": ship per-event point counts [B+1] (~1KB)
         # instead of the per-point id array (~P*2B); the model reconstructs
         # ids on device with jnp.repeat (sizes are static).  The training
@@ -143,16 +153,25 @@ class PointCloudLoader:
         n, b = self.n_examples, self.batch_size
         order = np.arange(n)
         if self.shuffle:
-            order = np.random.default_rng(self.seed + self._epoch).permutation(n)
+            rng = np.random.default_rng(self.seed + self._epoch)
+            order = rng.permutation(n)
             self._epoch += 1
+        if self.length_sorted:
+            # stable sort events by size, batch neighbours, shuffle batches
+            order = order[np.argsort(self.counts[order], kind="stable")]
+            starts = np.arange(0, n, b)
+            if self.shuffle:
+                rng.shuffle(starts)
+        else:
+            starts = np.arange(0, n, b)
         feat_dim = self.flat.shape[1]
         fac = list(self.factor_event_cols)
         keep_cols = [c for c in range(feat_dim) if c not in fac]
-        for start in range(0, n, b):
+        for start in starts:
             idx = order[start : start + b]
             k = len(idx)
             total = int(self.counts[idx].sum())
-            p_pad = pow2_bucket(total, self.min_bucket)
+            p_pad = pow2_bucket(total, self.min_bucket, self.bucket_factor)
 
             seg_dtype = np.int16 if (self.half and b < 32767) else np.int32
             points = np.zeros((p_pad, len(keep_cols)), dtype=self.flat.dtype)

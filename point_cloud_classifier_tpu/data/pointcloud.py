@@ -43,6 +43,8 @@ def frame_to_point_loader(
     transfer_dtype: str = "float32",
     seg_encoding: str = "ids",
     factor_event_cols=(),
+    bucket_factor: float = 2.0,
+    length_sorted: bool = False,
 ):
     """Per-hit frame → (PointCloudLoader, event ids in loader order).
 
@@ -74,6 +76,8 @@ def frame_to_point_loader(
         transfer_dtype=transfer_dtype,
         seg_encoding=seg_encoding,
         factor_event_cols=factor_event_cols,
+        bucket_factor=bucket_factor,
+        length_sorted=length_sorted,
     )
     return loader, np.asarray(ordered_ids)
 
@@ -98,6 +102,8 @@ class Step2PointPointCloud(DataModule):
         transfer_dtype: str = "float32",
         seg_encoding: str = "ids",
         factor_event_cols=(),
+        bucket_factor: float = 2.0,
+        length_sorted: bool = False,
         load_cache: bool = True,
         **kwargs,
     ):
@@ -105,6 +111,8 @@ class Step2PointPointCloud(DataModule):
         self.transfer_dtype = transfer_dtype
         self.seg_encoding = seg_encoding
         self.factor_event_cols = tuple(factor_event_cols)
+        self.bucket_factor = bucket_factor
+        self.length_sorted = length_sorted
         self.parts = parts
         self.sparse_batching = sparse_batching  # kept for config compat; the
         # static-shape flattened layout subsumes both reference collates
@@ -256,6 +264,8 @@ class Step2PointPointCloud(DataModule):
             transfer_dtype=self.transfer_dtype,
             seg_encoding=self.seg_encoding,
             factor_event_cols=self.factor_event_cols,
+            bucket_factor=self.bucket_factor,
+            length_sorted=self.length_sorted and split == "train",
         )
         return loader
 

@@ -20,11 +20,11 @@ settings.load_profile("ci")
 # -- pow2 bucketing -----------------------------------------------------------
 
 
-@given(st.integers(min_value=0, max_value=10**6), st.sampled_from([1, 64, 256]))
+@given(st.integers(min_value=0, max_value=10**6), st.sampled_from([8, 64, 256]))
 def test_pow2_bucket_properties(n, min_size):
     b = pow2_bucket(n, min_size)
-    assert b >= n and b >= min_size
-    assert b & (b - 1) == 0  # power of two
+    assert b >= n and b >= min_size and b % 8 == 0
+    assert b & (b - 1) == 0  # power of two at the default factor
     assert b == min_size or b // 2 < max(n, min_size)  # tight
 
 
@@ -72,6 +72,40 @@ def test_pointcloud_loader_roundtrip(sizes, batch_size, counts_enc):
         assert np.all(batch["points"][seg == b] == 0.0)
         seen_events += k
     assert seen_events == len(sizes)
+
+
+@given(event_sizes, st.integers(min_value=1, max_value=8))
+def test_length_sorted_covers_all_events(sizes, batch_size):
+    """Length-sorted batching yields every event exactly once, less padding."""
+    rng = np.random.default_rng(2)
+    events = [rng.normal(size=(n, 3)) for n in sizes]
+    labels = np.arange(len(sizes)) % 2
+
+    def totals(length_sorted):
+        loader = PointCloudLoader(
+            events, labels, batch_size=batch_size, shuffle=True, seed=3,
+            min_bucket=8, length_sorted=length_sorted,
+        )
+        n_events, padded = 0, 0
+        for batch in loader:
+            n_events += int(batch["y_mask"].sum())
+            padded += batch["points"].shape[0]
+        return n_events, padded
+
+    n_plain, pad_plain = totals(False)
+    n_sorted, pad_sorted = totals(True)
+    # the hard invariant is coverage; padding reduction is the typical but
+    # not pointwise-guaranteed effect (bucket rounding can interleave)
+    assert n_plain == n_sorted == len(sizes)
+
+
+@given(st.integers(min_value=0, max_value=100000))
+def test_bucket_factor_ladder(n):
+    # a finer geometric ladder is still valid (covers n, multiple of 8) and
+    # is tight on ITS ladder; it does not pointwise-dominate the pow2 ladder
+    b125 = pow2_bucket(n, 256, 1.25)
+    assert b125 >= n and b125 % 8 == 0
+    assert n <= 256 or b125 <= int(round(max(n, 256) * 1.25)) + 8  # tight
 
 
 # -- graph loader ---------------------------------------------------------------
