@@ -103,35 +103,53 @@ def measure_jax(
     host_batches = [_batch(b, p, f, seed=s, half=(dtype == "bfloat16")) for s in range(4)]
     wrapper._ensure_initialized(host_batches[0])
 
+    if fuse > 1 and mesh is not None:
+        raise SystemExit(
+            "--fuse with --mesh is not supported: fit() shards batches "
+            "before stacking; the bench would measure a different placement"
+        )
+
     def run(n):
+        """Train on n batches; returns the count actually dispatched."""
         stream = (host_batches[i % len(host_batches)] for i in range(n))
         loss = None
         if fuse > 1:
-            # drive through fit's fusion path: stack K batches per dispatch
-            stacked = None
-            bufs = []
+            # drive through fit's fusion semantics, tail flush included
+            bufs, trained = [], 0
+
+            def flush():
+                nonlocal loss, trained, bufs
+                if not bufs:
+                    return
+                stacked = {k: np.stack([x[k] for x in bufs]) for k in bufs[0]}
+                (
+                    wrapper.params,
+                    wrapper.batch_stats,
+                    wrapper.opt_state,
+                    loss,
+                ) = wrapper._train_step_fused(
+                    wrapper.params, wrapper.batch_stats, wrapper.opt_state, stacked
+                )
+                trained += len(bufs)
+                bufs = []
+
             for batch in stream:
                 bufs.append(batch)
                 if len(bufs) == fuse:
-                    stacked = {k: np.stack([x[k] for x in bufs]) for k in bufs[0]}
-                    (
-                        wrapper.params,
-                        wrapper.batch_stats,
-                        wrapper.opt_state,
-                        loss,
-                    ) = wrapper._train_step_fused(
-                        wrapper.params, wrapper.batch_stats, wrapper.opt_state, stacked
-                    )
-                    bufs = []
+                    flush()
+            flush()
             jax.block_until_ready(loss)
-            return
+            return trained
+        count = 0
         for batch in wrapper._batches(stream):
             wrapper.params, wrapper.batch_stats, wrapper.opt_state, loss = (
                 wrapper._train_step(
                     wrapper.params, wrapper.batch_stats, wrapper.opt_state, batch
                 )
             )
+            count += 1
         jax.block_until_ready(loss)
+        return count
 
     run(warmup)
     # best-of-3 windows: throughput = capability, and transient transport
@@ -139,8 +157,8 @@ def measure_jax(
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        run(iters)
-        best = max(best, b * iters / (time.perf_counter() - t0))
+        trained = run(iters)
+        best = max(best, b * trained / (time.perf_counter() - t0))
     return best
 
 
@@ -247,8 +265,6 @@ def measure_torch_reference(b: int, p: int, f: int, iters: int, warmup: int) -> 
     """
     import torch
     import torch.nn as nn
-
-    torch.set_num_threads(max(1, torch.get_num_threads()))
 
     class RefResidual(nn.Module):
         # reference ResidualBlock with layer_norm=False → Identity norm

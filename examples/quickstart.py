@@ -11,7 +11,8 @@ import argparse
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 from point_cloud_classifier_tpu.data.synthetic import (  # noqa: E402
     write_shower_file,
@@ -34,7 +35,10 @@ def main() -> None:
     write_synthetic_dataset(data_dir, n_events_per_file=100, seed=0)
 
     print("== 2. offline preprocessing (cached .npz artifacts + scalers) ==")
-    config = load_config("configs/base.yaml", "configs/deep_sets.yaml")
+    config = load_config(
+        os.path.join(REPO, "configs", "base.yaml"),
+        os.path.join(REPO, "configs", "deep_sets.yaml"),
+    )
     config["dataset"]["data_dir"] = data_dir
     config["dataset"]["create_dataset"] = True
     train_cli.get_dataloader("s2ppc", config)

@@ -29,22 +29,40 @@ class BackgroundIterator:
 
     def __iter__(self) -> Iterator:
         q: queue.Queue = queue.Queue(maxsize=self._prefetch)
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            """Bounded put that aborts if the consumer walked away."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 for item in self._iterable:
-                    q.put(item)
+                    if not put(item):
+                        return
             except BaseException as e:  # surface in the consumer
-                q.put(e)
+                put(e)
                 return
-            q.put(self._SENTINEL)
+            put(self._SENTINEL)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is self._SENTINEL:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is self._SENTINEL:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # consumer done or abandoned mid-epoch (exception, break,
+            # GeneratorExit): unblock and retire the producer — otherwise
+            # it would sit on q.put forever pinning full batches
+            stop.set()

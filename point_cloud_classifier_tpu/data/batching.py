@@ -117,8 +117,9 @@ class PointCloudLoader:
         # (e.g. energy_total) ship once per event as "event_feats" [B, C]
         # instead of replicated per point; the model re-gathers them by
         # segment id — exact, and each factored column saves P×itemsize on
-        # the wire.
-        self.factor_event_cols = tuple(factor_event_cols)
+        # the wire.  Stored sorted: event_feats columns are ALWAYS in
+        # ascending original-column order (the model relies on this).
+        self.factor_event_cols = tuple(sorted(factor_event_cols))
         # "float16" halves the bytes shipped host→device per step (features
         # fp16, segment ids int16); models upcast on device.  The training
         # pipeline is H2D-bandwidth-bound on TPU, so this directly scales
@@ -188,7 +189,7 @@ class PointCloudLoader:
                 lo, hi = self.offsets[ev], self.offsets[ev + 1]
                 rows = self.flat[lo:hi]
                 points[cursor : cursor + (hi - lo)] = rows[:, keep_cols]
-                if fac:
+                if fac and len(rows):
                     event_feats[slot] = rows[0, fac]  # constant per event
                 seg[cursor : cursor + (hi - lo)] = slot
                 seg_counts[slot] = hi - lo

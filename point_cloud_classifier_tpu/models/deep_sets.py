@@ -148,11 +148,13 @@ class DeepSets(nn.Module):
 
         if self.factored_cols:
             # rebuild the full per-point feature matrix in original column
-            # order: factored columns gather from the per-event table
+            # order; event_feats columns arrive in ASCENDING original-column
+            # order (the loader sorts factor_event_cols) so sort here too
+            factored = sorted(self.factored_cols)
             per_point = batch["event_feats"].astype(points.dtype)[seg]
             cols, ki, fi = [], 0, 0
             for c in range(self.input_dim):
-                if c in self.factored_cols:
+                if c in factored:
                     cols.append(per_point[:, fi : fi + 1])
                     fi += 1
                 else:
@@ -161,7 +163,12 @@ class DeepSets(nn.Module):
             points = jnp.concatenate(cols, axis=1)
 
         spec, params = self._phi_spec_params()
-        counts = segment_count(seg, num_segments)[:num_events]
+        if "seg_counts" in batch:
+            # the counts wire already carries per-event sizes — no need to
+            # re-reduce a [P]-length array on the hot path
+            counts = batch["seg_counts"][:num_events].astype(jnp.float32)
+        else:
+            counts = segment_count(seg, num_segments)[:num_events]
         safe = jnp.maximum(counts, 1.0).reshape(-1, 1)
 
         if self._use_pallas():

@@ -151,8 +151,20 @@ def phi_pool_pallas(
     assert all(not has_ln for _, has_ln in spec), "LN specs use the XLA path"
     p, f = points.shape
     h_dim = params[-1][0].shape[-1]
-    t = min(tile, p)
-    assert p % t == 0, f"point buffer {p} not a multiple of tile {t}"
+    # Mosaic wants power-of-two row tiles here (mult-of-8-but-not-128 tiles
+    # compile but miscompute on the accumulation path); buffers from
+    # non-pow2 bucket ladders fall back to the XLA implementation
+    t = None
+    cand = min(tile, p)
+    while cand >= 128:
+        if p % cand == 0 and (cand & (cand - 1)) == 0:
+            t = cand
+            break
+        cand //= 2
+    if t is None and p < 128 and (p & (p - 1)) == 0:
+        t = p  # tiny pow2 buffers (tests) run single-tile
+    if t is None:
+        return phi_pool_xla(points, seg, spec, params, activation, num_segments)
     s_pad = _round_up(num_segments, 8)
 
     dtype = points.dtype

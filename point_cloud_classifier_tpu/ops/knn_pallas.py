@@ -119,7 +119,12 @@ def _knn_aggregate_pallas_impl(
         raise ValueError("aggr must be 'add' or 'mean'")
     n, h = x.shape
     t = _auto_tile(n, tile)
-    assert n % t == 0, f"node buffer {n} not a multiple of tile {t}"
+    if n % t != 0 or (t & (t - 1)) != 0:
+        # non-pow2 buffers (fine bucket ladders): mult-of-8-but-not-pow2
+        # tiles miscompute on the Mosaic accumulation path — use XLA
+        from point_cloud_classifier_tpu.ops.knn import knn_aggregate
+
+        return knn_aggregate(x, positions, node_seg, k, num_graphs, aggr)
     kernel = _make_kernel(k, num_graphs, aggr, t, n)
     return pl.pallas_call(
         kernel,
