@@ -58,6 +58,49 @@ def test_vmapped_adamw_runs():
         assert set(st) == {"params", "batch_stats"}
 
 
+def test_vmapped_pointcloud_arms():
+    """Vmapped arms handle bucket-shape polymorphism (point-cloud loaders)."""
+    from point_cloud_classifier_tpu.data.batching import PointCloudLoader
+    from point_cloud_classifier_tpu.models import DeepSets
+
+    rng = np.random.default_rng(0)
+    events = [rng.normal(size=(rng.integers(5, 80), 6)) for _ in range(24)]
+    labels = rng.integers(0, 2, size=24)
+    train = PointCloudLoader(events[:16], labels[:16], batch_size=8, shuffle=False, min_bucket=64)
+    val = PointCloudLoader(events[16:], labels[16:], batch_size=8, shuffle=False, min_bucket=64)
+
+    model = DeepSets(
+        input_dim=6, phi_layers=[16], rho_layers=[16], output_dim=1,
+        activation="gelu", layer_norm=False, pooling="mean",
+    )
+    result = train_configs_vmapped(
+        model, [1e-2, 1e-3], "adamw", epochs=2, train_loader=train, val_loader=val
+    )
+    assert len(result["val_accs"]) == 2
+    assert all(0.0 <= a <= 1.0 for a in result["val_accs"])
+
+
+def test_run_search_vmapped_deep_sets(tmp_path):
+    import sweep as sweep_mod
+    from point_cloud_classifier_tpu.data.synthetic import write_synthetic_dataset
+    from point_cloud_classifier_tpu.utils.config import load_config
+    from train import get_dataloader
+
+    data_dir = str(tmp_path / "data")
+    write_synthetic_dataset(data_dir, n_events_per_file=25, seed=4)
+    config = load_config("configs/base.yaml", "configs/deep_sets.yaml")
+    config["dataset"]["data_dir"] = data_dir
+    config["dataset"]["create_dataset"] = True
+    get_dataloader("s2ppc", config)
+
+    np.random.seed(1)
+    top = sweep_mod.run_search_vmapped(
+        "deep_sets", "s2ppc", search_dir=str(tmp_path / "s"),
+        max_runs=2, epochs=1, force=True, data_dir=data_dir,
+    )
+    assert len(top) == 2
+
+
 def test_arm_sharded_matches_unsharded():
     """Arms sharded over the 8-device mesh == unsharded vmapped training."""
     from point_cloud_classifier_tpu.parallel import make_mesh
