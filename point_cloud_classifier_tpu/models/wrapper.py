@@ -402,6 +402,8 @@ class ModelWrapper:
             batch_losses = []
             timer = StepTimer()
             pending = []  # same-shape batches awaiting a fused dispatch
+            shapes_seen = getattr(self, "_shapes_seen", set())
+            self._shapes_seen = shapes_seen
 
             def flush():
                 if not pending:
@@ -435,6 +437,7 @@ class ModelWrapper:
             with maybe_trace(self.log_dir, force=False):
                 for batch in self._batches(train_loader):
                     self._ensure_initialized(batch)
+                    shapes_seen.add(shape_key(batch))
                     if pending and (
                         len(pending) >= self.fuse_steps
                         or shape_key(pending[0]) != shape_key(batch)
@@ -501,6 +504,10 @@ class ModelWrapper:
                 log.histograms(flat.items(), epoch)
             self.save_state(epoch)
         log.scalar("train_wall_seconds", time.time() - t0, 0)
+        # bucket-explosion observability: each distinct batch shape is a
+        # separate compiled program — users tune min_bucket/bucket_factor
+        # against this number
+        log.scalar("compile/distinct_batch_shapes", len(getattr(self, "_shapes_seen", ())), 0)
         log.close()
 
     def _evaluate(self, loader: Iterable):
