@@ -50,6 +50,43 @@ def test_resume_continues_exactly(tmp_path):
     assert cont.best_val_loss == pytest.approx(full.best_val_loss, rel=1e-5)
 
 
+def test_resume_on_mesh_matches_uninterrupted(tmp_path):
+    """Mid-training resume under a (data, model) mesh restores shardings."""
+    from jax.sharding import PartitionSpec as P
+
+    from point_cloud_classifier_tpu.models import DeepSets
+    from point_cloud_classifier_tpu.parallel import make_mesh
+    from tests.test_parallel import _pointcloud_batch
+
+    model = DeepSets(
+        input_dim=6, phi_layers=[128], rho_layers=[32], output_dim=1,
+        activation="gelu", layer_norm=False, pooling="mean",
+    )
+    train = [_pointcloud_batch(seed=s) for s in range(3)]
+    val = [_pointcloud_batch(seed=9)]
+    mesh = make_mesh(n_model=2)
+
+    full = ModelWrapper(model, learning_rate=1e-2, epochs=4, seed=0,
+                        log_dir=str(tmp_path / "full"), mesh=mesh)
+    full.fit(train, val)
+
+    part = ModelWrapper(model, learning_rate=1e-2, epochs=2, seed=0,
+                        log_dir=str(tmp_path / "part"), mesh=mesh)
+    part.fit(train, val)
+    cont = ModelWrapper(model, learning_rate=1e-2, epochs=4, seed=0,
+                        log_dir=str(tmp_path / "part"), mesh=mesh)
+    cont.fit(train, val, resume=True)
+
+    # restored weights carry the declared TP sharding (the wide phi kernel
+    # shards column-wise over the model axis)
+    wide = cont.params["phi_0_kernel"]
+    assert wide.sharding.spec == P(None, "model")
+
+    _, p_full = full.predict(val, return_prob=True)
+    _, p_cont = cont.predict(val, return_prob=True)
+    np.testing.assert_allclose(p_full, p_cont, rtol=1e-4, atol=1e-5)
+
+
 def test_state_dir_contents(tmp_path):
     train, val = _loaders()
     w = ModelWrapper(_model(), learning_rate=1e-2, epochs=1, seed=0,
