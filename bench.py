@@ -152,10 +152,12 @@ def measure_jax(
         return count
 
     run(warmup)
-    # best-of-3 windows: throughput = capability, and transient transport
-    # stalls (CLAUDE.md gotchas) would otherwise poison a single window
+    # best-of-N windows: throughput = capability; the tunneled transport's
+    # health oscillates on a minutes scale (CLAUDE.md gotchas), so sampling
+    # several windows over time is the only way to measure the machine
+    # rather than the link's worst moment
     best = 0.0
-    for _ in range(3):
+    for _ in range(6):
         t0 = time.perf_counter()
         trained = run(iters)
         best = max(best, b * trained / (time.perf_counter() - t0))
@@ -218,7 +220,7 @@ def measure_graph_jax(b: int, n: int, e: int, iters: int, warmup: int, dtype: st
 
     run(warmup)
     best = 0.0
-    for _ in range(3):  # best-of-3 (see measure_jax)
+    for _ in range(6):  # best-of-N (see measure_jax)
         t0 = time.perf_counter()
         run(iters)
         best = max(best, b * iters / (time.perf_counter() - t0))
