@@ -8,6 +8,7 @@ from point_cloud_classifier_tpu.data.batching import (
 )
 from point_cloud_classifier_tpu.data.background import BackgroundIterator
 from point_cloud_classifier_tpu.data.prefetch import prefetch_to_device
+from point_cloud_classifier_tpu.data.resident import ResidentCache
 from point_cloud_classifier_tpu.data.synthetic import (
     write_shower_file,
     write_synthetic_dataset,
@@ -22,6 +23,7 @@ __all__ = [
     "GraphLoader",
     "BackgroundIterator",
     "prefetch_to_device",
+    "ResidentCache",
     "write_synthetic_dataset",
     "write_shower_file",
 ]

@@ -1,0 +1,109 @@
+"""Device-resident dataset cache: upload once, train from HBM.
+
+The reference re-transfers every batch to the accelerator on every epoch
+(`models/wrapper.py:54` runs inside the epoch loop), so its steady-state
+training throughput is bounded by host→device bandwidth even though the
+datasets here are tiny relative to accelerator memory (the full flagship
+point-cloud split is tens of MB; a v5e chip has 16 GB of HBM).
+
+``ResidentCache`` wraps any re-iterable batch loader.  The first iteration
+streams batches from the underlying loader, places each on device (with the
+mesh shardings when training is distributed), and keeps the device
+references.  Every later iteration replays the cached device batches —
+zero host→device traffic after epoch one, which also makes throughput
+independent of transport health on tunneled TPU backends.
+
+Exactness: the cached arrays are byte-identical to what the streaming path
+would have transferred (``device_put`` of the same host buffers), so
+training with the cache reproduces streaming training bit-for-bit when the
+replay order matches.  By default the epoch-one batch order is replayed
+every epoch; pass ``shuffle_seed`` to permute the *order of batches* across
+epochs (batch composition stays fixed after epoch one — the standard
+trade of cached input pipelines).
+
+Memory safety: caching stops at ``budget_bytes`` (default 2 GiB, override
+via ``PCC_RESIDENT_BUDGET_MB``).  If the budget trips mid-epoch the cache
+abandons itself and every iteration — current and future — streams from the
+underlying loader unchanged, so oversized datasets degrade to exactly the
+old behavior instead of an OOM.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+def _default_budget_bytes() -> int:
+    mb = os.environ.get("PCC_RESIDENT_BUDGET_MB")
+    return int(mb) * (1 << 20) if mb else 2 << 30
+
+
+def _nbytes(batch: Dict[str, np.ndarray]) -> int:
+    return int(sum(np.asarray(v).nbytes for v in batch.values()))
+
+
+class ResidentCache:
+    """Re-iterable wrapper that pins a loader's batches in device memory."""
+
+    def __init__(
+        self,
+        loader: Iterable[Dict[str, np.ndarray]],
+        mesh=None,
+        budget_bytes: Optional[int] = None,
+        shuffle_seed: Optional[int] = None,
+    ):
+        self.loader = loader
+        self.budget_bytes = (
+            _default_budget_bytes() if budget_bytes is None else budget_bytes
+        )
+        self.shuffle_seed = shuffle_seed
+        self._epoch = 0
+        self._cached: Optional[list] = None  # device batches once complete
+        self._abandoned = False
+        if mesh is not None:
+            from point_cloud_classifier_tpu.parallel.mesh import shard_batch
+
+            self._put = lambda b: shard_batch(mesh, b)
+        else:
+            self._put = lambda b: {k: jax.device_put(v) for k, v in b.items()}
+
+    @property
+    def cached(self) -> bool:
+        return self._cached is not None
+
+    def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
+        self._epoch += 1
+        if self._abandoned:
+            yield from self.loader
+            return
+        if self._cached is not None:
+            order = range(len(self._cached))
+            if self.shuffle_seed is not None:
+                order = np.random.default_rng(
+                    self.shuffle_seed + self._epoch
+                ).permutation(len(self._cached))
+            for i in order:
+                yield self._cached[i]
+            return
+        # first pass: stream, place, and pin
+        pinned, used = [], 0
+        it = iter(self.loader)
+        for batch in it:
+            used += _nbytes(batch)
+            if used > self.budget_bytes:
+                # over budget: give up on caching entirely and fall back to
+                # pure streaming (this batch and the rest of the epoch
+                # straight from the loader; later epochs too)
+                self._abandoned = True
+                pinned.clear()
+                yield batch
+                yield from it
+                return
+            dev = self._put(batch)
+            pinned.append(dev)
+            yield dev
+        self._cached = pinned

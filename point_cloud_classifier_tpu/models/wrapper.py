@@ -153,6 +153,7 @@ class ModelWrapper:
         n_model: int = 1,
         state_every: int = 1,
         fuse_steps: int = 1,
+        device_resident: bool = False,
     ):
         self.model = model
         self.learning_rate = learning_rate
@@ -169,6 +170,15 @@ class ModelWrapper:
         # fewer dispatches — decisive on high-latency transports, a modest
         # Python-overhead cut everywhere else.
         self.fuse_steps = max(1, int(fuse_steps))
+        # device-resident input pipeline: pin the (small) dataset in HBM on
+        # the first epoch and replay it, eliminating per-epoch host→device
+        # transfer — the steady-state pipeline for datasets ≪ HBM (see
+        # data/resident.py).  YAML: ``trainer.device_resident: true``;
+        # env PCC_RESIDENT=1/0 force-overrides.
+        env_resident = os.environ.get("PCC_RESIDENT")
+        if env_resident is not None:
+            device_resident = env_resident == "1"
+        self.device_resident = device_resident
         # distribution: a (data, model) jax mesh; None = single device.  The
         # reference has no distributed path at all (its device policy is one
         # line, `models/wrapper.py:22`); here batches shard over the ``data``
@@ -255,6 +265,12 @@ class ModelWrapper:
         double-buffered ``device_put`` prefetch (``data/prefetch.py``), which
         wins on hosts where eager transfers overlap better than jit's.
         """
+        from point_cloud_classifier_tpu.data.resident import ResidentCache
+
+        if isinstance(loader, ResidentCache):
+            # batches are already device-resident with their shardings;
+            # prefetch/background/put layers would only add copies
+            return loader
         if os.environ.get("PCC_BG_LOADER") == "1":
             from point_cloud_classifier_tpu.data.background import BackgroundIterator
 
@@ -397,6 +413,13 @@ class ModelWrapper:
 
         log = _ScalarLog(self.log_dir)
         t0 = time.time()
+        if self.device_resident:
+            from point_cloud_classifier_tpu.data.resident import ResidentCache
+
+            if not isinstance(train_loader, ResidentCache):
+                train_loader = ResidentCache(train_loader, mesh=self.mesh)
+            if val_loader is not None and not isinstance(val_loader, ResidentCache):
+                val_loader = ResidentCache(val_loader, mesh=self.mesh)
         start_epoch = self.restore_state() if resume else 0
         for epoch in range(start_epoch, self.epochs):
             batch_losses = []

@@ -1,0 +1,121 @@
+"""Device-resident dataset cache (data/resident.py) and its trainer path."""
+
+import numpy as np
+import pytest
+
+from point_cloud_classifier_tpu.data.resident import ResidentCache
+from point_cloud_classifier_tpu.models import FullyConnectedNet, ModelWrapper
+from point_cloud_classifier_tpu.parallel import make_mesh
+from tests.test_parallel import _tabular_batch
+
+
+class CountingLoader:
+    """Re-iterable loader that counts full passes over the source."""
+
+    def __init__(self, batches):
+        self.batches = batches
+        self.passes = 0
+
+    def __iter__(self):
+        self.passes += 1
+        yield from self.batches
+
+
+def test_cache_uploads_once_and_replays_exactly():
+    src = CountingLoader([_tabular_batch(seed=s) for s in range(4)])
+    cache = ResidentCache(src)
+    first = [{k: np.asarray(v) for k, v in b.items()} for b in cache]
+    assert src.passes == 1 and cache.cached
+    for _ in range(2):  # later epochs never touch the loader
+        replay = [{k: np.asarray(v) for k, v in b.items()} for b in cache]
+        assert src.passes == 1
+        for a, b in zip(first, replay):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_cache_shuffles_batch_order_across_epochs():
+    batches = [_tabular_batch(seed=s) for s in range(6)]
+    cache = ResidentCache(batches, shuffle_seed=0)
+    list(cache)  # epoch 1: upload in order
+    e2 = [np.asarray(b["x"]) for b in cache]
+    e3 = [np.asarray(b["x"]) for b in cache]
+    as_keys = lambda ep: sorted(a.tobytes() for a in ep)
+    assert as_keys(e2) == as_keys(e3)  # same batches...
+    assert [a.tobytes() for a in e2] != [a.tobytes() for a in e3]  # ...new order
+
+
+def test_cache_budget_falls_back_to_streaming():
+    src = CountingLoader([_tabular_batch(seed=s) for s in range(4)])
+    cache = ResidentCache(src, budget_bytes=1)  # everything is over budget
+    for epoch in range(1, 3):
+        got = list(cache)
+        assert len(got) == 4
+        assert src.passes == epoch  # streams every epoch
+    assert not cache.cached
+
+
+def test_cache_with_mesh_places_data_shardings():
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh()
+    cache = ResidentCache([_tabular_batch()], mesh=mesh)
+    (b1,) = list(cache)
+    assert b1["x"].sharding.spec == P("data", None)
+    (b2,) = list(cache)
+    assert b2["x"].sharding.spec == P("data", None)
+
+
+def test_resident_fit_matches_streaming_fit_exactly():
+    import jax
+
+    train = [_tabular_batch(seed=s) for s in range(3)]
+    val = [_tabular_batch(seed=9)]
+
+    def run(resident):
+        model = FullyConnectedNet(
+            input_dim=9, hidden_layers=[8], batch_normalization=True, output_dim=1
+        )
+        w = ModelWrapper(
+            model, learning_rate=1e-2, epochs=3, seed=0, device_resident=resident
+        )
+        w.fit(train, val)
+        return w
+
+    a, b = run(False), run(True)
+    for pa, pb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    for sa, sb in zip(jax.tree.leaves(a.batch_stats), jax.tree.leaves(b.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+
+
+def test_resident_env_override(monkeypatch):
+    monkeypatch.setenv("PCC_RESIDENT", "1")
+    w = ModelWrapper(
+        FullyConnectedNet(
+            input_dim=9, hidden_layers=[8], batch_normalization=False, output_dim=1
+        ),
+        learning_rate=1e-2,
+        epochs=1,
+    )
+    assert w.device_resident
+    monkeypatch.setenv("PCC_RESIDENT", "0")
+    w2 = ModelWrapper(
+        FullyConnectedNet(
+            input_dim=9, hidden_layers=[8], batch_normalization=False, output_dim=1
+        ),
+        learning_rate=1e-2,
+        epochs=1,
+        device_resident=True,
+    )
+    assert not w2.device_resident
+
+
+def test_bench_smoke_resident_pipeline(capsys):
+    import json
+
+    import bench
+
+    bench.main(["--smoke", "--pipeline", "resident"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["unit"] == "clouds/sec" and out["value"] > 0
