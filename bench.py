@@ -257,7 +257,16 @@ def _graph_batch(b: int, n: int, e: int, f: int, seed: int = 0, half: bool = Tru
     return out
 
 
-def measure_graph_jax(b: int, n: int, e: int, iters: int, warmup: int, dtype: str) -> float:
+def measure_graph_jax(
+    b: int,
+    n: int,
+    e: int,
+    iters: int,
+    warmup: int,
+    dtype: str,
+    pipeline: str = "resident",
+    fuse: int = 1,
+) -> float:
     """graph_net train-step throughput (reference config: GraphConv h128 tanh)."""
     import jax
 
@@ -276,23 +285,73 @@ def measure_graph_jax(b: int, n: int, e: int, iters: int, warmup: int, dtype: st
     host_batches = [_graph_batch(b, n, e, 4, seed=s, half=half) for s in range(4)]
     wrapper._ensure_initialized(host_batches[0])
 
-    def run(k):
-        loss = None
-        stream = (host_batches[i % len(host_batches)] for i in range(k))
-        for batch in wrapper._batches(stream):
-            wrapper.params, wrapper.batch_stats, wrapper.opt_state, loss = (
-                wrapper._train_step(
-                    wrapper.params, wrapper.batch_stats, wrapper.opt_state, batch
+    if pipeline == "resident":
+        if fuse > 1:
+            dev_stacked = {
+                k: jax.device_put(
+                    np.stack(
+                        [host_batches[i % len(host_batches)][k] for i in range(fuse)]
+                    )
                 )
-            )
-        jax.block_until_ready(loss)
+                for k in host_batches[0]
+            }
+        dev_batches = [
+            {k: jax.device_put(v) for k, v in hb.items()} for hb in host_batches
+        ]
+
+        def run(k):
+            loss = None
+            trained = 0
+            if fuse > 1:
+                for _ in range(max(1, k // fuse)):
+                    (
+                        wrapper.params,
+                        wrapper.batch_stats,
+                        wrapper.opt_state,
+                        loss,
+                    ) = wrapper._train_step_fused(
+                        wrapper.params, wrapper.batch_stats, wrapper.opt_state, dev_stacked
+                    )
+                    trained += fuse
+            else:
+                for i in range(k):
+                    (
+                        wrapper.params,
+                        wrapper.batch_stats,
+                        wrapper.opt_state,
+                        loss,
+                    ) = wrapper._train_step(
+                        wrapper.params,
+                        wrapper.batch_stats,
+                        wrapper.opt_state,
+                        dev_batches[i % len(dev_batches)],
+                    )
+                    trained += 1
+            jax.block_until_ready(loss)
+            return trained
+
+    else:
+
+        def run(k):
+            loss = None
+            stream = (host_batches[i % len(host_batches)] for i in range(k))
+            trained = 0
+            for batch in wrapper._batches(stream):
+                wrapper.params, wrapper.batch_stats, wrapper.opt_state, loss = (
+                    wrapper._train_step(
+                        wrapper.params, wrapper.batch_stats, wrapper.opt_state, batch
+                    )
+                )
+                trained += 1
+            jax.block_until_ready(loss)
+            return trained
 
     run(warmup)
     best = 0.0
     for _ in range(6):  # best-of-N (see measure_jax)
         t0 = time.perf_counter()
-        run(iters)
-        best = max(best, b * iters / (time.perf_counter() - t0))
+        trained = run(iters)
+        best = max(best, b * trained / (time.perf_counter() - t0))
     return best
 
 
@@ -476,7 +535,9 @@ def main(argv=None) -> None:
 
     if args.model == "graph_net":
         n, e = (p, 2 * p)
-        cps = measure_graph_jax(b, n, e, iters, warmup, args.dtype)
+        cps = measure_graph_jax(
+            b, n, e, iters, warmup, args.dtype, pipeline=args.pipeline, fuse=args.fuse
+        )
         print(
             json.dumps(
                 {
