@@ -16,10 +16,14 @@ reduction over the static ``[P_pad, H]`` layout.  φ parameters are declared
 flat so the same weights drive two implementations of the hot path:
 
 - the XLA path (``ops/fused_phi.phi_forward_xla`` + segment ops) — always
-  correct, used on CPU / for max pooling / with layer-norm
+  correct, used on CPU / for max pooling / with layer-norm, and the faster
+  path at narrow widths where XLA's epilogue fusion already keeps the MXU
+  busy
 - the fused Pallas kernel (``ops/fused_phi.phi_pool``) — φ matmul chain and
   segment-sum pooling in one kernel, per-point activations never touch HBM
-  (SURVEY §3.3's #1 fusion target)
+  (SURVEY §3.3's #1 fusion target); auto-selected on TPU at φ width ≥ 512
+  where the saved activation traffic wins (measured 1.44× at 512, growing
+  with width)
 """
 
 from __future__ import annotations
@@ -39,9 +43,11 @@ from point_cloud_classifier_tpu.models.common import (
 )
 from point_cloud_classifier_tpu.ops.fused_phi import phi_forward_xla, phi_pool
 from point_cloud_classifier_tpu.ops.segment import (
+    counts_to_segment_ids,
     segment_count,
     segment_max,
     segment_sum,
+    spread_by_segment,
 )
 
 
@@ -92,8 +98,9 @@ class DeepSets(nn.Module):
     pooling: str = "sum"
     compute_dtype: str = "float32"  # "bfloat16" runs the MXU chain in bf16
     # (params and pooling reductions stay f32)
-    fused_phi: str = "auto"  # "auto": Pallas kernel on TPU, XLA elsewhere;
-    # "on": always Pallas (interpreted off-TPU); "off": always XLA
+    fused_phi: str = "auto"  # "auto": Pallas kernel on TPU when the φ width
+    # makes it win (≥512 — see _use_pallas), XLA elsewhere; "on": always
+    # Pallas (interpreted off-TPU); "off": always XLA
     factored_cols: Sequence[int] = ()  # wire contract with the loader's
     # factor_event_cols: per-event-constant feature columns arrive as
     # "event_feats" [B+1, C] and are re-gathered by segment id on device
@@ -128,7 +135,12 @@ class DeepSets(nn.Module):
             return False
         if self.fused_phi == "on":
             return True
-        return jax.default_backend() == "tpu"
+        # measured crossover (same-window A/B on v5e, P=65536): at width
+        # 256 XLA's epilogue-fused chain edges out the kernel (0.74 vs
+        # 0.84 ms), at 512 the kernel wins 1.44× and the gap grows with
+        # width as the saved per-point activation HBM traffic dominates
+        widest = max(self.phi_layers) if self.phi_layers else 0
+        return jax.default_backend() == "tpu" and widest >= 512
 
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = True) -> jnp.ndarray:
@@ -139,19 +151,20 @@ class DeepSets(nn.Module):
             seg = batch["seg"].astype(jnp.int32)  # compact int16 ids allowed
         else:
             # counts wire encoding (~1KB instead of ~P·2B on the H2D link):
-            # rebuild the per-point ids on device; total length is static
-            seg = jnp.repeat(
-                jnp.arange(num_segments, dtype=jnp.int32),
-                batch["seg_counts"],
-                total_repeat_length=points.shape[0],
-            )
+            # rebuild the per-point ids on device, gather-free (a
+            # jnp.repeat here profiled at ~0.5 ms/step — see
+            # ops/segment.counts_to_segment_ids)
+            seg = counts_to_segment_ids(batch["seg_counts"], points.shape[0])
 
         if self.factored_cols:
             # rebuild the full per-point feature matrix in original column
             # order; event_feats columns arrive in ASCENDING original-column
             # order (the loader sorts factor_event_cols) so sort here too
             factored = sorted(self.factored_cols)
-            per_point = batch["event_feats"].astype(points.dtype)[seg]
+            # one-hot MXU spread, not a row gather (~0.5 ms/step saved)
+            per_point = spread_by_segment(
+                batch["event_feats"], seg, dtype=points.dtype
+            )
             cols, ki, fi = [], 0, 0
             for c in range(self.input_dim):
                 if c in factored:

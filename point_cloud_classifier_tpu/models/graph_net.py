@@ -39,6 +39,7 @@ from point_cloud_classifier_tpu.models.common import (
     resolve_dtype,
 )
 from point_cloud_classifier_tpu.ops.segment import (
+    counts_to_segment_ids,
     segment_count,
     segment_softmax,
     segment_rank_desc,
@@ -202,10 +203,10 @@ class GraphNet(nn.Module):
         if "node_seg" in batch:
             node_seg = batch["node_seg"].astype(jnp.int32)
         else:
-            node_seg = jnp.repeat(
-                jnp.arange(num_graphs + 1, dtype=jnp.int32),
-                batch["node_seg_counts"],
-                total_repeat_length=x.shape[0],
+            # gather-free decode (a jnp.repeat lowers to a serial VPU
+            # gather — see ops/segment.counts_to_segment_ids)
+            node_seg = counts_to_segment_ids(
+                batch["node_seg_counts"], x.shape[0]
             )
         adj = None
         if self.knn_k > 0:

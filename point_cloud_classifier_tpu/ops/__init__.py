@@ -12,12 +12,14 @@ from point_cloud_classifier_tpu.ops.knn import (
 )
 from point_cloud_classifier_tpu.ops.knn_pallas import knn_aggregate_pallas
 from point_cloud_classifier_tpu.ops.segment import (
+    counts_to_segment_ids,
     segment_count,
     segment_max,
     segment_mean,
     segment_rank_desc,
     segment_softmax,
     segment_sum,
+    spread_by_segment,
 )
 
 __all__ = [
@@ -25,6 +27,8 @@ __all__ = [
     "segment_mean",
     "segment_max",
     "segment_count",
+    "counts_to_segment_ids",
+    "spread_by_segment",
     "segment_softmax",
     "segment_rank_desc",
     "phi_pool",

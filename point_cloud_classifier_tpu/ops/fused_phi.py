@@ -144,13 +144,23 @@ def phi_pool_pallas(
     params: Sequence,
     activation: str,
     num_segments: int,
-    tile: int = 2048,
+    tile: int | None = None,
     interpret: bool = False,
 ):
     """One fused pallas_call; returns f32 pooled sums ``[num_segments, H]``."""
     assert all(not has_ln for _, has_ln in spec), "LN specs use the XLA path"
     p, f = points.shape
     h_dim = params[-1][0].shape[-1]
+    if tile is None:
+        # VMEM-budgeted row tile: the kernel's live set scales ~ tile×width,
+        # and tile×width beyond 2^20 rows×cols blows the 16 MB scoped-vmem
+        # stack (measured: 4096×256 / 2048×512 / 1024×1024 fit, 2× each
+        # does not).  Cap at 4096 — wider tiles stopped helping.
+        widest = max([h_dim] + [w[0].shape[-1] for w in params[:-1]])
+        budget = (1 << 20) // max(widest, 1)
+        tile = 128
+        while tile * 2 <= min(budget, 4096):
+            tile *= 2
     # Mosaic wants power-of-two row tiles here (mult-of-8-but-not-128 tiles
     # compile but miscompute on the accumulation path); buffers from
     # non-pow2 bucket ladders fall back to the XLA implementation

@@ -62,7 +62,8 @@ def knn_edges(
     masked = jnp.where(allowed, d2, big)
     neg_d, idx = jax.lax.top_k(-masked, k)  # [N, k] nearest first
 
-    dst = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+    # == repeat(arange(n), k) but pure iota arithmetic, no gather
+    dst = jax.lax.iota(jnp.int32, n * k) // k
     src = idx.astype(jnp.int32).reshape(-1)
     edge_mask = (neg_d > -big).reshape(-1).astype(jnp.float32)
     # disallowed picks keep indices from top_k's padding — point them at the

@@ -51,6 +51,41 @@ def segment_sum(
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
 
 
+def counts_to_segment_ids(counts: jnp.ndarray, total: int) -> jnp.ndarray:
+    """Per-segment counts ``[S]`` → sorted per-element segment ids ``[total]``.
+
+    The obvious ``jnp.repeat(arange(S), counts, total_repeat_length=total)``
+    lowers to a serial VPU gather — profiled at ~0.5 ms for 65K points on
+    v5e, the single most expensive op in the flagship train step.  The id of
+    element ``i`` is just the number of cumulative segment ends ≤ ``i``, so
+    a broadcast compare against the ``[S]`` ends vector plus a row reduce
+    computes the whole thing as vectorized VPU work (µs).
+    """
+    ends = jnp.cumsum(counts.astype(jnp.int32))
+    i = jax.lax.broadcasted_iota(jnp.int32, (total, 1), 0)
+    return jnp.sum((i >= ends[None, :]).astype(jnp.int32), axis=1)
+
+
+def spread_by_segment(
+    values: jnp.ndarray, segment_ids: jnp.ndarray, dtype=None
+) -> jnp.ndarray:
+    """Expand per-segment rows ``[S, C]`` to per-element rows ``[N, C]``.
+
+    Gather-free replacement for ``values[segment_ids]`` (a serial VPU gather
+    at these sizes): a one-hot ``[N, S]`` contraction on the MXU.  Exact —
+    each output row is a single-term sum.  Worth it when N ≫ S (per-event
+    constants spread back over points); for genuinely random large tables
+    a gather is still the right op.
+    """
+    dtype = values.dtype if dtype is None else dtype
+    s = values.shape[0]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    onehot = (segment_ids[:, None] == slot).astype(dtype)
+    return jnp.dot(
+        onehot, values.astype(dtype), preferred_element_type=jnp.float32
+    ).astype(dtype)
+
+
 def segment_count(
     segment_ids: jnp.ndarray, num_segments: int, valid: jnp.ndarray = None
 ) -> jnp.ndarray:

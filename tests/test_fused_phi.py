@@ -116,3 +116,58 @@ def test_deepsets_fused_on_matches_off():
     np.testing.assert_allclose(
         np.asarray(out_off), np.asarray(out_on), rtol=1e-4, atol=1e-4
     )
+
+
+def test_auto_pallas_gating_by_width_and_backend():
+    from unittest.mock import patch
+
+    from point_cloud_classifier_tpu.models.deep_sets import DeepSets
+
+    def mk(width, **kw):
+        kw.setdefault("layer_norm", False)
+        return DeepSets(
+            input_dim=6, phi_layers=[width, width], rho_layers=[64],
+            output_dim=1, activation="gelu",
+            residual_block=True, pooling="mean", **kw,
+        )
+
+    assert not mk(1024)._use_pallas()  # cpu backend: XLA
+    with patch("jax.default_backend", return_value="tpu"):
+        assert not mk(256)._use_pallas()  # narrow: XLA wins (docs/kernels.md)
+        assert mk(512)._use_pallas()
+        assert mk(1024)._use_pallas()
+        assert not mk(1024, layer_norm=True)._use_pallas()
+        assert mk(256, fused_phi="on")._use_pallas()
+        assert not mk(1024, fused_phi="off")._use_pallas()
+
+
+def test_pallas_adaptive_tile_wide_phi_parity():
+    # width 512 chain through the kernel (interpret mode) vs the XLA oracle;
+    # exercises the VMEM-budgeted tile selection (tile*width <= 2**20)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from point_cloud_classifier_tpu.ops.fused_phi import (
+        phi_pool_pallas,
+        phi_pool_xla,
+    )
+
+    rng = np.random.default_rng(0)
+    p, f, h, bsz = 512, 6, 512, 7
+    spec = (("plain", False), ("residual", False))
+
+    def lin(i, o):
+        return (
+            jnp.asarray(rng.normal(size=(i, o)) * 0.1, dtype=jnp.float32),
+            jnp.asarray(rng.normal(size=(o,)) * 0.1, dtype=jnp.float32),
+            None,
+            None,
+        )
+
+    params = (lin(f, h), lin(h, h), lin(h, h)[:2])
+    pts = jnp.asarray(rng.normal(size=(p, f)), dtype=jnp.float32)
+    seg = jnp.sort(jnp.asarray(rng.integers(0, bsz, size=(p,)), dtype=jnp.int32))
+    want = phi_pool_xla(pts, seg, spec, params, "gelu", bsz + 1)
+    got = phi_pool_pallas(pts, seg, spec, params, "gelu", bsz + 1, interpret=True)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got), rtol=2e-5, atol=2e-5)

@@ -213,3 +213,31 @@ def test_segment_rank_is_valid_ranking(n_rows, n_segments):
         # rank order respects descending score
         order = idx[np.argsort(r)]
         assert np.all(np.diff(score_np[order]) <= 1e-7)
+
+
+def test_counts_to_segment_ids_matches_repeat():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from point_cloud_classifier_tpu.ops.segment import counts_to_segment_ids
+
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        s = int(rng.integers(1, 40))
+        counts = rng.multinomial(200, np.ones(s) / s)
+        want = np.repeat(np.arange(s), counts)
+        got = np.asarray(counts_to_segment_ids(jnp.asarray(counts), 200))
+        np.testing.assert_array_equal(want, got)
+
+
+def test_spread_by_segment_matches_gather():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from point_cloud_classifier_tpu.ops.segment import spread_by_segment
+
+    rng = np.random.default_rng(1)
+    vals = rng.normal(size=(17, 3)).astype(np.float32)
+    seg = np.sort(rng.integers(0, 17, size=(123,))).astype(np.int32)
+    got = np.asarray(spread_by_segment(jnp.asarray(vals), jnp.asarray(seg)))
+    np.testing.assert_array_equal(vals[seg], got)
