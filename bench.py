@@ -233,6 +233,36 @@ def measure_jax(
     return best
 
 
+def _graph_batch_dense(b: int, n: int, e: int, f: int, seed: int = 0, half: bool = True):
+    """Same workload as :func:`_graph_batch` in the dense adjacency layout:
+    ``n`` total valid nodes and ``e`` directed edges spread over ``b``
+    graphs, node dim padded to the power-of-two bucket (M=512 at the
+    flagship shape)."""
+    rng = np.random.default_rng(seed)
+    feat_t = np.float16 if half else np.float32
+    per = n // b
+    # node dim padded like the loader's pow-2 bucketing of the batch's
+    # largest graph (~2x the mean size): M=512 at the flagship shape
+    m = max(64, 1 << (2 * per - 1).bit_length())
+    e_per = e // b
+    nodes = np.zeros((b, m, f), dtype=feat_t)
+    nodes[:, :per] = rng.normal(size=(b, per, f))
+    adj = np.zeros((b, m, m), dtype=feat_t)
+    src = rng.integers(0, per, size=(b, e_per))
+    dst = rng.integers(0, per, size=(b, e_per))
+    for g in range(b):
+        adj[g, dst[g], src[g]] = 1.0
+    node_mask = np.zeros((b, m), dtype=np.float32)
+    node_mask[:, :per] = 1.0
+    return {
+        "nodes": nodes,
+        "adj": adj,
+        "node_mask": node_mask,
+        "y": rng.integers(0, 2, size=(b, 1)).astype(np.float32),
+        "y_mask": np.ones((b,), dtype=np.float32),
+    }
+
+
 def _graph_batch(b: int, n: int, e: int, f: int, seed: int = 0, half: bool = True):
     rng = np.random.default_rng(seed)
     idx_t = np.int16 if (half and n <= 32768) else np.int32
@@ -266,6 +296,7 @@ def measure_graph_jax(
     dtype: str,
     pipeline: str = "resident",
     fuse: int = 1,
+    layout: str = "dense",
 ) -> float:
     """graph_net train-step throughput (reference config: GraphConv h128 tanh)."""
     import jax
@@ -282,7 +313,8 @@ def measure_graph_jax(
     )
     wrapper = ModelWrapper(model, learning_rate=1e-3, epochs=1)
     half = dtype == "bfloat16"
-    host_batches = [_graph_batch(b, n, e, 4, seed=s, half=half) for s in range(4)]
+    mk = _graph_batch_dense if layout == "dense" else _graph_batch
+    host_batches = [mk(b, n, e, 4, seed=s, half=half) for s in range(4)]
     wrapper._ensure_initialized(host_batches[0])
 
     if pipeline == "resident":
@@ -498,6 +530,13 @@ def main(argv=None) -> None:
         "the resident pipeline, 1 for stream",
     )
     parser.add_argument(
+        "--graph-layout",
+        default="dense",
+        choices=["dense", "flat"],
+        help="graph batch layout for --model graph_net: dense batched "
+        "adjacency (message passing as MXU matmuls) or flat edge lists",
+    )
+    parser.add_argument(
         "--pipeline",
         default="resident",
         choices=["resident", "stream"],
@@ -508,8 +547,15 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     if args.fuse is None:
         # fusion needs per-batch shardings under --mesh (unsupported); see
-        # the guard in measure_jax
-        args.fuse = 16 if (args.pipeline == "resident" and not args.mesh) else 1
+        # the guard in measure_jax.  Dense graph batches carry a [B, M, M]
+        # adjacency (~134 MB each at the flagship shape), so cap their
+        # fused stack at 4 to bound the resident HBM footprint
+        if args.pipeline == "resident" and not args.mesh:
+            args.fuse = (
+                4 if (args.model == "graph_net" and args.graph_layout == "dense") else 16
+            )
+        else:
+            args.fuse = 1
 
     if args.smoke:
         b, p, iters, warmup = 32, 2048, 5, 2
@@ -536,7 +582,15 @@ def main(argv=None) -> None:
     if args.model == "graph_net":
         n, e = (p, 2 * p)
         cps = measure_graph_jax(
-            b, n, e, iters, warmup, args.dtype, pipeline=args.pipeline, fuse=args.fuse
+            b,
+            n,
+            e,
+            iters,
+            warmup,
+            args.dtype,
+            pipeline=args.pipeline,
+            fuse=args.fuse,
+            layout=args.graph_layout,
         )
         print(
             json.dumps(

@@ -230,10 +230,29 @@ class GraphLoader:
         min_edge_bucket: int = 512,
         transfer_dtype: str = "float32",
         seg_encoding: str = "ids",
+        layout: str = "flat",
+        min_dense_nodes: int = 64,
+        max_dense_bytes: int = 1 << 28,
     ):
         # "float16": fp16 features/weights + int16 ids on the wire (see
         # PointCloudLoader) — models upcast on device.  seg_encoding
         # "counts" ships per-graph node counts instead of per-node ids.
+        #
+        # layout "dense" emits per-graph padded batches with a batched
+        # adjacency matrix instead of edge lists — ``nodes [B, M, F]``,
+        # ``adj [B, M, M]`` (weights folded in; dst-major rows), ``node_mask
+        # [B, M]`` — turning message passing into one batched MXU matmul
+        # (no gather/scatter; profiled ~5.3 of 7.1 ms/step on v5e for the
+        # flat layout's scatters).  Assumes simple graphs (no duplicate
+        # edges — the lineage builder guarantees this) and supports
+        # GraphConv add/mean (+SAG); GAT/max stay on the flat layout.
+        # "auto" picks dense per batch when B·M² fits ``max_dense_bytes``,
+        # falling back to flat for batches with huge events.
+        if layout not in ("flat", "dense", "auto"):
+            raise ValueError(f"Unknown graph layout: {layout}")
+        self.layout = layout
+        self.min_dense_nodes = min_dense_nodes
+        self.max_dense_bytes = max_dense_bytes
         self.seg_encoding = seg_encoding
         self.half = transfer_dtype == "float16"
         feat_dtype = np.float16 if self.half else np.float32
@@ -266,6 +285,36 @@ class GraphLoader:
     def __len__(self) -> int:
         return -(-self.n_examples // self.batch_size)
 
+    def _dense_batch(self, idx, k: int, b: int, m_pad: int, feat_dim: int) -> Batch:
+        """Per-graph padded layout with a batched adjacency matrix."""
+        feat_t = self.graphs[0]["features"].dtype
+        small_t = np.float16 if self.half else np.float32
+        nodes = np.zeros((b, m_pad, feat_dim), dtype=feat_t)
+        adj = np.zeros((b, m_pad, m_pad), dtype=small_t)
+        node_mask = np.zeros((b, m_pad), dtype=np.float32)
+        yb = np.zeros((b, 1), dtype=np.float32)
+        ymask = np.zeros((b,), dtype=np.float32)
+        for slot, g_i in enumerate(idx):
+            g = self.graphs[g_i]
+            n_i = len(g["features"])
+            nodes[slot, :n_i] = g["features"]
+            node_mask[slot, :n_i] = 1.0
+            src, dst = g["edges"]
+            w = g["weights"] if self.use_weights else np.ones(len(src))
+            # adj[dst, src]: row i holds node i's incoming-edge weights.
+            # += (not =) so accidental duplicate edges still match the flat
+            # layout's scatter-add for "add" aggregation
+            np.add.at(adj[slot], (dst, src), w.astype(small_t))
+            yb[slot, 0] = g["label"]
+        ymask[:k] = 1.0
+        return {
+            "nodes": nodes,
+            "adj": adj,
+            "node_mask": node_mask,
+            "y": yb,
+            "y_mask": ymask,
+        }
+
     def __iter__(self) -> Iterator[Batch]:
         n, b = self.n_examples, self.batch_size
         order = np.arange(n)
@@ -276,6 +325,21 @@ class GraphLoader:
         for start in range(0, n, b):
             idx = order[start : start + b]
             k = len(idx)
+            if self.layout in ("dense", "auto"):
+                max_nodes = max(len(self.graphs[g]["features"]) for g in idx)
+                m_pad = pow2_bucket(max_nodes, self.min_dense_nodes)
+                adj_itemsize = 2 if self.half else 4
+                dense_bytes = b * m_pad * m_pad * adj_itemsize
+                if dense_bytes <= self.max_dense_bytes:
+                    yield self._dense_batch(idx, k, b, m_pad, feat_dim)
+                    continue
+                if self.layout == "dense":
+                    raise ValueError(
+                        f"dense graph batch needs {dense_bytes/2**20:.0f} MB "
+                        f"(B={b}, M={m_pad}) > max_dense_bytes "
+                        f"{self.max_dense_bytes/2**20:.0f} MB; use "
+                        "layout='auto' to fall back to the flat layout"
+                    )
             total_nodes = sum(len(self.graphs[g]["features"]) for g in idx)
             total_edges = sum(self.graphs[g]["edges"].shape[1] for g in idx)
             n_pad = pow2_bucket(total_nodes + 1, self.min_node_bucket)

@@ -178,11 +178,15 @@ class Step2PointGraph(DataModule):
         use_weights: bool = True,
         transfer_dtype: str = "float32",
         seg_encoding: str = "ids",
+        graph_layout: str = "flat",
         **kwargs,
     ):
         super().__init__(data_dir=data_dir, **kwargs)
         self.transfer_dtype = transfer_dtype
         self.seg_encoding = seg_encoding
+        # "dense"/"auto": batched adjacency-matrix batches (message passing
+        # as MXU matmuls, no gather/scatter) — see data/batching.GraphLoader
+        self.graph_layout = graph_layout
         self.n_features = n_features
         self.parts = parts
         self.use_weights = use_weights
@@ -404,6 +408,7 @@ class Step2PointGraph(DataModule):
             n_features=self.n_features,
             transfer_dtype=self.transfer_dtype,
             seg_encoding=self.seg_encoding,
+            layout=self.graph_layout,
         )
 
     def get_train_loader(self) -> GraphLoader:

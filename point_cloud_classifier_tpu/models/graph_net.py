@@ -57,11 +57,18 @@ class GraphConv(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,
-        src: jnp.ndarray,
-        dst: jnp.ndarray,
-        edge_w: jnp.ndarray,
-        edge_valid: jnp.ndarray,
+        src: jnp.ndarray = None,
+        dst: jnp.ndarray = None,
+        edge_w: jnp.ndarray = None,
+        edge_valid: jnp.ndarray = None,
+        agg: jnp.ndarray = None,
     ) -> jnp.ndarray:
+        if agg is not None:
+            # neighbour aggregate precomputed (dense batched-adjacency
+            # layout, or a fused kernel) — same params, no segment ops
+            return TorchLinear(self.features)(agg.astype(x.dtype)) + TorchLinear(
+                self.features, use_bias=False
+            )(x)
         n = x.shape[0]
         # message scatter-aggregation in f32 even under bf16 compute — the
         # matmuls below return to the activation dtype
@@ -153,14 +160,34 @@ class SAGPool(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,
-        node_seg: jnp.ndarray,
-        src: jnp.ndarray,
-        dst: jnp.ndarray,
-        edge_w: jnp.ndarray,
-        edge_valid: jnp.ndarray,
-        node_valid: jnp.ndarray,
-        num_graphs: int,
+        node_seg: jnp.ndarray = None,
+        src: jnp.ndarray = None,
+        dst: jnp.ndarray = None,
+        edge_w: jnp.ndarray = None,
+        edge_valid: jnp.ndarray = None,
+        node_valid: jnp.ndarray = None,
+        num_graphs: int = None,
+        adj_unw: jnp.ndarray = None,
+        node_mask: jnp.ndarray = None,
     ):
+        if adj_unw is not None:
+            # dense layout: x [B, M, H], adj_unw [B, M, M] 0/1.  Scores from
+            # the same unweighted-add GraphConv (identical param tree), then
+            # a per-row top-k by rank — no segment sort needed
+            agg = jnp.einsum(
+                "bij,bjf->bif", adj_unw, x, preferred_element_type=jnp.float32
+            ).astype(x.dtype)
+            score = GraphConv(1, aggr="add")(x, agg=agg)[..., 0]  # [B, M]
+            masked = jnp.where(node_mask > 0, score.astype(jnp.float32), -jnp.inf)
+            # rank by descending score within each graph (stable, so ties
+            # break by node index — matching segment_rank_desc's lexsort)
+            order = jnp.argsort(-masked, axis=1, stable=True)
+            ranks = jnp.argsort(order, axis=1, stable=True)
+            n_per_graph = jnp.sum(node_mask, axis=1)
+            kk = jnp.ceil(self.ratio * n_per_graph)
+            keep = node_mask * (ranks < kk[:, None]).astype(node_mask.dtype)
+            x = x * jnp.tanh(score)[..., None] * keep[..., None].astype(x.dtype)
+            return x, keep
         score = GraphConv(1, aggr="add")(
             x, src, dst, jnp.ones_like(edge_w), edge_valid
         )[:, 0]
@@ -196,6 +223,8 @@ class GraphNet(nn.Module):
 
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = True) -> jnp.ndarray:
+        if "adj" in batch:
+            return self._dense_forward(batch, train)
         x = batch["nodes"].astype(resolve_dtype(self.compute_dtype))
         num_graphs = batch["y"].shape[0]
         # loaders may ship compact int16/int32 ids, or the counts wire
@@ -303,6 +332,81 @@ class GraphNet(nn.Module):
             x = TorchLinear(256)(x)
             x = act(x)
             x = MaskedBatchNorm()(x, mask=node_valid, train=train)
+            x = mean_pool(x)
+        else:
+            x = mean_pool(x)
+            x = TorchLinear(256)(x)
+            x = act(x)
+            x = MaskedBatchNorm()(x, mask=batch.get("y_mask"), train=train)
+
+        return TorchLinear(self.output_dim)(x).astype(jnp.float32)
+
+    def _dense_forward(self, batch: Dict[str, jnp.ndarray], train: bool) -> jnp.ndarray:
+        """Dense batched-adjacency path: message passing as batched matmuls.
+
+        Batch layout (``data/batching.GraphLoader(layout="dense")``):
+        ``nodes [B, M, F]``, ``adj [B, M, M]`` (row i = node i's incoming
+        edge weights; simple graphs), ``node_mask [B, M]``.  Semantics match
+        the flat edge-list path exactly for GraphConv add/mean (+SAG); the
+        module instantiation order mirrors the flat branch so both layouts
+        share one parameter tree (train flat, serve dense, or vice versa).
+        GAT and max aggregation keep the flat layout (attention/max don't
+        reduce to an adjacency contraction worth its memory).
+        """
+        if self.use_gat or self.knn_k > 0 or self.local_pooling == "max":
+            raise ValueError(
+                "dense graph layout supports GraphConv add/mean aggregation; "
+                "use the flat (edge list) layout for GAT / max / knn_k"
+            )
+        dtype = resolve_dtype(self.compute_dtype)
+        x = batch["nodes"].astype(dtype)
+        adj = batch["adj"].astype(dtype)
+        node_mask = batch["node_mask"].astype(jnp.float32)
+        b, m, _ = x.shape
+        act = activation_fn(self.activation)
+
+        def dense_agg(h, a):
+            # f32 accumulation like the flat path's f32 segment ops
+            out = jnp.einsum(
+                "bij,bjf->bif", a, h, preferred_element_type=jnp.float32
+            )
+            if self.local_pooling == "mean":
+                deg = jnp.sum((a != 0).astype(jnp.float32), axis=2)
+                out = out / jnp.maximum(deg, 1.0)[..., None]
+            return out.astype(h.dtype)
+
+        def bn(mod, h, mask):
+            return mod(h.reshape(b * m, -1), mask=mask.reshape(-1), train=train).reshape(
+                b, m, -1
+            )
+
+        x = GraphConv(self.hidden_dim, self.local_pooling)(x, agg=dense_agg(x, adj))
+        x = act(x)
+        x = bn(MaskedBatchNorm(), x, node_mask)
+
+        if self.sag_pool:
+            adj_unw = (adj != 0).astype(dtype)
+            x, keep = SAGPool(self.pool_ratio)(
+                x, adj_unw=adj_unw, node_mask=node_mask.astype(dtype)
+            )
+            keep = keep.astype(jnp.float32)
+            adj = adj * keep[:, :, None].astype(dtype) * keep[:, None, :].astype(dtype)
+            node_mask = keep
+
+        x = GraphConv(self.hidden_dim, self.local_pooling)(x, agg=dense_agg(x, adj))
+        x = act(x)
+        x = bn(MaskedBatchNorm(), x, node_mask)
+
+        def mean_pool(h: jnp.ndarray) -> jnp.ndarray:
+            h32 = h.astype(jnp.float32) * node_mask[..., None]
+            total = jnp.sum(h32, axis=1)
+            counts = jnp.maximum(jnp.sum(node_mask, axis=1), 1.0)
+            return (total / counts[:, None]).astype(h.dtype)
+
+        if self.deepchem_style:
+            x = TorchLinear(256)(x)
+            x = act(x)
+            x = bn(MaskedBatchNorm(), x, node_mask)
             x = mean_pool(x)
         else:
             x = mean_pool(x)

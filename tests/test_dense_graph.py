@@ -1,0 +1,135 @@
+"""Dense batched-adjacency graph layout vs the flat edge-list layout.
+
+The two layouts must be exact drop-ins for each other: same parameter tree,
+same logits (f32), same training artifacts. `data/batching.GraphLoader`
+(layout="dense") + `GraphNet._dense_forward`.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from point_cloud_classifier_tpu.data.batching import GraphLoader
+from point_cloud_classifier_tpu.models import GraphNet
+
+
+def _random_graphs(n_graphs=7, seed=0, f=4):
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for _ in range(n_graphs):
+        n = int(rng.integers(3, 12))
+        feats = rng.normal(size=(n, f)).astype(np.float32)
+        # unique directed edge pairs (simple graph, like the lineage builder)
+        pairs = {
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(3 * n, 2))
+            if a != b
+        }
+        pairs = sorted(pairs)
+        edges = np.array(pairs, dtype=np.int32).T.reshape(2, -1)
+        w = rng.uniform(0.1, 1.0, size=(edges.shape[1],)).astype(np.float32)
+        graphs.append(
+            {
+                "features": feats,
+                "edges": edges,
+                "weights": w,
+                "label": float(rng.integers(0, 2)),
+            }
+        )
+    return graphs
+
+
+def _loaders(graphs, **kw):
+    flat = GraphLoader(graphs, batch_size=4, shuffle=False, layout="flat", **kw)
+    dense = GraphLoader(graphs, batch_size=4, shuffle=False, layout="dense", **kw)
+    return flat, dense
+
+
+@pytest.mark.parametrize("local_pooling", ["add", "mean"])
+@pytest.mark.parametrize("sag_pool", [False, True])
+@pytest.mark.parametrize("deepchem_style", [False, True])
+def test_dense_matches_flat_logits(local_pooling, sag_pool, deepchem_style):
+    graphs = _random_graphs()
+    flat, dense = _loaders(graphs, use_weights=True)
+    model = GraphNet(
+        input_dim=4,
+        hidden_dim=16,
+        output_dim=1,
+        activation="tanh",
+        local_pooling=local_pooling,
+        sag_pool=sag_pool,
+        deepchem_style=deepchem_style,
+    )
+    fb, db = next(iter(flat)), next(iter(dense))
+    variables = model.init(jax.random.PRNGKey(0), fb, train=False)
+    # identical parameter trees: init from either layout is interchangeable
+    v2 = model.init(jax.random.PRNGKey(0), db, train=False)
+    assert jax.tree.structure(variables["params"]) == jax.tree.structure(v2["params"])
+
+    for fbatch, dbatch in zip(flat, dense):
+        lf = model.apply(variables, fbatch, train=False)
+        ld = model.apply(variables, dbatch, train=False)
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(ld), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_dense_matches_flat_under_training_updates():
+    from point_cloud_classifier_tpu.models import ModelWrapper
+
+    graphs = _random_graphs(n_graphs=8, seed=3)
+
+    def run(layout):
+        loader = GraphLoader(
+            graphs, batch_size=4, shuffle=False, layout=layout, use_weights=True
+        )
+        model = GraphNet(
+            input_dim=4, hidden_dim=8, output_dim=1, activation="relu",
+            local_pooling="add", deepchem_style=True,
+        )
+        w = ModelWrapper(model, learning_rate=1e-2, epochs=2, seed=0)
+        w.fit(loader)
+        return w
+
+    a, b = run("flat"), run("dense")
+    for pa, pb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), rtol=2e-4, atol=2e-5
+        )
+
+
+def test_dense_auto_falls_back_for_oversized_batches():
+    graphs = _random_graphs(n_graphs=4, seed=1)
+    auto = GraphLoader(
+        graphs, batch_size=4, shuffle=False, layout="auto", max_dense_bytes=64
+    )
+    batches = list(auto)
+    assert all("adj" not in b for b in batches)  # fell back to flat
+    with pytest.raises(ValueError, match="max_dense_bytes"):
+        list(
+            GraphLoader(
+                graphs, batch_size=4, shuffle=False, layout="dense", max_dense_bytes=64
+            )
+        )
+
+
+def test_dense_rejects_gat_and_max():
+    graphs = _random_graphs(n_graphs=2, seed=2)
+    dense = GraphLoader(graphs, batch_size=2, shuffle=False, layout="dense")
+    batch = next(iter(dense))
+    for kw in ({"use_gat": True}, {"local_pooling": "max"}):
+        model = GraphNet(
+            input_dim=4, hidden_dim=8, output_dim=1, activation="tanh", **kw
+        )
+        with pytest.raises(ValueError, match="dense graph layout"):
+            model.init(jax.random.PRNGKey(0), batch, train=False)
+
+
+def test_use_weights_false_dense_adjacency_is_binary():
+    graphs = _random_graphs(n_graphs=3, seed=4)
+    dense = GraphLoader(
+        graphs, batch_size=3, shuffle=False, layout="dense", use_weights=False
+    )
+    batch = next(iter(dense))
+    vals = np.unique(batch["adj"])
+    assert set(vals.tolist()) <= {0.0, 1.0}
