@@ -133,3 +133,29 @@ def test_use_weights_false_dense_adjacency_is_binary():
     batch = next(iter(dense))
     vals = np.unique(batch["adj"])
     assert set(vals.tolist()) <= {0.0, 1.0}
+
+
+def test_dense_dp_matches_single_device():
+    """Dense-layout training under a data mesh == single-device, bit-for-bit."""
+    from point_cloud_classifier_tpu.models import ModelWrapper
+    from point_cloud_classifier_tpu.parallel import make_mesh
+
+    graphs = _random_graphs(n_graphs=8, seed=7)
+
+    def run(mesh):
+        loader = GraphLoader(graphs, batch_size=8, shuffle=False, layout="dense")
+        model = GraphNet(
+            input_dim=4, hidden_dim=8, output_dim=1, activation="tanh",
+            local_pooling="mean", deepchem_style=True,
+        )
+        w = ModelWrapper(model, learning_rate=1e-2, epochs=2, seed=0, mesh=mesh)
+        w.fit(loader)
+        return w
+
+    a, b = run(None), run(make_mesh())
+    # psum's per-shard-then-cross-shard reduction can reorder float adds vs
+    # the single-device reduce, so equality is to accumulation noise
+    for pa, pb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), rtol=1e-4, atol=1e-6
+        )
