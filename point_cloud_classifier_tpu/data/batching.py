@@ -23,6 +23,12 @@ from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
+from ..native import (
+    pack_graph_dense_native,
+    pack_graph_flat_native,
+    pack_pointcloud_native,
+)
+
 
 def pow2_bucket(n: int, min_size: int = 256, factor: float = 2.0) -> int:
     """Smallest ``min_size * factor^k`` (rounded up to a multiple of 8) that
@@ -130,7 +136,9 @@ class PointCloudLoader:
         self.flat = np.ascontiguousarray(
             np.concatenate(event_features, axis=0), dtype=feat_dtype
         )
-        self.offsets = np.concatenate([[0], np.cumsum(counts)])
+        self.offsets = np.ascontiguousarray(
+            np.concatenate([[0], np.cumsum(counts)]), dtype=np.int64
+        )
         self.counts = counts
         self.labels = np.asarray(labels, dtype=np.float32).reshape(-1)
         self.batch_size = int(batch_size) if batch_size else len(self.labels)
@@ -168,6 +176,8 @@ class PointCloudLoader:
         feat_dim = self.flat.shape[1]
         fac = list(self.factor_event_cols)
         keep_cols = [c for c in range(feat_dim) if c not in fac]
+        keep64 = np.asarray(keep_cols, dtype=np.int64)
+        fac64 = np.asarray(fac, dtype=np.int64)
         for start in starts:
             idx = order[start : start + b]
             k = len(idx)
@@ -182,19 +192,32 @@ class PointCloudLoader:
             seg = np.full((p_pad,), b, dtype=seg_dtype)
             yb = np.zeros((b, 1), dtype=np.float32)
             mask = np.zeros((b,), dtype=np.float32)
-
-            cursor = 0
             seg_counts = np.zeros((b + 1,), dtype=np.int32)
-            for slot, ev in enumerate(idx):
-                lo, hi = self.offsets[ev], self.offsets[ev + 1]
-                rows = self.flat[lo:hi]
-                points[cursor : cursor + (hi - lo)] = rows[:, keep_cols]
-                if fac and len(rows):
-                    event_feats[slot] = rows[0, fac]  # constant per event
-                seg[cursor : cursor + (hi - lo)] = slot
-                seg_counts[slot] = hi - lo
-                cursor += hi - lo
-            seg_counts[b] = p_pad - cursor  # padding rows → segment B
+
+            if not pack_pointcloud_native(
+                self.flat,
+                self.offsets,
+                np.ascontiguousarray(idx, dtype=np.int64),
+                b,
+                keep64,
+                fac64,
+                p_pad,
+                points,
+                event_feats,
+                seg,
+                seg_counts,
+            ):
+                cursor = 0
+                for slot, ev in enumerate(idx):
+                    lo, hi = self.offsets[ev], self.offsets[ev + 1]
+                    rows = self.flat[lo:hi]
+                    points[cursor : cursor + (hi - lo)] = rows[:, keep_cols]
+                    if fac and len(rows):
+                        event_feats[slot] = rows[0, fac]  # constant per event
+                    seg[cursor : cursor + (hi - lo)] = slot
+                    seg_counts[slot] = hi - lo
+                    cursor += hi - lo
+                seg_counts[b] = p_pad - cursor  # padding rows → segment B
             yb[:k, 0] = self.labels[idx]
             mask[:k] = 1.0
             batch = {"points": points, "y": yb, "y_mask": mask}
@@ -256,21 +279,54 @@ class GraphLoader:
         self.seg_encoding = seg_encoding
         self.half = transfer_dtype == "float16"
         feat_dtype = np.float16 if self.half else np.float32
-        self.graphs: List[Dict[str, np.ndarray]] = []
+        # flat contiguous storage (one features/edges/weights buffer + per-
+        # graph offsets): batch assembly is then range-memcpy, in Python or
+        # in the native packer (native/batch_packer.cpp)
+        feat_list, edge_list, weight_list, labels = [], [], [], []
         for g in graphs:
             feats = np.asarray(g["features"], dtype=feat_dtype)
             if n_features is not None:
                 feats = feats[:, :n_features]
-            edges = np.asarray(g["edges"], dtype=np.int32)
-            self.graphs.append(
-                {
-                    "features": np.ascontiguousarray(feats),
-                    "edges": np.ascontiguousarray(edges),
-                    "weights": np.asarray(g["weights"], dtype=np.float32),
-                    "label": np.float32(g["label"]),
-                }
-            )
-        self.batch_size = int(batch_size) if batch_size else len(self.graphs)
+            feat_list.append(np.ascontiguousarray(feats))
+            edge_list.append(np.asarray(g["edges"], dtype=np.int32).reshape(2, -1))
+            weight_list.append(np.asarray(g["weights"], dtype=np.float32).reshape(-1))
+            labels.append(np.float32(g["label"]))
+        node_counts = np.array([len(f) for f in feat_list], dtype=np.int64)
+        edge_counts = np.array([e.shape[1] for e in edge_list], dtype=np.int64)
+        feat_dim_in = feat_list[0].shape[1] if feat_list else 0
+        self.feats = np.ascontiguousarray(
+            np.concatenate(feat_list, axis=0)
+            if feat_list
+            else np.zeros((0, 0), feat_dtype),
+            dtype=feat_dtype,
+        )
+        flat_edges = (
+            np.concatenate(edge_list, axis=1)
+            if edge_list
+            else np.zeros((2, 0), np.int32)
+        )
+        self.edges_src = np.ascontiguousarray(flat_edges[0], dtype=np.int32)
+        self.edges_dst = np.ascontiguousarray(flat_edges[1], dtype=np.int32)
+        self.weights = np.ascontiguousarray(
+            np.concatenate(weight_list) if weight_list else np.zeros((0,)),
+            dtype=np.float32,
+        )
+        # wire-dtype copy for the native flat packer (one conversion at init
+        # instead of a per-edge f32->f16 cast per batch)
+        self.weights_wire = (
+            self.weights.astype(np.float16) if self.half else self.weights
+        )
+        self.node_offsets = np.ascontiguousarray(
+            np.concatenate([[0], np.cumsum(node_counts)]), dtype=np.int64
+        )
+        self.edge_offsets = np.ascontiguousarray(
+            np.concatenate([[0], np.cumsum(edge_counts)]), dtype=np.int64
+        )
+        self.node_counts = node_counts
+        self.edge_counts = edge_counts
+        self.labels = np.asarray(labels, dtype=np.float32)
+        self.feat_dim = feat_dim_in
+        self.batch_size = int(batch_size) if batch_size else len(labels)
         self.shuffle = shuffle
         self.use_weights = use_weights
         self.seed = seed
@@ -280,32 +336,54 @@ class GraphLoader:
 
     @property
     def n_examples(self) -> int:
-        return len(self.graphs)
+        return len(self.labels)
 
     def __len__(self) -> int:
         return -(-self.n_examples // self.batch_size)
 
     def _dense_batch(self, idx, k: int, b: int, m_pad: int, feat_dim: int) -> Batch:
         """Per-graph padded layout with a batched adjacency matrix."""
-        feat_t = self.graphs[0]["features"].dtype
+        feat_t = self.feats.dtype
         small_t = np.float16 if self.half else np.float32
         nodes = np.zeros((b, m_pad, feat_dim), dtype=feat_t)
         adj = np.zeros((b, m_pad, m_pad), dtype=small_t)
         node_mask = np.zeros((b, m_pad), dtype=np.float32)
         yb = np.zeros((b, 1), dtype=np.float32)
         ymask = np.zeros((b,), dtype=np.float32)
-        for slot, g_i in enumerate(idx):
-            g = self.graphs[g_i]
-            n_i = len(g["features"])
-            nodes[slot, :n_i] = g["features"]
-            node_mask[slot, :n_i] = 1.0
-            src, dst = g["edges"]
-            w = g["weights"] if self.use_weights else np.ones(len(src))
-            # adj[dst, src]: row i holds node i's incoming-edge weights.
-            # += (not =) so accidental duplicate edges still match the flat
-            # layout's scatter-add for "add" aggregation
-            np.add.at(adj[slot], (dst, src), w.astype(small_t))
-            yb[slot, 0] = g["label"]
+        idx64 = np.ascontiguousarray(idx, dtype=np.int64)
+        if not pack_graph_dense_native(
+            self.feats,
+            self.node_offsets,
+            self.edges_src,
+            self.edges_dst,
+            self.edge_offsets,
+            self.weights,
+            self.use_weights,
+            idx64,
+            b,
+            m_pad,
+            nodes,
+            adj,
+            node_mask,
+        ):
+            for slot, g_i in enumerate(idx):
+                nlo, nhi = self.node_offsets[g_i], self.node_offsets[g_i + 1]
+                elo, ehi = self.edge_offsets[g_i], self.edge_offsets[g_i + 1]
+                n_i = nhi - nlo
+                nodes[slot, :n_i] = self.feats[nlo:nhi]
+                node_mask[slot, :n_i] = 1.0
+                src = self.edges_src[elo:ehi]
+                dst = self.edges_dst[elo:ehi]
+                w = (
+                    self.weights[elo:ehi]
+                    if self.use_weights
+                    else np.ones(ehi - elo, np.float32)
+                )
+                # adj[dst, src]: row i holds node i's incoming-edge weights.
+                # += (not =) so accidental duplicate edges still match the flat
+                # layout's scatter-add for "add" aggregation
+                np.add.at(adj[slot], (dst, src), w.astype(small_t))
+        yb[:k, 0] = self.labels[idx]
         ymask[:k] = 1.0
         return {
             "nodes": nodes,
@@ -321,12 +399,12 @@ class GraphLoader:
         if self.shuffle:
             order = np.random.default_rng(self.seed + self._epoch).permutation(n)
             self._epoch += 1
-        feat_dim = self.graphs[0]["features"].shape[1]
+        feat_dim = self.feat_dim
         for start in range(0, n, b):
             idx = order[start : start + b]
             k = len(idx)
             if self.layout in ("dense", "auto"):
-                max_nodes = max(len(self.graphs[g]["features"]) for g in idx)
+                max_nodes = int(self.node_counts[idx].max())
                 m_pad = pow2_bucket(max_nodes, self.min_dense_nodes)
                 adj_itemsize = 2 if self.half else 4
                 dense_bytes = b * m_pad * m_pad * adj_itemsize
@@ -340,15 +418,15 @@ class GraphLoader:
                         f"{self.max_dense_bytes/2**20:.0f} MB; use "
                         "layout='auto' to fall back to the flat layout"
                     )
-            total_nodes = sum(len(self.graphs[g]["features"]) for g in idx)
-            total_edges = sum(self.graphs[g]["edges"].shape[1] for g in idx)
+            total_nodes = int(self.node_counts[idx].sum())
+            total_edges = int(self.edge_counts[idx].sum())
             n_pad = pow2_bucket(total_nodes + 1, self.min_node_bucket)
             e_pad = pow2_bucket(max(total_edges, 1), self.min_edge_bucket)
 
             seg_dtype = np.int16 if (self.half and b < 32767) else np.int32
             idx_dtype = np.int16 if (self.half and n_pad <= 32768) else np.int32
             small_dtype = np.float16 if self.half else np.float32
-            nodes = np.zeros((n_pad, feat_dim), dtype=self.graphs[0]["features"].dtype)
+            nodes = np.zeros((n_pad, feat_dim), dtype=self.feats.dtype)
             node_seg = np.full((n_pad,), b, dtype=seg_dtype)
             # padded edges self-loop on the last (always-padding) node
             src = np.full((e_pad,), n_pad - 1, dtype=idx_dtype)
@@ -357,28 +435,53 @@ class GraphLoader:
             edge_mask = np.zeros((e_pad,), dtype=small_dtype)
             yb = np.zeros((b, 1), dtype=np.float32)
             ymask = np.zeros((b,), dtype=np.float32)
-
-            node_cursor = 0
-            edge_cursor = 0
             seg_counts = np.zeros((b + 1,), dtype=np.int32)
-            for slot, g_i in enumerate(idx):
-                g = self.graphs[g_i]
-                n_i = len(g["features"])
-                e_i = g["edges"].shape[1]
-                nodes[node_cursor : node_cursor + n_i] = g["features"]
-                node_seg[node_cursor : node_cursor + n_i] = slot
-                seg_counts[slot] = n_i
-                src[edge_cursor : edge_cursor + e_i] = g["edges"][0] + node_cursor
-                dst[edge_cursor : edge_cursor + e_i] = g["edges"][1] + node_cursor
-                if self.use_weights:
-                    edge_w[edge_cursor : edge_cursor + e_i] = g["weights"]
-                else:
-                    edge_w[edge_cursor : edge_cursor + e_i] = 1.0
-                edge_mask[edge_cursor : edge_cursor + e_i] = 1.0
-                yb[slot, 0] = g["label"]
-                node_cursor += n_i
-                edge_cursor += e_i
-            seg_counts[b] = n_pad - node_cursor  # padding nodes → segment B
+
+            if not pack_graph_flat_native(
+                self.feats,
+                self.node_offsets,
+                self.edges_src,
+                self.edges_dst,
+                self.edge_offsets,
+                self.weights_wire,
+                self.use_weights,
+                np.ascontiguousarray(idx, dtype=np.int64),
+                b,
+                n_pad,
+                e_pad,
+                nodes,
+                node_seg,
+                seg_counts,
+                src,
+                dst,
+                edge_w,
+                edge_mask,
+            ):
+                node_cursor = 0
+                edge_cursor = 0
+                for slot, g_i in enumerate(idx):
+                    nlo, nhi = self.node_offsets[g_i], self.node_offsets[g_i + 1]
+                    elo, ehi = self.edge_offsets[g_i], self.edge_offsets[g_i + 1]
+                    n_i = nhi - nlo
+                    e_i = ehi - elo
+                    nodes[node_cursor : node_cursor + n_i] = self.feats[nlo:nhi]
+                    node_seg[node_cursor : node_cursor + n_i] = slot
+                    seg_counts[slot] = n_i
+                    src[edge_cursor : edge_cursor + e_i] = (
+                        self.edges_src[elo:ehi] + node_cursor
+                    )
+                    dst[edge_cursor : edge_cursor + e_i] = (
+                        self.edges_dst[elo:ehi] + node_cursor
+                    )
+                    if self.use_weights:
+                        edge_w[edge_cursor : edge_cursor + e_i] = self.weights[elo:ehi]
+                    else:
+                        edge_w[edge_cursor : edge_cursor + e_i] = 1.0
+                    edge_mask[edge_cursor : edge_cursor + e_i] = 1.0
+                    node_cursor += n_i
+                    edge_cursor += e_i
+                seg_counts[b] = n_pad - node_cursor  # padding nodes → segment B
+            yb[:k, 0] = self.labels[idx]
             ymask[:k] = 1.0
             batch = {
                 "nodes": nodes,

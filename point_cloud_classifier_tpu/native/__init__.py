@@ -12,7 +12,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -24,42 +24,40 @@ _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 
-def _build() -> bool:
+def _compile_and_load(
+    src: str, lib_path: str, failed_flag: List[bool]
+) -> Optional[ctypes.CDLL]:
+    """Build-on-first-use: compile ``src`` if stale, dlopen, or fall back."""
+    if failed_flag[0] or os.environ.get("PCC_NATIVE") == "0":
+        return None
+    if not os.path.exists(lib_path) or os.path.getmtime(lib_path) < os.path.getmtime(
+        src
+    ):
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src, "-o", lib_path],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except (subprocess.SubprocessError, FileNotFoundError, OSError):
+            failed_flag[0] = True
+            return None
     try:
-        subprocess.run(
-            [
-                "g++",
-                "-O2",
-                "-shared",
-                "-fPIC",
-                "-std=c++17",
-                _SRC,
-                "-o",
-                _LIB,
-            ],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return True
-    except (subprocess.SubprocessError, FileNotFoundError, OSError):
-        return False
+        return ctypes.CDLL(lib_path)
+    except OSError:
+        failed_flag[0] = True
+        return None
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _build_failed
+    global _lib
     if _lib is not None:
         return _lib
-    if _build_failed or os.environ.get("PCC_NATIVE") == "0":
-        return None
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-        if not _build():
-            _build_failed = True
-            return None
-    try:
-        lib = ctypes.CDLL(_LIB)
-    except OSError:
-        _build_failed = True
+    failed = [_build_failed]
+    lib = _compile_and_load(_SRC, _LIB, failed)
+    if lib is None:
+        globals()["_build_failed"] = failed[0]
         return None
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.build_event_edges.restype = ctypes.c_int64
@@ -166,3 +164,187 @@ def build_event_edges_native(
         for pid in parentless[: n_parentless.value]:
             print(f"No parents exist for particle {pid}")
         return np.stack([out_src[:rc], out_dst[:rc]])
+
+
+# ---------------------------------------------------------------------------
+# batch packer: the loaders' host-side assembly loops (batch_packer.cpp)
+# ---------------------------------------------------------------------------
+
+_PACKER_SRC = os.path.join(_THIS_DIR, "batch_packer.cpp")
+_PACKER_LIB = os.path.join(_THIS_DIR, "libbatch_packer.so")
+_packer_lib: Optional[ctypes.CDLL] = None
+_packer_failed = [False]
+
+_I64 = ctypes.c_int64
+_VP = ctypes.c_void_p
+
+
+def _load_packer() -> Optional[ctypes.CDLL]:
+    global _packer_lib
+    if _packer_lib is not None:
+        return _packer_lib
+    lib = _compile_and_load(_PACKER_SRC, _PACKER_LIB, _packer_failed)
+    if lib is None:
+        return None
+    lib.pack_pointcloud.restype = _I64
+    lib.pack_pointcloud.argtypes = [
+        _VP, _I64, _I64,  # flat, feat_dim, itemsize
+        _VP,  # offsets
+        _VP, _I64, _I64,  # idx, k, b
+        _VP, _I64,  # keep_cols, n_keep
+        _VP, _I64,  # fac_cols, n_fac
+        _I64,  # p_pad
+        _VP, _VP,  # points, event_feats
+        _VP, _I64,  # seg, seg_itemsize
+        _VP,  # seg_counts
+    ]
+    lib.pack_graph_flat.restype = _I64
+    lib.pack_graph_flat.argtypes = [
+        _VP, _I64, _I64,  # feats, feat_dim, itemsize
+        _VP,  # node_offsets
+        _VP, _VP, _VP,  # src, dst, edge_offsets
+        _VP, _I64,  # weights, use_weights
+        _VP, _I64, _I64,  # idx, k, b
+        _I64, _I64,  # n_pad, e_pad
+        _VP,  # nodes
+        _VP, _I64,  # node_seg, seg_itemsize
+        _VP,  # seg_counts
+        _VP, _VP, _I64,  # src_out, dst_out, idx_itemsize
+        _VP, _VP, _I64,  # edge_w, edge_mask, w_itemsize
+    ]
+    lib.pack_graph_dense.restype = _I64
+    lib.pack_graph_dense.argtypes = [
+        _VP, _I64, _I64,  # feats, feat_dim, itemsize
+        _VP,  # node_offsets
+        _VP, _VP, _VP,  # src, dst, edge_offsets
+        _VP, _I64,  # weights, use_weights
+        _VP, _I64, _I64,  # idx, k, b
+        _I64,  # m_pad
+        _VP,  # nodes
+        _VP, _I64,  # adj, adj_itemsize
+        _VP,  # node_mask
+    ]
+    _packer_lib = lib
+    return lib
+
+
+def packer_available() -> bool:
+    return _load_packer() is not None
+
+
+def _ptr(a: Optional[np.ndarray]):
+    return 0 if a is None else a.ctypes.data_as(_VP)
+
+
+def pack_pointcloud_native(
+    flat: np.ndarray,
+    offsets: np.ndarray,
+    idx: np.ndarray,
+    b: int,
+    keep_cols: np.ndarray,
+    fac_cols: np.ndarray,
+    p_pad: int,
+    points: np.ndarray,
+    event_feats: Optional[np.ndarray],
+    seg: np.ndarray,
+    seg_counts: np.ndarray,
+) -> bool:
+    """Fill a point-cloud batch in C++; False -> caller uses the Python loop.
+
+    Same semantics as the loop in ``data.batching.PointCloudLoader.__iter__``
+    (the Python oracle; reference collate at utils/data.py:651-663).  Output
+    arrays must be pre-initialised to their padding values.
+    """
+    lib = _load_packer()
+    if lib is None:
+        return False
+    rc = lib.pack_pointcloud(
+        _ptr(flat), flat.shape[1], flat.itemsize,
+        _ptr(offsets),
+        _ptr(idx), len(idx), b,
+        _ptr(keep_cols), len(keep_cols),
+        _ptr(fac_cols), len(fac_cols),
+        p_pad,
+        _ptr(points), _ptr(event_feats),
+        _ptr(seg), seg.itemsize,
+        _ptr(seg_counts),
+    )
+    return rc >= 0
+
+
+def pack_graph_flat_native(
+    feats: np.ndarray,
+    node_offsets: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    edge_offsets: np.ndarray,
+    weights: np.ndarray,
+    use_weights: bool,
+    idx: np.ndarray,
+    b: int,
+    n_pad: int,
+    e_pad: int,
+    nodes: np.ndarray,
+    node_seg: np.ndarray,
+    seg_counts: np.ndarray,
+    src_out: np.ndarray,
+    dst_out: np.ndarray,
+    edge_w: np.ndarray,
+    edge_mask: np.ndarray,
+) -> bool:
+    """Fill a flat-layout graph batch in C++ (oracle: GraphLoader.__iter__).
+
+    ``weights`` must already be in the wire dtype (same itemsize as
+    ``edge_w``) — the loader converts once at construction.
+    """
+    lib = _load_packer()
+    if lib is None:
+        return False
+    assert weights.itemsize == edge_w.itemsize
+    rc = lib.pack_graph_flat(
+        _ptr(feats), feats.shape[1], feats.itemsize,
+        _ptr(node_offsets),
+        _ptr(src), _ptr(dst), _ptr(edge_offsets),
+        _ptr(weights), int(use_weights),
+        _ptr(idx), len(idx), b,
+        n_pad, e_pad,
+        _ptr(nodes),
+        _ptr(node_seg), node_seg.itemsize,
+        _ptr(seg_counts),
+        _ptr(src_out), _ptr(dst_out), src_out.itemsize,
+        _ptr(edge_w), _ptr(edge_mask), edge_w.itemsize,
+    )
+    return rc >= 0
+
+
+def pack_graph_dense_native(
+    feats: np.ndarray,
+    node_offsets: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    edge_offsets: np.ndarray,
+    weights: np.ndarray,
+    use_weights: bool,
+    idx: np.ndarray,
+    b: int,
+    m_pad: int,
+    nodes: np.ndarray,
+    adj: np.ndarray,
+    node_mask: np.ndarray,
+) -> bool:
+    """Fill a dense-layout graph batch in C++ (oracle: GraphLoader._dense_batch)."""
+    lib = _load_packer()
+    if lib is None:
+        return False
+    rc = lib.pack_graph_dense(
+        _ptr(feats), feats.shape[1], feats.itemsize,
+        _ptr(node_offsets),
+        _ptr(src), _ptr(dst), _ptr(edge_offsets),
+        _ptr(weights), int(use_weights),
+        _ptr(idx), len(idx), b,
+        m_pad,
+        _ptr(nodes),
+        _ptr(adj), adj.itemsize,
+        _ptr(node_mask),
+    )
+    return rc >= 0
