@@ -263,6 +263,54 @@ def _graph_batch_dense(b: int, n: int, e: int, f: int, seed: int = 0, half: bool
     }
 
 
+def _graph_batch_dense_wire(
+    b: int, n: int, e: int, f: int, seed: int = 0, half: bool = True
+):
+    """The dense workload in the device-adjacency wire format
+    (``GraphLoader(layout="dense", adj_wire="device")``): per-graph padded
+    nodes + flat LOCAL edge lists; the model scatter-builds ``adj`` on
+    device, so the host never allocates or ships the B·M² buffer."""
+    rng = np.random.default_rng(seed)
+    feat_t = np.float16 if half else np.float32
+    per = n // b
+    m = max(64, 1 << (2 * per - 1).bit_length())
+    e_per = e // b
+    idx_t = np.int16 if (half and m <= 32768) else np.int32
+    slot_t = np.int16 if (half and b < 32767) else np.int32
+    nodes = np.zeros((b, m, f), dtype=feat_t)
+    nodes[:, :per] = rng.normal(size=(b, per, f))
+    node_mask = np.zeros((b, m), dtype=np.float32)
+    node_mask[:, :per] = 1.0
+    src = rng.integers(0, per, size=(b, e_per))
+    dst = rng.integers(0, per, size=(b, e_per))
+    # dedup (slot, dst, src) like _graph_batch_dense's adj[dst, src] = 1.0
+    # overwrite semantics, so both layouts carry identical edge multisets
+    slot = np.repeat(np.arange(b), e_per)
+    flat = (slot * m + dst.reshape(-1)) * m + src.reshape(-1)
+    _, keep = np.unique(flat, return_index=True)
+    e_pad = 1 << (max(len(keep), 1) - 1).bit_length()
+    # wire contract: triples ascending (np.unique's keep is already sorted
+    # by the flat key), unique, padding at slot b (dropped by the scatter)
+    edge_src = np.zeros((e_pad,), dtype=idx_t)
+    edge_dst = np.zeros((e_pad,), dtype=idx_t)
+    edge_slot = np.full((e_pad,), b, dtype=slot_t)
+    edge_w = np.zeros((e_pad,), dtype=feat_t)
+    edge_src[: len(keep)] = src.reshape(-1)[keep]
+    edge_dst[: len(keep)] = dst.reshape(-1)[keep]
+    edge_slot[: len(keep)] = slot[keep]
+    edge_w[: len(keep)] = 1.0
+    return {
+        "nodes": nodes,
+        "node_mask": node_mask,
+        "edge_src": edge_src,
+        "edge_dst": edge_dst,
+        "edge_slot": edge_slot,
+        "edge_w": edge_w,
+        "y": rng.integers(0, 2, size=(b, 1)).astype(np.float32),
+        "y_mask": np.ones((b,), dtype=np.float32),
+    }
+
+
 def _graph_batch(b: int, n: int, e: int, f: int, seed: int = 0, half: bool = True):
     rng = np.random.default_rng(seed)
     idx_t = np.int16 if (half and n <= 32768) else np.int32
@@ -313,7 +361,11 @@ def measure_graph_jax(
     )
     wrapper = ModelWrapper(model, learning_rate=1e-3, epochs=1)
     half = dtype == "bfloat16"
-    mk = _graph_batch_dense if layout == "dense" else _graph_batch
+    mk = {
+        "dense": _graph_batch_dense_wire,
+        "dense-host": _graph_batch_dense,
+        "flat": _graph_batch,
+    }[layout]
     host_batches = [mk(b, n, e, 4, seed=s, half=half) for s in range(4)]
     wrapper._ensure_initialized(host_batches[0])
 
@@ -532,9 +584,11 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--graph-layout",
         default="dense",
-        choices=["dense", "flat"],
+        choices=["dense", "dense-host", "flat"],
         help="graph batch layout for --model graph_net: dense batched "
-        "adjacency (message passing as MXU matmuls) or flat edge lists",
+        "adjacency (message passing as MXU matmuls; 'dense' ships flat "
+        "edges and scatter-builds adj on device, 'dense-host' ships the "
+        "host-packed B*M*M buffer) or flat edge lists",
     )
     parser.add_argument(
         "--pipeline",
@@ -547,12 +601,15 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     if args.fuse is None:
         # fusion needs per-batch shardings under --mesh (unsupported); see
-        # the guard in measure_jax.  Dense graph batches carry a [B, M, M]
-        # adjacency (~134 MB each at the flagship shape), so cap their
-        # fused stack at 4 to bound the resident HBM footprint
+        # the guard in measure_jax.  Host-wire dense graph batches carry a
+        # [B, M, M] adjacency (~134 MB each at the flagship shape), so cap
+        # their fused stack at 4 to bound the resident HBM footprint (the
+        # device-wire 'dense' layout ships only edge lists — full fusion)
         if args.pipeline == "resident" and not args.mesh:
             args.fuse = (
-                4 if (args.model == "graph_net" and args.graph_layout == "dense") else 16
+                4
+                if (args.model == "graph_net" and args.graph_layout == "dense-host")
+                else 16
             )
         else:
             args.fuse = 1

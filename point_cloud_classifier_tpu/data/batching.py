@@ -256,6 +256,8 @@ class GraphLoader:
         layout: str = "flat",
         min_dense_nodes: int = 64,
         max_dense_bytes: int = 1 << 28,
+        adj_wire: str = "device",
+        min_edge_bucket_dense: int = 512,
     ):
         # "float16": fp16 features/weights + int16 ids on the wire (see
         # PointCloudLoader) — models upcast on device.  seg_encoding
@@ -271,9 +273,23 @@ class GraphLoader:
         # GraphConv add/mean (+SAG); GAT/max stay on the flat layout.
         # "auto" picks dense per batch when B·M² fits ``max_dense_bytes``,
         # falling back to flat for batches with huge events.
+        #
+        # adj_wire picks HOW the dense adjacency reaches the device:
+        # "device" (default) ships per-graph-padded nodes plus LOCAL edge
+        # lists (src/dst/slot/weight, a few hundred KB) and the model
+        # scatter-adds the [B, M, M] adjacency ON DEVICE inside the jit'd
+        # step — the host never allocates (or zeroes, or ships) the B·M²
+        # buffer, which dominated dense batch cost (~60-113 ms/batch and
+        # 33+ MB H2D at bench shapes).  "host" materialises the adjacency
+        # on the host (the layout-parity oracle; also useful when the batch
+        # is consumed by numpy).
         if layout not in ("flat", "dense", "auto"):
             raise ValueError(f"Unknown graph layout: {layout}")
+        if adj_wire not in ("host", "device"):
+            raise ValueError(f"Unknown adj_wire: {adj_wire}")
         self.layout = layout
+        self.adj_wire = adj_wire
+        self.min_edge_bucket_dense = min_edge_bucket_dense
         self.min_dense_nodes = min_dense_nodes
         self.max_dense_bytes = max_dense_bytes
         self.seg_encoding = seg_encoding
@@ -326,6 +342,40 @@ class GraphLoader:
         self.edge_counts = edge_counts
         self.labels = np.asarray(labels, dtype=np.float32)
         self.feat_dim = feat_dim_in
+        if layout in ("dense", "auto"):
+            # one-time sort of each graph's edges by (dst, src) + merge of
+            # duplicate directed edges (weights summed — exactly what the
+            # adjacency accumulate would do).  The device-wire scatter can
+            # then run with indices_are_sorted + unique_indices, which XLA
+            # lowers much more efficiently than a general scatter-add.
+            gid = np.repeat(np.arange(len(edge_counts)), edge_counts)
+            order = np.lexsort((self.edges_src, self.edges_dst, gid))
+            gid = gid[order]
+            es, ed = self.edges_src[order], self.edges_dst[order]
+            w = self.weights[order]
+            if len(es):
+                first = np.concatenate(
+                    [
+                        [True],
+                        (gid[1:] != gid[:-1])
+                        | (ed[1:] != ed[:-1])
+                        | (es[1:] != es[:-1]),
+                    ]
+                )
+                starts = np.flatnonzero(first)
+                self.edges_src = np.ascontiguousarray(es[first])
+                self.edges_dst = np.ascontiguousarray(ed[first])
+                self.weights = np.add.reduceat(w, starts).astype(np.float32)
+                merged_counts = np.bincount(
+                    gid[first], minlength=len(edge_counts)
+                ).astype(np.int64)
+                self.edge_counts = merged_counts
+                self.edge_offsets = np.ascontiguousarray(
+                    np.concatenate([[0], np.cumsum(merged_counts)]), dtype=np.int64
+                )
+                self.weights_wire = (
+                    self.weights.astype(np.float16) if self.half else self.weights
+                )
         self.batch_size = int(batch_size) if batch_size else len(labels)
         self.shuffle = shuffle
         self.use_weights = use_weights
@@ -340,6 +390,63 @@ class GraphLoader:
 
     def __len__(self) -> int:
         return -(-self.n_examples // self.batch_size)
+
+    def _dense_wire_batch(self, idx, k: int, b: int, m_pad: int, feat_dim: int) -> Batch:
+        """Dense layout, device-side adjacency: nodes [B, M, F] + LOCAL edges.
+
+        The model scatter-adds ``adj[slot, dst, src] += w`` on device
+        (models/graph_net.py ``_dense_forward``), so the wire carries only
+        the per-graph-padded node matrix and flat local edge lists.
+
+        Wire contract the model's scatter relies on: (slot, dst, src)
+        triples are strictly ascending (the loader sorts + merges duplicate
+        edges once at construction) and padding edges carry slot ``b`` —
+        out of range, dropped by the scatter's ``mode="drop"`` — so the
+        scatter runs with ``indices_are_sorted`` + ``unique_indices``.
+        """
+        feat_t = self.feats.dtype
+        small_t = np.float16 if self.half else np.float32
+        idx_t = np.int16 if (self.half and m_pad <= 32768) else np.int32
+        slot_t = np.int16 if (self.half and b < 32767) else np.int32
+        total_edges = int(self.edge_counts[idx].sum())
+        e_pad = pow2_bucket(max(total_edges, 1), self.min_edge_bucket_dense)
+
+        nodes = np.zeros((b, m_pad, feat_dim), dtype=feat_t)
+        node_mask = np.zeros((b, m_pad), dtype=np.float32)
+        edge_src = np.zeros((e_pad,), dtype=idx_t)
+        edge_dst = np.zeros((e_pad,), dtype=idx_t)
+        edge_slot = np.full((e_pad,), b, dtype=slot_t)
+        edge_w = np.zeros((e_pad,), dtype=small_t)
+        yb = np.zeros((b, 1), dtype=np.float32)
+        ymask = np.zeros((b,), dtype=np.float32)
+
+        cursor = 0
+        for slot, g_i in enumerate(idx):
+            nlo, nhi = self.node_offsets[g_i], self.node_offsets[g_i + 1]
+            elo, ehi = self.edge_offsets[g_i], self.edge_offsets[g_i + 1]
+            n_i, e_i = nhi - nlo, ehi - elo
+            nodes[slot, :n_i] = self.feats[nlo:nhi]
+            node_mask[slot, :n_i] = 1.0
+            edge_src[cursor : cursor + e_i] = self.edges_src[elo:ehi]
+            edge_dst[cursor : cursor + e_i] = self.edges_dst[elo:ehi]
+            edge_slot[cursor : cursor + e_i] = slot
+            if self.use_weights:
+                edge_w[cursor : cursor + e_i] = self.weights_wire[elo:ehi]
+            else:
+                edge_w[cursor : cursor + e_i] = 1.0
+            cursor += e_i
+        yb[:k, 0] = self.labels[idx]
+        ymask[:k] = 1.0
+        return {
+            "nodes": nodes,
+            "node_mask": node_mask,
+            "edge_src": edge_src,
+            "edge_dst": edge_dst,
+            "edge_slot": edge_slot,
+            "edge_w": edge_w,
+            "y": yb,
+            "y_mask": ymask,
+        }
 
     def _dense_batch(self, idx, k: int, b: int, m_pad: int, feat_dim: int) -> Batch:
         """Per-graph padded layout with a batched adjacency matrix."""
@@ -409,7 +516,12 @@ class GraphLoader:
                 adj_itemsize = 2 if self.half else 4
                 dense_bytes = b * m_pad * m_pad * adj_itemsize
                 if dense_bytes <= self.max_dense_bytes:
-                    yield self._dense_batch(idx, k, b, m_pad, feat_dim)
+                    mk = (
+                        self._dense_wire_batch
+                        if self.adj_wire == "device"
+                        else self._dense_batch
+                    )
+                    yield mk(idx, k, b, m_pad, feat_dim)
                     continue
                 if self.layout == "dense":
                     raise ValueError(

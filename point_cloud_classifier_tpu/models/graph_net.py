@@ -223,7 +223,7 @@ class GraphNet(nn.Module):
 
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = True) -> jnp.ndarray:
-        if "adj" in batch:
+        if "adj" in batch or "edge_slot" in batch:
             return self._dense_forward(batch, train)
         x = batch["nodes"].astype(resolve_dtype(self.compute_dtype))
         num_graphs = batch["y"].shape[0]
@@ -360,9 +360,32 @@ class GraphNet(nn.Module):
             )
         dtype = resolve_dtype(self.compute_dtype)
         x = batch["nodes"].astype(dtype)
-        adj = batch["adj"].astype(dtype)
         node_mask = batch["node_mask"].astype(jnp.float32)
         b, m, _ = x.shape
+        if "adj" in batch:
+            adj = batch["adj"].astype(dtype)
+        else:
+            # device-side adjacency (GraphLoader adj_wire="device"): the
+            # wire carries flat LOCAL edge lists; one scatter builds
+            # [B, M, M] here so the host never touches the B·M² buffer.
+            # Wire contract (see GraphLoader._dense_wire_batch): triples
+            # strictly ascending, duplicates pre-merged, padding at slot b
+            # (out of range -> dropped), so the sorted/unique fast path is
+            # safe.
+            adj = (
+                jnp.zeros((b, m, m), dtype)
+                .at[
+                    batch["edge_slot"].astype(jnp.int32),
+                    batch["edge_dst"].astype(jnp.int32),
+                    batch["edge_src"].astype(jnp.int32),
+                ]
+                .add(
+                    batch["edge_w"].astype(dtype),
+                    mode="drop",
+                    indices_are_sorted=True,
+                    unique_indices=True,
+                )
+            )
         act = activation_fn(self.activation)
 
         def dense_agg(h, a):

@@ -39,18 +39,21 @@ def _random_graphs(n_graphs=7, seed=0, f=4):
     return graphs
 
 
-def _loaders(graphs, **kw):
+def _loaders(graphs, adj_wire="device", **kw):
     flat = GraphLoader(graphs, batch_size=4, shuffle=False, layout="flat", **kw)
-    dense = GraphLoader(graphs, batch_size=4, shuffle=False, layout="dense", **kw)
+    dense = GraphLoader(
+        graphs, batch_size=4, shuffle=False, layout="dense", adj_wire=adj_wire, **kw
+    )
     return flat, dense
 
 
+@pytest.mark.parametrize("adj_wire", ["host", "device"])
 @pytest.mark.parametrize("local_pooling", ["add", "mean"])
 @pytest.mark.parametrize("sag_pool", [False, True])
 @pytest.mark.parametrize("deepchem_style", [False, True])
-def test_dense_matches_flat_logits(local_pooling, sag_pool, deepchem_style):
+def test_dense_matches_flat_logits(local_pooling, sag_pool, deepchem_style, adj_wire):
     graphs = _random_graphs()
-    flat, dense = _loaders(graphs, use_weights=True)
+    flat, dense = _loaders(graphs, adj_wire=adj_wire, use_weights=True)
     model = GraphNet(
         input_dim=4,
         hidden_dim=16,
@@ -104,7 +107,8 @@ def test_dense_auto_falls_back_for_oversized_batches():
         graphs, batch_size=4, shuffle=False, layout="auto", max_dense_bytes=64
     )
     batches = list(auto)
-    assert all("adj" not in b for b in batches)  # fell back to flat
+    # fell back to flat: no adjacency in either wire form
+    assert all("adj" not in b and "edge_slot" not in b for b in batches)
     with pytest.raises(ValueError, match="max_dense_bytes"):
         list(
             GraphLoader(
@@ -128,11 +132,43 @@ def test_dense_rejects_gat_and_max():
 def test_use_weights_false_dense_adjacency_is_binary():
     graphs = _random_graphs(n_graphs=3, seed=4)
     dense = GraphLoader(
-        graphs, batch_size=3, shuffle=False, layout="dense", use_weights=False
+        graphs,
+        batch_size=3,
+        shuffle=False,
+        layout="dense",
+        adj_wire="host",
+        use_weights=False,
     )
     batch = next(iter(dense))
     vals = np.unique(batch["adj"])
     assert set(vals.tolist()) <= {0.0, 1.0}
+    wire = GraphLoader(
+        graphs, batch_size=3, shuffle=False, layout="dense", use_weights=False
+    )
+    assert set(np.unique(next(iter(wire))["edge_w"]).tolist()) <= {0.0, 1.0}
+
+
+def test_device_wire_adjacency_matches_host_adjacency():
+    """The on-device scatter must rebuild exactly the host-packed adjacency."""
+    import jax.numpy as jnp
+
+    graphs = _random_graphs(n_graphs=6, seed=5)
+    mk = lambda wire: GraphLoader(
+        graphs, batch_size=3, shuffle=False, layout="dense", adj_wire=wire
+    )
+    for host_b, dev_b in zip(mk("host"), mk("device")):
+        adj = (
+            jnp.zeros(host_b["adj"].shape, jnp.float32)
+            .at[
+                dev_b["edge_slot"].astype(np.int32),
+                dev_b["edge_dst"].astype(np.int32),
+                dev_b["edge_src"].astype(np.int32),
+            ]
+            .add(dev_b["edge_w"].astype(jnp.float32), mode="drop")
+        )
+        np.testing.assert_array_equal(np.asarray(adj), host_b["adj"])
+        np.testing.assert_array_equal(dev_b["nodes"], host_b["nodes"])
+        np.testing.assert_array_equal(dev_b["node_mask"], host_b["node_mask"])
 
 
 def test_dense_dp_matches_single_device():
