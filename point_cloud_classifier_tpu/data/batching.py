@@ -258,6 +258,7 @@ class GraphLoader:
         max_dense_bytes: int = 1 << 28,
         adj_wire: str = "device",
         min_edge_bucket_dense: int = 512,
+        length_sorted: bool = False,
     ):
         # "float16": fp16 features/weights + int16 ids on the wire (see
         # PointCloudLoader) — models upcast on device.  seg_encoding
@@ -283,6 +284,11 @@ class GraphLoader:
         # 33+ MB H2D at bench shapes).  "host" materialises the adjacency
         # on the host (the layout-parity oracle; also useful when the batch
         # is consumed by numpy).
+        # length_sorted: group similar-size graphs into the same batch
+        # (shuffling BATCH order, not graph order — see PointCloudLoader).
+        # Payoff is QUADRATIC for the dense layout: M is set by the batch's
+        # largest graph, so mixing one big graph into a batch of small ones
+        # inflates every [M, M] adjacency in the batch.
         if layout not in ("flat", "dense", "auto"):
             raise ValueError(f"Unknown graph layout: {layout}")
         if adj_wire not in ("host", "device"):
@@ -290,6 +296,7 @@ class GraphLoader:
         self.layout = layout
         self.adj_wire = adj_wire
         self.min_edge_bucket_dense = min_edge_bucket_dense
+        self.length_sorted = bool(length_sorted)
         self.min_dense_nodes = min_dense_nodes
         self.max_dense_bytes = max_dense_bytes
         self.seg_encoding = seg_encoding
@@ -503,11 +510,22 @@ class GraphLoader:
     def __iter__(self) -> Iterator[Batch]:
         n, b = self.n_examples, self.batch_size
         order = np.arange(n)
+        rng = None
         if self.shuffle:
-            order = np.random.default_rng(self.seed + self._epoch).permutation(n)
+            rng = np.random.default_rng(self.seed + self._epoch)
+            order = rng.permutation(n)
             self._epoch += 1
+        if self.length_sorted:
+            # stable sort graphs by node count, batch neighbours, shuffle
+            # batch order (keeps SGD stochastic while bounding per-batch M)
+            order = order[np.argsort(self.node_counts[order], kind="stable")]
+            starts = np.arange(0, n, b)
+            if rng is not None:
+                rng.shuffle(starts)
+        else:
+            starts = np.arange(0, n, b)
         feat_dim = self.feat_dim
-        for start in range(0, n, b):
+        for start in starts:
             idx = order[start : start + b]
             k = len(idx)
             if self.layout in ("dense", "auto"):

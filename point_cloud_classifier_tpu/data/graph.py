@@ -179,11 +179,15 @@ class Step2PointGraph(DataModule):
         transfer_dtype: str = "float32",
         seg_encoding: str = "ids",
         graph_layout: str = "flat",
+        length_sorted: bool = False,
         **kwargs,
     ):
         super().__init__(data_dir=data_dir, **kwargs)
         self.transfer_dtype = transfer_dtype
         self.seg_encoding = seg_encoding
+        # similar-size graphs per batch (train split only): quadratic
+        # adjacency-size savings for the dense layout
+        self.length_sorted = length_sorted
         # "dense"/"auto": batched adjacency-matrix batches (message passing
         # as MXU matmuls, no gather/scatter) — see data/batching.GraphLoader
         self.graph_layout = graph_layout
@@ -409,6 +413,7 @@ class Step2PointGraph(DataModule):
             transfer_dtype=self.transfer_dtype,
             seg_encoding=self.seg_encoding,
             layout=self.graph_layout,
+            length_sorted=self.length_sorted and split == "train",
         )
 
     def get_train_loader(self) -> GraphLoader:

@@ -195,3 +195,37 @@ def test_dense_dp_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(pa), np.asarray(pb), rtol=1e-4, atol=1e-6
         )
+
+
+def test_length_sorted_batches_similar_sizes():
+    """length_sorted groups similar-size graphs; every graph still trains once."""
+    rng = np.random.default_rng(11)
+    graphs = []
+    for i in range(32):
+        n = int(rng.integers(3, 100))
+        graphs.append(
+            {
+                "features": rng.normal(size=(n, 4)).astype(np.float32),
+                "edges": np.array([[0], [min(1, n - 1)]], dtype=np.int32),
+                "weights": np.ones(1, np.float32),
+                "label": float(i % 2),
+            }
+        )
+    loader = GraphLoader(
+        graphs, batch_size=8, shuffle=True, layout="dense", length_sorted=True, seed=0
+    )
+    sizes = np.array([len(g["features"]) for g in graphs])
+    batches = list(loader)
+    total = sum(int(b["y_mask"].sum()) for b in batches)
+    assert total == len(graphs)
+    # each batch's node dim is the bucket of ITS largest graph: with sorted
+    # batching the smallest batch's M must undercut the global bucket
+    ms = sorted(b["nodes"].shape[1] for b in batches)
+    from point_cloud_classifier_tpu.data.batching import pow2_bucket
+
+    assert ms[0] < pow2_bucket(int(sizes.max()), 64)
+    # batch order reshuffles across epochs while membership stays size-sorted
+    again = list(loader)
+    assert [b["nodes"].shape[1] for b in again] != [
+        b["nodes"].shape[1] for b in batches
+    ] or len(batches) <= 2
