@@ -248,8 +248,7 @@ def _graph_batch_dense(b: int, n: int, e: int, f: int, seed: int = 0, half: bool
     nodes = np.zeros((b, m, f), dtype=feat_t)
     nodes[:, :per] = rng.normal(size=(b, per, f))
     adj = np.zeros((b, m, m), dtype=feat_t)
-    src = rng.integers(0, per, size=(b, e_per))
-    dst = rng.integers(0, per, size=(b, e_per))
+    src, dst = _lineage_like_edges(rng, b, per, e_per)
     for g in range(b):
         adj[g, dst[g], src[g]] = 1.0
     node_mask = np.zeros((b, m), dtype=np.float32)
@@ -261,6 +260,28 @@ def _graph_batch_dense(b: int, n: int, e: int, f: int, seed: int = 0, half: bool
         "y": rng.integers(0, 2, size=(b, 1)).astype(np.float32),
         "y_mask": np.ones((b,), dtype=np.float32),
     }
+
+
+def _lineage_like_edges(rng, b: int, per: int, e_per: int):
+    """Edge endpoints [b, e_per] shaped like the lineage builder's output
+    (`utils/data.py:847-929`): bidirectional temporal chains between
+    consecutive steps plus parent->child links — in-degree ≤ ~3, unlike
+    uniform random endpoints whose max in-degree at 2 edges/node is ~9."""
+    chain_n = min(e_per // 2, per - 1)
+    src_c = np.arange(chain_n)
+    dst_c = src_c + 1
+    extra = e_per - 2 * chain_n
+    src_x = rng.integers(0, per, size=(b, extra))
+    dst_x = (src_x + rng.integers(1, per, size=(b, extra))) % per
+    src = np.concatenate(
+        [np.broadcast_to(src_c, (b, chain_n)), np.broadcast_to(dst_c, (b, chain_n)), src_x],
+        axis=1,
+    )
+    dst = np.concatenate(
+        [np.broadcast_to(dst_c, (b, chain_n)), np.broadcast_to(src_c, (b, chain_n)), dst_x],
+        axis=1,
+    )
+    return src, dst
 
 
 def _graph_batch_dense_wire(
@@ -281,8 +302,7 @@ def _graph_batch_dense_wire(
     nodes[:, :per] = rng.normal(size=(b, per, f))
     node_mask = np.zeros((b, m), dtype=np.float32)
     node_mask[:, :per] = 1.0
-    src = rng.integers(0, per, size=(b, e_per))
-    dst = rng.integers(0, per, size=(b, e_per))
+    src, dst = _lineage_like_edges(rng, b, per, e_per)
     # dedup (slot, dst, src) like _graph_batch_dense's adj[dst, src] = 1.0
     # overwrite semantics, so both layouts carry identical edge multisets
     slot = np.repeat(np.arange(b), e_per)
@@ -311,18 +331,56 @@ def _graph_batch_dense_wire(
     }
 
 
+def _graph_batch_dense_inrow(
+    b: int, n: int, e: int, f: int, seed: int = 0, half: bool = True
+):
+    """The dense workload in the in-row device wire: per-node padded
+    incoming edges ``in_src``/``in_w [B, M, D]`` (D = max in-degree
+    bucket); the model builds the adjacency with D broadcast-compare
+    passes — no scatter at all."""
+    wire = _graph_batch_dense_wire(b, n, e, f, seed=seed, half=half)
+    m = wire["nodes"].shape[1]
+    live = wire["edge_slot"] < b
+    slot = wire["edge_slot"][live].astype(np.int64)
+    dst = wire["edge_dst"][live].astype(np.int64)
+    src = wire["edge_src"][live]
+    w = wire["edge_w"][live]
+    row = slot * m + dst  # sorted ascending already
+    counts = np.bincount(row, minlength=b * m)
+    d_max = max(1, 1 << (int(counts.max()) - 1).bit_length())
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    pos = np.arange(len(row)) - starts[row]
+    idx_t, feat_t = src.dtype, w.dtype
+    in_src = np.zeros((b * m, d_max), dtype=idx_t)
+    in_w = np.zeros((b * m, d_max), dtype=feat_t)
+    in_src[row, pos] = src
+    in_w[row, pos] = w
+    for k in ("edge_src", "edge_dst", "edge_slot", "edge_w"):
+        del wire[k]
+    wire["in_src"] = in_src.reshape(b, m, d_max)
+    wire["in_w"] = in_w.reshape(b, m, d_max)
+    return wire
+
+
 def _graph_batch(b: int, n: int, e: int, f: int, seed: int = 0, half: bool = True):
     rng = np.random.default_rng(seed)
     idx_t = np.int16 if (half and n <= 32768) else np.int32
     feat_t = np.float16 if half else np.float32
-    node_seg = np.sort(rng.integers(0, b, size=(n - 8,))).astype(idx_t)
-    node_seg = np.concatenate([node_seg, np.full((8,), b, dtype=idx_t)])
+    # even per-graph blocks (8 trailing padding nodes) with the same
+    # lineage-like edge structure as the dense builders
+    per = (n - 8) // b
+    node_seg = np.repeat(np.arange(b), per).astype(idx_t)
+    node_seg = np.concatenate(
+        [node_seg, np.full((n - b * per,), b, dtype=idx_t)]
+    )
+    src_l, dst_l = _lineage_like_edges(rng, b, per, e // b)
+    offsets = (np.arange(b) * per)[:, None]
     out = {
         "nodes": rng.normal(size=(n, f)).astype(feat_t),
-        "src": rng.integers(0, n - 8, size=(e,)).astype(idx_t),
-        "dst": rng.integers(0, n - 8, size=(e,)).astype(idx_t),
-        "edge_w": np.ones((e,), dtype=feat_t),
-        "edge_mask": np.ones((e,), dtype=feat_t),
+        "src": (src_l + offsets).reshape(-1).astype(idx_t),
+        "dst": (dst_l + offsets).reshape(-1).astype(idx_t),
+        "edge_w": np.ones((e // b * b,), dtype=feat_t),
+        "edge_mask": np.ones((e // b * b,), dtype=feat_t),
         "y": rng.integers(0, 2, size=(b, 1)).astype(np.float32),
         "y_mask": np.ones((b,), dtype=np.float32),
     }
@@ -362,7 +420,8 @@ def measure_graph_jax(
     wrapper = ModelWrapper(model, learning_rate=1e-3, epochs=1)
     half = dtype == "bfloat16"
     mk = {
-        "dense": _graph_batch_dense_wire,
+        "dense": _graph_batch_dense_inrow,
+        "dense-scatter": _graph_batch_dense_wire,
         "dense-host": _graph_batch_dense,
         "flat": _graph_batch,
     }[layout]
@@ -543,6 +602,86 @@ def measure_torch_reference(b: int, p: int, f: int, iters: int, warmup: int) -> 
     return b * iters / dt
 
 
+def measure_torch_graph_reference(
+    b: int, n: int, e: int, f: int, iters: int, warmup: int
+) -> float:
+    """Reference-semantics graph_net train step in torch on CPU.
+
+    The actual reference (`models/graph_net.py:8-103`) needs
+    torch_geometric, absent here; this mirrors its default config exactly —
+    GraphConv(add) h128 ×2 with `x' = W1·aggr(w·x_src) + W2·x`
+    (torch_geometric GraphConv semantics), tanh, BatchNorm1d after each
+    conv, deepchem_style fc1(128→256)+tanh+bn3 before a global mean pool
+    over membership, fc2 head (`models/graph_net.py:73-102`), plus the
+    trainer loop shape (`models/wrapper.py:51-74`: BCEWithLogitsLoss, adam
+    per configs/graph_net.yaml, per-batch loss.item() sync).
+    """
+    import torch
+    import torch.nn as nn
+
+    class RefGraphConv(nn.Module):
+        def __init__(self, dim_in, dim_out):
+            super().__init__()
+            self.lin_rel = nn.Linear(dim_in, dim_out)
+            self.lin_root = nn.Linear(dim_in, dim_out, bias=False)
+
+        def forward(self, x, src, dst, w):
+            msg = x[src] * w[:, None]
+            agg = torch.zeros(x.shape[0], x.shape[1])
+            agg.index_add_(0, dst, msg)
+            return self.lin_rel(agg) + self.lin_root(x)
+
+    class RefGraphNet(nn.Module):
+        def __init__(self, hidden=128):
+            super().__init__()
+            self.conv1 = RefGraphConv(f, hidden)
+            self.bn1 = nn.BatchNorm1d(hidden)
+            self.conv2 = RefGraphConv(hidden, hidden)
+            self.bn2 = nn.BatchNorm1d(hidden)
+            self.fc1 = nn.Linear(hidden, 256)
+            self.bn3 = nn.BatchNorm1d(256)
+            self.fc2 = nn.Linear(256, 1)
+
+        def forward(self, x, src, dst, w, membership, batch_size):
+            x = self.bn1(torch.tanh(self.conv1(x, src, dst, w)))
+            x = self.bn2(torch.tanh(self.conv2(x, src, dst, w)))
+            x = self.bn3(torch.tanh(self.fc1(x)))  # deepchem_style
+            pooled = torch.zeros(batch_size, x.shape[1])
+            pooled.index_add_(0, membership, x)
+            counts = torch.bincount(membership, minlength=batch_size).clamp(min=1)
+            return self.fc2(pooled / counts[:, None].float())
+
+    rng = np.random.default_rng(0)
+    per = n // b
+    src_l, dst_l = _lineage_like_edges(rng, b, per, e // b)
+    offsets = (np.arange(b) * per)[:, None]
+    x = torch.from_numpy(rng.normal(size=(b * per, f)).astype(np.float32))
+    src = torch.from_numpy((src_l + offsets).reshape(-1)).long()
+    dst = torch.from_numpy((dst_l + offsets).reshape(-1)).long()
+    w = torch.ones(len(src))
+    membership = torch.from_numpy(np.repeat(np.arange(b), per)).long()
+    y = torch.from_numpy(rng.integers(0, 2, size=(b, 1)).astype(np.float32))
+
+    model = RefGraphNet()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    loss_fn = nn.BCEWithLogitsLoss()
+
+    def step():
+        opt.zero_grad()
+        logits = model(x, src, dst, w, membership, b)
+        loss = loss_fn(logits, y)
+        loss.backward()
+        opt.step()
+        return loss.item()
+
+    for _ in range(warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    return b * iters / (time.perf_counter() - t0)
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="flagship train-step benchmark")
     parser.add_argument("--smoke", action="store_true", help="tiny CPU-safe shapes")
@@ -584,11 +723,12 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--graph-layout",
         default="dense",
-        choices=["dense", "dense-host", "flat"],
+        choices=["dense", "dense-scatter", "dense-host", "flat"],
         help="graph batch layout for --model graph_net: dense batched "
-        "adjacency (message passing as MXU matmuls; 'dense' ships flat "
-        "edges and scatter-builds adj on device, 'dense-host' ships the "
-        "host-packed B*M*M buffer) or flat edge lists",
+        "adjacency (message passing as MXU matmuls; 'dense': in-row wire, "
+        "adj compare-built on device; 'dense-scatter': flat edge triples "
+        "+ device scatter; 'dense-host': host-packed B*M*M buffer) or "
+        "flat edge lists",
     )
     parser.add_argument(
         "--pipeline",
@@ -636,7 +776,7 @@ def main(argv=None) -> None:
         )
         return
 
-    if args.model == "graph_net":
+    if args.model == "graph_net" and not args.measure_baseline:
         n, e = (p, 2 * p)
         cps = measure_graph_jax(
             b,
@@ -662,11 +802,14 @@ def main(argv=None) -> None:
         return
 
     if args.measure_baseline:
-        cps = measure_torch_reference(b, p, F, iters or 5, warmup)
+        if args.model == "graph_net":
+            cps = measure_torch_graph_reference(b, p, 2 * p, 4, iters or 5, warmup)
+        else:
+            cps = measure_torch_reference(b, p, F, iters or 5, warmup)
         print(
             json.dumps(
                 {
-                    "metric": "deep_sets_train_clouds_per_sec_torch_cpu_reference",
+                    "metric": f"{args.model}_train_clouds_per_sec_torch_cpu_reference",
                     "value": round(cps, 2),
                     "unit": "clouds/sec",
                     "vs_baseline": 1.0,

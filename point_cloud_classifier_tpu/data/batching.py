@@ -26,6 +26,7 @@ import numpy as np
 from ..native import (
     pack_graph_dense_native,
     pack_graph_flat_native,
+    pack_graph_inrow_native,
     pack_pointcloud_native,
 )
 
@@ -259,6 +260,7 @@ class GraphLoader:
         adj_wire: str = "device",
         min_edge_bucket_dense: int = 512,
         length_sorted: bool = False,
+        max_in_degree_wire: int = 32,
     ):
         # "float16": fp16 features/weights + int16 ids on the wire (see
         # PointCloudLoader) — models upcast on device.  seg_encoding
@@ -276,14 +278,18 @@ class GraphLoader:
         # falling back to flat for batches with huge events.
         #
         # adj_wire picks HOW the dense adjacency reaches the device:
-        # "device" (default) ships per-graph-padded nodes plus LOCAL edge
-        # lists (src/dst/slot/weight, a few hundred KB) and the model
-        # scatter-adds the [B, M, M] adjacency ON DEVICE inside the jit'd
-        # step — the host never allocates (or zeroes, or ships) the B·M²
-        # buffer, which dominated dense batch cost (~60-113 ms/batch and
-        # 33+ MB H2D at bench shapes).  "host" materialises the adjacency
-        # on the host (the layout-parity oracle; also useful when the batch
-        # is consumed by numpy).
+        # "device" (default) ships per-graph-padded nodes plus each node's
+        # incoming edges in the IN-ROW layout (``in_src``/``in_w``
+        # [B, M, D], D = the batch's max-in-degree pow-2 bucket); the model
+        # materialises the [B, M, M] adjacency ON DEVICE with D fused
+        # broadcast-compare passes — no scatter, and the host never
+        # allocates (or zeroes, or ships) the B·M² buffer, which dominated
+        # dense batch cost (~60-113 ms/batch and 33+ MB H2D at bench
+        # shapes).  Batches with an in-degree outlier past
+        # ``max_in_degree_wire`` fall back to the flat (slot, dst, src, w)
+        # triple wire + one sorted/unique device scatter.  "host"
+        # materialises the adjacency on the host (the layout-parity
+        # oracle; also useful when the batch is consumed by numpy).
         # length_sorted: group similar-size graphs into the same batch
         # (shuffling BATCH order, not graph order — see PointCloudLoader).
         # Payoff is QUADRATIC for the dense layout: M is set by the batch's
@@ -297,6 +303,7 @@ class GraphLoader:
         self.adj_wire = adj_wire
         self.min_edge_bucket_dense = min_edge_bucket_dense
         self.length_sorted = bool(length_sorted)
+        self.max_in_degree_wire = int(max_in_degree_wire)
         self.min_dense_nodes = min_dense_nodes
         self.max_dense_bytes = max_dense_bytes
         self.seg_encoding = seg_encoding
@@ -383,6 +390,22 @@ class GraphLoader:
                 self.weights_wire = (
                     self.weights.astype(np.float16) if self.half else self.weights
                 )
+            # per-graph max in-degree (edges are (graph, dst)-sorted, so
+            # in-degrees are run lengths): one init pass lets each batch
+            # size its in-row D bucket with an O(B) lookup
+            gid = np.repeat(np.arange(len(self.edge_counts)), self.edge_counts)
+            self.graph_max_indeg = np.zeros(len(self.edge_counts), dtype=np.int64)
+            if len(self.edges_dst):
+                first = np.concatenate(
+                    [
+                        [True],
+                        (gid[1:] != gid[:-1])
+                        | (self.edges_dst[1:] != self.edges_dst[:-1]),
+                    ]
+                )
+                starts = np.flatnonzero(first)
+                run_len = np.diff(np.concatenate([starts, [len(gid)]]))
+                np.maximum.at(self.graph_max_indeg, gid[starts], run_len)
         self.batch_size = int(batch_size) if batch_size else len(labels)
         self.shuffle = shuffle
         self.use_weights = use_weights
@@ -399,34 +422,105 @@ class GraphLoader:
         return -(-self.n_examples // self.batch_size)
 
     def _dense_wire_batch(self, idx, k: int, b: int, m_pad: int, feat_dim: int) -> Batch:
-        """Dense layout, device-side adjacency: nodes [B, M, F] + LOCAL edges.
+        """Dense layout, device-side adjacency (models/graph_net.py
+        ``_dense_forward``): nodes [B, M, F] + this batch's edges.
 
-        The model scatter-adds ``adj[slot, dst, src] += w`` on device
-        (models/graph_net.py ``_dense_forward``), so the wire carries only
-        the per-graph-padded node matrix and flat local edge lists.
+        Preferred wire — IN-ROW: ``in_src``/``in_w [B, M, D]`` hold each
+        node's incoming-edge sources and weights (D = the batch's max
+        in-degree, pow-2-bucketed, ≥4); padding slots carry w=0.  The model
+        materialises the adjacency with D fused broadcast-compare passes —
+        no device scatter (an XLA scalar scatter costs ~14 ns/edge on TPU).
 
-        Wire contract the model's scatter relies on: (slot, dst, src)
-        triples are strictly ascending (the loader sorts + merges duplicate
-        edges once at construction) and padding edges carry slot ``b`` —
-        out of range, dropped by the scatter's ``mode="drop"`` — so the
-        scatter runs with ``indices_are_sorted`` + ``unique_indices``.
+        Fallback wire when an in-degree outlier would blow the D bucket
+        past ``max_in_degree_wire``: flat LOCAL (slot, dst, src, w) edge
+        triples, strictly ascending (the loader sorts + merges duplicates
+        at construction) with padding at out-of-range slot ``b``, consumed
+        by one ``indices_are_sorted`` + ``unique_indices`` device scatter.
         """
         feat_t = self.feats.dtype
         small_t = np.float16 if self.half else np.float32
         idx_t = np.int16 if (self.half and m_pad <= 32768) else np.int32
         slot_t = np.int16 if (self.half and b < 32767) else np.int32
         total_edges = int(self.edge_counts[idx].sum())
-        e_pad = pow2_bucket(max(total_edges, 1), self.min_edge_bucket_dense)
 
         nodes = np.zeros((b, m_pad, feat_dim), dtype=feat_t)
         node_mask = np.zeros((b, m_pad), dtype=np.float32)
+        yb = np.zeros((b, 1), dtype=np.float32)
+        ymask = np.zeros((b,), dtype=np.float32)
+        yb[:k, 0] = self.labels[idx]
+        ymask[:k] = 1.0
+        batch = {
+            "nodes": nodes,
+            "node_mask": node_mask,
+            "y": yb,
+            "y_mask": ymask,
+        }
+        idx64 = np.ascontiguousarray(idx, dtype=np.int64)
+
+        d_max = int(self.graph_max_indeg[idx].max()) if total_edges else 0
+        d_pad = max(4, 1 << (max(d_max, 1) - 1).bit_length())
+        if d_pad <= self.max_in_degree_wire:
+            in_src = np.zeros((b, m_pad, d_pad), dtype=idx_t)
+            in_w = np.zeros((b, m_pad, d_pad), dtype=small_t)
+            if not pack_graph_inrow_native(
+                self.feats,
+                self.node_offsets,
+                self.edges_src,
+                self.edges_dst,
+                self.edge_offsets,
+                self.weights_wire,
+                self.use_weights,
+                idx64,
+                b,
+                m_pad,
+                d_pad,
+                nodes,
+                node_mask,
+                in_src,
+                in_w,
+            ):
+                src_l, dst_l, slot_l, w_l = self._gather_batch_edges(
+                    idx, nodes, node_mask, total_edges, small_t
+                )
+                # rows are (slot, dst)-contiguous because per-graph edges
+                # are dst-sorted at construction
+                row = slot_l.astype(np.int64) * m_pad + dst_l
+                counts = np.bincount(row, minlength=b * m_pad)
+                starts = np.concatenate([[0], np.cumsum(counts)])
+                pos = np.arange(total_edges) - starts[row]
+                flat_src = in_src.reshape(b * m_pad, d_pad)
+                flat_w = in_w.reshape(b * m_pad, d_pad)
+                flat_src[row, pos] = src_l
+                flat_w[row, pos] = w_l
+            batch["in_src"] = in_src
+            batch["in_w"] = in_w
+            return batch
+
+        src_l, dst_l, slot_l, w_l = self._gather_batch_edges(
+            idx, nodes, node_mask, total_edges, small_t
+        )
+        e_pad = pow2_bucket(max(total_edges, 1), self.min_edge_bucket_dense)
         edge_src = np.zeros((e_pad,), dtype=idx_t)
         edge_dst = np.zeros((e_pad,), dtype=idx_t)
         edge_slot = np.full((e_pad,), b, dtype=slot_t)
         edge_w = np.zeros((e_pad,), dtype=small_t)
-        yb = np.zeros((b, 1), dtype=np.float32)
-        ymask = np.zeros((b,), dtype=np.float32)
+        edge_src[:total_edges] = src_l
+        edge_dst[:total_edges] = dst_l
+        edge_slot[:total_edges] = slot_l
+        edge_w[:total_edges] = w_l
+        batch["edge_src"] = edge_src
+        batch["edge_dst"] = edge_dst
+        batch["edge_slot"] = edge_slot
+        batch["edge_w"] = edge_w
+        return batch
 
+    def _gather_batch_edges(self, idx, nodes, node_mask, total_edges, small_t):
+        """Python fallback: fill nodes/node_mask and return this batch's
+        flat LOCAL edge arrays (src, dst, slot, wire-dtype weights)."""
+        src_l = np.empty((total_edges,), dtype=np.int32)
+        dst_l = np.empty((total_edges,), dtype=np.int32)
+        slot_l = np.empty((total_edges,), dtype=np.int32)
+        w_l = np.empty((total_edges,), dtype=small_t)
         cursor = 0
         for slot, g_i in enumerate(idx):
             nlo, nhi = self.node_offsets[g_i], self.node_offsets[g_i + 1]
@@ -434,26 +528,15 @@ class GraphLoader:
             n_i, e_i = nhi - nlo, ehi - elo
             nodes[slot, :n_i] = self.feats[nlo:nhi]
             node_mask[slot, :n_i] = 1.0
-            edge_src[cursor : cursor + e_i] = self.edges_src[elo:ehi]
-            edge_dst[cursor : cursor + e_i] = self.edges_dst[elo:ehi]
-            edge_slot[cursor : cursor + e_i] = slot
+            src_l[cursor : cursor + e_i] = self.edges_src[elo:ehi]
+            dst_l[cursor : cursor + e_i] = self.edges_dst[elo:ehi]
+            slot_l[cursor : cursor + e_i] = slot
             if self.use_weights:
-                edge_w[cursor : cursor + e_i] = self.weights_wire[elo:ehi]
+                w_l[cursor : cursor + e_i] = self.weights_wire[elo:ehi]
             else:
-                edge_w[cursor : cursor + e_i] = 1.0
+                w_l[cursor : cursor + e_i] = 1.0
             cursor += e_i
-        yb[:k, 0] = self.labels[idx]
-        ymask[:k] = 1.0
-        return {
-            "nodes": nodes,
-            "node_mask": node_mask,
-            "edge_src": edge_src,
-            "edge_dst": edge_dst,
-            "edge_slot": edge_slot,
-            "edge_w": edge_w,
-            "y": yb,
-            "y_mask": ymask,
-        }
+        return src_l, dst_l, slot_l, w_l
 
     def _dense_batch(self, idx, k: int, b: int, m_pad: int, feat_dim: int) -> Batch:
         """Per-graph padded layout with a batched adjacency matrix."""

@@ -212,6 +212,18 @@ def _load_packer() -> Optional[ctypes.CDLL]:
         _VP, _VP, _I64,  # src_out, dst_out, idx_itemsize
         _VP, _VP, _I64,  # edge_w, edge_mask, w_itemsize
     ]
+    lib.pack_graph_inrow.restype = _I64
+    lib.pack_graph_inrow.argtypes = [
+        _VP, _I64, _I64,  # feats, feat_dim, itemsize
+        _VP,  # node_offsets
+        _VP, _VP, _VP,  # src, dst, edge_offsets
+        _VP, _I64,  # weights, use_weights
+        _VP, _I64, _I64,  # idx, k, b
+        _I64, _I64,  # m_pad, d_pad
+        _VP, _VP,  # nodes, node_mask
+        _VP, _I64,  # in_src, idx_itemsize
+        _VP, _I64,  # in_w, w_itemsize
+    ]
     lib.pack_graph_dense.restype = _I64
     lib.pack_graph_dense.argtypes = [
         _VP, _I64, _I64,  # feats, feat_dim, itemsize
@@ -346,5 +358,43 @@ def pack_graph_dense_native(
         _ptr(nodes),
         _ptr(adj), adj.itemsize,
         _ptr(node_mask),
+    )
+    return rc >= 0
+
+
+def pack_graph_inrow_native(
+    feats: np.ndarray,
+    node_offsets: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    edge_offsets: np.ndarray,
+    weights: np.ndarray,
+    use_weights: bool,
+    idx: np.ndarray,
+    b: int,
+    m_pad: int,
+    d_pad: int,
+    nodes: np.ndarray,
+    node_mask: np.ndarray,
+    in_src: np.ndarray,
+    in_w: np.ndarray,
+) -> bool:
+    """Fill an in-row dense-wire batch in C++ (oracle:
+    GraphLoader._dense_wire_batch's numpy path).  ``weights`` must already
+    be wire-dtype (same itemsize as ``in_w``)."""
+    lib = _load_packer()
+    if lib is None:
+        return False
+    assert weights.itemsize == in_w.itemsize
+    rc = lib.pack_graph_inrow(
+        _ptr(feats), feats.shape[1], feats.itemsize,
+        _ptr(node_offsets),
+        _ptr(src), _ptr(dst), _ptr(edge_offsets),
+        _ptr(weights), int(use_weights),
+        _ptr(idx), len(idx), b,
+        m_pad, d_pad,
+        _ptr(nodes), _ptr(node_mask),
+        _ptr(in_src), in_src.itemsize,
+        _ptr(in_w), in_w.itemsize,
     )
     return rc >= 0

@@ -183,6 +183,62 @@ int64_t pack_graph_flat(const char* feats, int64_t feat_dim, int64_t itemsize,
   return node_cursor;
 }
 
+// In-row device-wire pack (GraphLoader._dense_wire_batch, preferred wire).
+//
+// Fills nodes [b, m_pad, feat_dim] + node_mask [b, m_pad] (pre-zeroed) and
+// the per-node incoming-edge arrays in_src [b, m_pad, d_pad] /
+// in_w [b, m_pad, d_pad] (pre-zeroed; idx_itemsize 2/4, w_itemsize 2/4).
+// weights are ALREADY wire-dtype (w_itemsize bytes/elt); use_weights == 0
+// writes 1.0 instead.  Relies on each graph's edges being dst-sorted (the
+// loader sorts at construction): the slot within a row is a run position.
+// Returns 0, or -1 on overflow (d_pad too small / node count > m_pad).
+int64_t pack_graph_inrow(const char* feats, int64_t feat_dim,
+                         int64_t itemsize, const int64_t* node_offsets,
+                         const int32_t* src, const int32_t* dst,
+                         const int64_t* edge_offsets, const char* weights,
+                         int64_t use_weights, const int64_t* idx, int64_t k,
+                         int64_t b, int64_t m_pad, int64_t d_pad,
+                         char* nodes, float* node_mask, void* in_src,
+                         int64_t idx_itemsize, void* in_w,
+                         int64_t w_itemsize) {
+  const int64_t row_bytes = feat_dim * itemsize;
+  const int16_t one_f16 = 0x3C00;
+  for (int64_t slot = 0; slot < k; ++slot) {
+    const int64_t g = idx[slot];
+    const int64_t nlo = node_offsets[g], nhi = node_offsets[g + 1];
+    const int64_t elo = edge_offsets[g], ehi = edge_offsets[g + 1];
+    const int64_t n_i = nhi - nlo;
+    if (n_i > m_pad) return -1;
+    std::memcpy(nodes + (slot * m_pad) * row_bytes, feats + nlo * row_bytes,
+                n_i * row_bytes);
+    float* mask = node_mask + slot * m_pad;
+    for (int64_t r = 0; r < n_i; ++r) mask[r] = 1.0f;
+
+    int64_t pos = 0;
+    int32_t prev_dst = -1;
+    for (int64_t e = elo; e < ehi; ++e) {
+      const int32_t d = dst[e];
+      pos = (d == prev_dst) ? pos + 1 : 0;
+      prev_dst = d;
+      if (pos >= d_pad || d < 0 || d >= m_pad) return -1;
+      const int64_t cell = (slot * m_pad + d) * d_pad + pos;
+      if (idx_itemsize == 2)
+        reinterpret_cast<int16_t*>(in_src)[cell] =
+            static_cast<int16_t>(src[e]);
+      else
+        reinterpret_cast<int32_t*>(in_src)[cell] = src[e];
+      if (w_itemsize == 2)
+        reinterpret_cast<int16_t*>(in_w)[cell] =
+            use_weights ? reinterpret_cast<const int16_t*>(weights)[e]
+                        : one_f16;
+      else
+        reinterpret_cast<float*>(in_w)[cell] =
+            use_weights ? reinterpret_cast<const float*>(weights)[e] : 1.0f;
+    }
+  }
+  return 0;
+}
+
 // Dense batched-adjacency pack (GraphLoader._dense_batch's inner loop).
 //
 // adj [b, m_pad, m_pad] (adj_itemsize 2 -> fp16, 4 -> f32), pre-zeroed;

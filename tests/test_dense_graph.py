@@ -107,8 +107,11 @@ def test_dense_auto_falls_back_for_oversized_batches():
         graphs, batch_size=4, shuffle=False, layout="auto", max_dense_bytes=64
     )
     batches = list(auto)
-    # fell back to flat: no adjacency in either wire form
-    assert all("adj" not in b and "edge_slot" not in b for b in batches)
+    # fell back to flat: no adjacency in any wire form
+    assert all(
+        "adj" not in b and "edge_slot" not in b and "in_src" not in b
+        for b in batches
+    )
     with pytest.raises(ValueError, match="max_dense_bytes"):
         list(
             GraphLoader(
@@ -145,30 +148,55 @@ def test_use_weights_false_dense_adjacency_is_binary():
     wire = GraphLoader(
         graphs, batch_size=3, shuffle=False, layout="dense", use_weights=False
     )
-    assert set(np.unique(next(iter(wire))["edge_w"]).tolist()) <= {0.0, 1.0}
+    assert set(np.unique(next(iter(wire))["in_w"]).tolist()) <= {0.0, 1.0}
 
 
-def test_device_wire_adjacency_matches_host_adjacency():
-    """The on-device scatter must rebuild exactly the host-packed adjacency."""
-    import jax.numpy as jnp
+def _rebuild_adjacency(dev_b, shape):
+    """Numpy re-implementation of the model's on-device adjacency build."""
+    adj = np.zeros(shape, np.float32)
+    if "in_src" in dev_b:
+        b, m, d = dev_b["in_src"].shape
+        in_src = dev_b["in_src"].astype(np.int64)
+        in_w = dev_b["in_w"].astype(np.float32)
+        for di in range(d):
+            rows = np.arange(m)[None, :].repeat(b, axis=0)
+            slots = np.arange(b)[:, None].repeat(m, axis=1)
+            np.add.at(adj, (slots, rows, in_src[:, :, di]), in_w[:, :, di])
+    else:
+        live = dev_b["edge_slot"].astype(np.int64) < shape[0]
+        np.add.at(
+            adj,
+            (
+                dev_b["edge_slot"].astype(np.int64)[live],
+                dev_b["edge_dst"].astype(np.int64)[live],
+                dev_b["edge_src"].astype(np.int64)[live],
+            ),
+            dev_b["edge_w"].astype(np.float32)[live],
+        )
+    return adj
 
+
+@pytest.mark.parametrize("max_in_degree_wire", [32, 0])
+def test_device_wire_adjacency_matches_host_adjacency(max_in_degree_wire):
+    """Both device wires (in-row / triple fallback) rebuild the host adj."""
     graphs = _random_graphs(n_graphs=6, seed=5)
     mk = lambda wire: GraphLoader(
-        graphs, batch_size=3, shuffle=False, layout="dense", adj_wire=wire
+        graphs,
+        batch_size=3,
+        shuffle=False,
+        layout="dense",
+        adj_wire=wire,
+        max_in_degree_wire=max_in_degree_wire,
     )
+    saw = set()
     for host_b, dev_b in zip(mk("host"), mk("device")):
-        adj = (
-            jnp.zeros(host_b["adj"].shape, jnp.float32)
-            .at[
-                dev_b["edge_slot"].astype(np.int32),
-                dev_b["edge_dst"].astype(np.int32),
-                dev_b["edge_src"].astype(np.int32),
-            ]
-            .add(dev_b["edge_w"].astype(jnp.float32), mode="drop")
-        )
-        np.testing.assert_array_equal(np.asarray(adj), host_b["adj"])
+        saw |= {"in_src", "edge_slot"} & set(dev_b)
+        adj = _rebuild_adjacency(dev_b, host_b["adj"].shape)
+        np.testing.assert_array_equal(adj, host_b["adj"])
         np.testing.assert_array_equal(dev_b["nodes"], host_b["nodes"])
         np.testing.assert_array_equal(dev_b["node_mask"], host_b["node_mask"])
+    # max_in_degree_wire=0 forces the triple fallback; 32 keeps in-row
+    assert saw == ({"in_src"} if max_in_degree_wire else {"edge_slot"})
 
 
 def test_dense_dp_matches_single_device():
@@ -229,3 +257,27 @@ def test_length_sorted_batches_similar_sizes():
     assert [b["nodes"].shape[1] for b in again] != [
         b["nodes"].shape[1] for b in batches
     ] or len(batches) <= 2
+
+
+def test_triple_fallback_wire_matches_flat_logits():
+    """The scatter-wire fallback (in-degree outliers) gives the same logits."""
+    graphs = _random_graphs(n_graphs=8, seed=6)
+    flat = GraphLoader(graphs, batch_size=4, shuffle=False, layout="flat")
+    wire = GraphLoader(
+        graphs,
+        batch_size=4,
+        shuffle=False,
+        layout="dense",
+        max_in_degree_wire=0,
+    )
+    model = GraphNet(
+        input_dim=4, hidden_dim=16, output_dim=1, activation="tanh",
+        local_pooling="add", deepchem_style=True,
+    )
+    fb = next(iter(flat))
+    variables = model.init(jax.random.PRNGKey(0), fb, train=False)
+    for fbatch, dbatch in zip(flat, wire):
+        assert "edge_slot" in dbatch and "in_src" not in dbatch
+        lf = model.apply(variables, fbatch, train=False)
+        ld = model.apply(variables, dbatch, train=False)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(ld), rtol=1e-5, atol=1e-5)
