@@ -403,8 +403,10 @@ def measure_graph_jax(
     pipeline: str = "resident",
     fuse: int = 1,
     layout: str = "dense",
+    use_gat: bool = False,
 ) -> float:
-    """graph_net train-step throughput (reference config: GraphConv h128 tanh)."""
+    """graph_net train-step throughput (reference config: GraphConv h128 tanh;
+    --gat swaps in the GATConv variant, h128 over 4 heads)."""
     import jax
 
     from point_cloud_classifier_tpu.models import GraphNet, ModelWrapper
@@ -416,6 +418,7 @@ def measure_graph_jax(
         activation="tanh",
         deepchem_style=True,
         compute_dtype=dtype,
+        use_gat=use_gat,
     )
     wrapper = ModelWrapper(model, learning_rate=1e-3, epochs=1)
     half = dtype == "bfloat16"
@@ -721,6 +724,11 @@ def main(argv=None) -> None:
         "the resident pipeline, 1 for stream",
     )
     parser.add_argument(
+        "--gat",
+        action="store_true",
+        help="graph_net workload uses GATConv (4 heads) instead of GraphConv",
+    )
+    parser.add_argument(
         "--graph-layout",
         default="dense",
         choices=["dense", "dense-scatter", "dense-host", "flat"],
@@ -788,6 +796,7 @@ def main(argv=None) -> None:
             pipeline=args.pipeline,
             fuse=args.fuse,
             layout=args.graph_layout,
+            use_gat=args.gat,
         )
         print(
             json.dumps(

@@ -109,7 +109,18 @@ class DenseGraphConv(nn.Module):
 
 
 class GATConv(nn.Module):
-    """Multi-head graph attention (GATv1) with self-loops, concat heads."""
+    """Multi-head graph attention (GATv1) with self-loops, concat heads.
+
+    Two execution paths over ONE parameter tree:
+
+    - flat edge lists (``src``/``dst``/``edge_valid``): attention as a
+      segment softmax over incoming edges
+    - dense batched layout (``adj_mask [B, M, M]``, x ``[B, M, F]``): GATv1
+      factorises as ``e_ij = LeakyReLU(s_dst_i + s_src_j)`` with per-node
+      scalars ``s`` — attention becomes a masked row softmax over the
+      adjacency and aggregation one batched matmul per head.  No gather,
+      no scatter, all MXU/VPU.
+    """
 
     features: int  # per-head output width
     heads: int = 4
@@ -119,15 +130,49 @@ class GATConv(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,
-        src: jnp.ndarray,
-        dst: jnp.ndarray,
-        edge_valid: jnp.ndarray,
-        node_valid: jnp.ndarray,
+        src: jnp.ndarray = None,
+        dst: jnp.ndarray = None,
+        edge_valid: jnp.ndarray = None,
+        node_valid: jnp.ndarray = None,
+        adj_mask: jnp.ndarray = None,
     ) -> jnp.ndarray:
-        n = x.shape[0]
         h, d = self.heads, self.features
         glorot = nn.initializers.glorot_uniform()
 
+        if adj_mask is not None:
+            b, m, _ = x.shape
+            xw = nn.Dense(h * d, use_bias=False, kernel_init=glorot)(x).reshape(
+                b, m, h, d
+            )
+            att_src = self.param("att_src", glorot, (1, h, d))
+            att_dst = self.param("att_dst", glorot, (1, h, d))
+            s_src = jnp.sum(xw * att_src, axis=-1).astype(jnp.float32)  # [B, M, H]
+            s_dst = jnp.sum(xw * att_dst, axis=-1).astype(jnp.float32)
+            # self-loops on every node (torch_geometric add_self_loops)
+            mask = (adj_mask > 0) | jnp.eye(m, dtype=bool)[None]
+            outs = []
+            for head in range(h):  # head loop bounds the [B, M, M] transients
+                e = nn.leaky_relu(
+                    s_dst[:, :, None, head] + s_src[:, None, :, head],
+                    negative_slope=self.negative_slope,
+                )
+                e = jnp.where(mask, e, -jnp.inf)
+                e = e - jax.lax.stop_gradient(jnp.max(e, axis=2, keepdims=True))
+                p = jnp.exp(e) * mask
+                alpha = p / jnp.maximum(jnp.sum(p, axis=2, keepdims=True), 1e-16)
+                outs.append(
+                    jnp.einsum(
+                        "bij,bjd->bid",
+                        alpha.astype(x.dtype),
+                        xw[:, :, head],
+                        preferred_element_type=jnp.float32,
+                    ).astype(x.dtype)
+                )
+            out = jnp.stack(outs, axis=2).reshape(b, m, h * d)
+            bias = self.param("bias", nn.initializers.zeros, (h * d,))
+            return out + bias
+
+        n = x.shape[0]
         xw = nn.Dense(h * d, use_bias=False, kernel_init=glorot)(x).reshape(n, h, d)
         att_src = self.param("att_src", glorot, (1, h, d))
         att_dst = self.param("att_dst", glorot, (1, h, d))
@@ -350,13 +395,20 @@ class GraphNet(nn.Module):
         the flat edge-list path exactly for GraphConv add/mean (+SAG); the
         module instantiation order mirrors the flat branch so both layouts
         share one parameter tree (train flat, serve dense, or vice versa).
-        GAT and max aggregation keep the flat layout (attention/max don't
-        reduce to an adjacency contraction worth its memory).
+        GAT runs dense too — GATv1's ``e_ij = LeakyReLU(s_dst_i + s_src_j)``
+        factorisation turns attention into a masked row softmax over the
+        adjacency mask plus one matmul per head (see :class:`GATConv`); the
+        dense wire encodes edge existence as w ≠ 0, so a weighted GAT
+        (which torch_geometric's GATConv rejects outright) would treat
+        zero-weight edges as absent.  Max aggregation keeps the flat
+        layout (max doesn't factor through an adjacency contraction).
         """
-        if self.use_gat or self.knn_k > 0 or self.local_pooling == "max":
+        # local_pooling is irrelevant under GAT (the reference picks GATConv
+        # OR GraphConv(aggr=local_pooling), `models/graph_net.py:46-51`)
+        if self.knn_k > 0 or (self.local_pooling == "max" and not self.use_gat):
             raise ValueError(
-                "dense graph layout supports GraphConv add/mean aggregation; "
-                "use the flat (edge list) layout for GAT / max / knn_k"
+                "dense graph layout supports GraphConv add/mean and GAT; "
+                "use the flat (edge list) layout for max / knn_k"
             )
         dtype = resolve_dtype(self.compute_dtype)
         x = batch["nodes"].astype(dtype)
@@ -424,7 +476,16 @@ class GraphNet(nn.Module):
                 b, m, -1
             )
 
-        x = GraphConv(self.hidden_dim, self.local_pooling)(x, agg=dense_agg(x, adj))
+        def conv(h):
+            if self.use_gat:
+                return GATConv(self.hidden_dim // self.gat_heads, self.gat_heads)(
+                    h, adj_mask=(adj != 0)
+                )
+            return GraphConv(self.hidden_dim, self.local_pooling)(
+                h, agg=dense_agg(h, adj)
+            )
+
+        x = conv(x)
         x = act(x)
         x = bn(MaskedBatchNorm(), x, node_mask)
 
@@ -437,7 +498,7 @@ class GraphNet(nn.Module):
             adj = adj * keep[:, :, None].astype(dtype) * keep[:, None, :].astype(dtype)
             node_mask = keep
 
-        x = GraphConv(self.hidden_dim, self.local_pooling)(x, agg=dense_agg(x, adj))
+        x = conv(x)
         x = act(x)
         x = bn(MaskedBatchNorm(), x, node_mask)
 

@@ -120,16 +120,23 @@ def test_dense_auto_falls_back_for_oversized_batches():
         )
 
 
-def test_dense_rejects_gat_and_max():
+def test_dense_rejects_max_aggregation():
+    """max doesn't factor through an adjacency contraction; GAT now runs
+    dense (its use of local_pooling is vacuous, like the reference's)."""
     graphs = _random_graphs(n_graphs=2, seed=2)
     dense = GraphLoader(graphs, batch_size=2, shuffle=False, layout="dense")
     batch = next(iter(dense))
-    for kw in ({"use_gat": True}, {"local_pooling": "max"}):
-        model = GraphNet(
-            input_dim=4, hidden_dim=8, output_dim=1, activation="tanh", **kw
-        )
-        with pytest.raises(ValueError, match="dense graph layout"):
-            model.init(jax.random.PRNGKey(0), batch, train=False)
+    model = GraphNet(
+        input_dim=4, hidden_dim=8, output_dim=1, activation="tanh",
+        local_pooling="max",
+    )
+    with pytest.raises(ValueError, match="dense graph layout"):
+        model.init(jax.random.PRNGKey(0), batch, train=False)
+    gat_max = GraphNet(
+        input_dim=4, hidden_dim=8, output_dim=1, activation="tanh",
+        local_pooling="max", use_gat=True,
+    )
+    gat_max.init(jax.random.PRNGKey(0), batch, train=False)  # fine
 
 
 def test_use_weights_false_dense_adjacency_is_binary():
@@ -281,3 +288,62 @@ def test_triple_fallback_wire_matches_flat_logits():
         lf = model.apply(variables, fbatch, train=False)
         ld = model.apply(variables, dbatch, train=False)
         np.testing.assert_allclose(np.asarray(lf), np.asarray(ld), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("sag_pool", [False, True])
+@pytest.mark.parametrize("deepchem_style", [False, True])
+def test_dense_gat_matches_flat_logits(sag_pool, deepchem_style):
+    """GATv1's factorised dense attention == the flat segment softmax."""
+    graphs = _random_graphs(n_graphs=8, seed=8)
+    # torch_geometric's GATConv rejects edge weights outright; the GAT
+    # configs therefore run unweighted (matching the reference's options)
+    flat = GraphLoader(
+        graphs, batch_size=4, shuffle=False, layout="flat", use_weights=False
+    )
+    dense = GraphLoader(
+        graphs, batch_size=4, shuffle=False, layout="dense", use_weights=False
+    )
+    model = GraphNet(
+        input_dim=4,
+        hidden_dim=16,
+        output_dim=1,
+        activation="tanh",
+        use_gat=True,
+        gat_heads=4,
+        sag_pool=sag_pool,
+        deepchem_style=deepchem_style,
+    )
+    fb, db = next(iter(flat)), next(iter(dense))
+    variables = model.init(jax.random.PRNGKey(0), fb, train=False)
+    v2 = model.init(jax.random.PRNGKey(0), db, train=False)
+    assert jax.tree.structure(variables["params"]) == jax.tree.structure(v2["params"])
+    for fbatch, dbatch in zip(flat, dense):
+        lf = model.apply(variables, fbatch, train=False)
+        ld = model.apply(variables, dbatch, train=False)
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(ld), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_dense_gat_training_matches_flat():
+    from point_cloud_classifier_tpu.models import ModelWrapper
+
+    graphs = _random_graphs(n_graphs=8, seed=9)
+
+    def run(layout):
+        loader = GraphLoader(
+            graphs, batch_size=4, shuffle=False, layout=layout, use_weights=False
+        )
+        model = GraphNet(
+            input_dim=4, hidden_dim=8, output_dim=1, activation="relu",
+            use_gat=True, gat_heads=2, deepchem_style=True,
+        )
+        w = ModelWrapper(model, learning_rate=1e-2, epochs=2, seed=0)
+        w.fit(loader)
+        return w
+
+    a, b = run("flat"), run("dense")
+    for pa, pb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), rtol=2e-3, atol=2e-4
+        )

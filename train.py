@@ -69,15 +69,15 @@ def get_dataloader(dataset_name: str, config: dict):
         ds_cfg = dict(config["dataset"])
         if "graph_layout" not in ds_cfg:
             # default to the dense batched-adjacency layout whenever the
-            # model can consume it (GraphConv add/mean, incl. SAG) — message
-            # passing becomes batched MXU matmuls with per-batch fallback to
-            # the flat edge-list layout for oversized events ("auto")
+            # model can consume it (GraphConv add/mean and GAT, incl. SAG)
+            # — message passing/attention become batched MXU matmuls with
+            # per-batch fallback to the flat edge-list layout for oversized
+            # events ("auto")
             mdl = config.get("model", {})
             eligible = (
-                not mdl.get("use_gat", False)
-                and mdl.get("local_pooling", "add") in ("add", "mean")
-                and not mdl.get("knn_k", 0)
-            )
+                mdl.get("use_gat", False)
+                or mdl.get("local_pooling", "add") in ("add", "mean")
+            ) and not mdl.get("knn_k", 0)
             ds_cfg["graph_layout"] = "auto" if eligible else "flat"
         return Step2PointGraph(**ds_cfg)
     raise ValueError(f"Unknown dataset: {dataset_name}")
