@@ -274,7 +274,13 @@ def run_search_vmapped(
     for g_i, (key, group) in enumerate(groups.items()):
         hp0 = group[0]
         try:
-            dataloader = get_dataloader(dataset_name, {"dataset": dict(hp0["dataset"])})
+            # pass the model section too: graph_layout eligibility
+            # (train.py:get_dataloader) must see local_pooling/use_gat, else
+            # a max-aggregation group would get dense batches it can't run
+            dataloader = get_dataloader(
+                dataset_name,
+                {"dataset": dict(hp0["dataset"]), "model": dict(hp0["model"])},
+            )
             train_loader = dataloader.get_train_loader()
             val_loader = dataloader.get_val_loader()
             model = model_classes[model_name](**hp0["model"])

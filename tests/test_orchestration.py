@@ -201,3 +201,25 @@ def test_cli_infer(caches, tmp_path):
     assert len(lines) > 1
     idx, y, prob, pred = lines[1].split(",")
     assert y in ("0", "1") and 0.0 <= float(prob) <= 1.0
+
+
+def test_graph_layout_eligibility_sees_model_config(caches):
+    """get_dataloader must downgrade to the flat layout for max aggregation
+    (and the vmapped sweep must pass the model section through — a max
+    group fed dense batches would crash every arm into status_log)."""
+    from train import get_dataloader
+
+    base = {"data_dir": caches, "batch_size": 4}
+    flat = get_dataloader(
+        "s2pg", {"dataset": dict(base), "model": {"local_pooling": "max"}}
+    )
+    assert flat.graph_layout == "flat"
+    dense = get_dataloader(
+        "s2pg", {"dataset": dict(base), "model": {"local_pooling": "add"}}
+    )
+    assert dense.graph_layout == "auto"
+    gat = get_dataloader(
+        "s2pg",
+        {"dataset": dict(base), "model": {"use_gat": True, "local_pooling": "max"}},
+    )
+    assert gat.graph_layout == "auto"  # local_pooling vacuous under GAT
