@@ -811,6 +811,12 @@ def main(argv=None) -> None:
         return
 
     if args.measure_baseline:
+        if args.gat:
+            raise SystemExit(
+                "--measure-baseline benches the reference GraphConv config; "
+                "a torch GAT reference is not implemented, so --gat would "
+                "make the comparison apples-to-oranges"
+            )
         if args.model == "graph_net":
             cps = measure_torch_graph_reference(b, p, 2 * p, 4, iters or 5, warmup)
         else:

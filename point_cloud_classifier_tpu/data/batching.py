@@ -341,11 +341,6 @@ class GraphLoader:
             np.concatenate(weight_list) if weight_list else np.zeros((0,)),
             dtype=np.float32,
         )
-        # wire-dtype copy for the native flat packer (one conversion at init
-        # instead of a per-edge f32->f16 cast per batch)
-        self.weights_wire = (
-            self.weights.astype(np.float16) if self.half else self.weights
-        )
         self.node_offsets = np.ascontiguousarray(
             np.concatenate([[0], np.cumsum(node_counts)]), dtype=np.int64
         )
@@ -356,12 +351,16 @@ class GraphLoader:
         self.edge_counts = edge_counts
         self.labels = np.asarray(labels, dtype=np.float32)
         self.feat_dim = feat_dim_in
+        # edge multiplicity: 1 per edge unless the dense-layout merge below
+        # collapses duplicates; use_weights=False packs aggregate with THIS
+        # instead of 1.0 so a duplicated edge still contributes its
+        # occurrence count, exactly like the flat layout's scatter-add
+        self.edge_mult = np.ones(len(self.weights), dtype=np.float32)
         if layout in ("dense", "auto"):
             # one-time sort of each graph's edges by (dst, src) + merge of
-            # duplicate directed edges (weights summed — exactly what the
-            # adjacency accumulate would do).  The device-wire scatter can
-            # then run with indices_are_sorted + unique_indices, which XLA
-            # lowers much more efficiently than a general scatter-add.
+            # duplicate directed edges (weights summed, multiplicities
+            # counted — exactly what the adjacency accumulate would do).
+            # The device wires then carry one entry per unique edge.
             gid = np.repeat(np.arange(len(edge_counts)), edge_counts)
             order = np.lexsort((self.edges_src, self.edges_dst, gid))
             gid = gid[order]
@@ -380,15 +379,15 @@ class GraphLoader:
                 self.edges_src = np.ascontiguousarray(es[first])
                 self.edges_dst = np.ascontiguousarray(ed[first])
                 self.weights = np.add.reduceat(w, starts).astype(np.float32)
+                self.edge_mult = np.diff(
+                    np.concatenate([starts, [len(es)]])
+                ).astype(np.float32)
                 merged_counts = np.bincount(
                     gid[first], minlength=len(edge_counts)
                 ).astype(np.int64)
                 self.edge_counts = merged_counts
                 self.edge_offsets = np.ascontiguousarray(
                     np.concatenate([[0], np.cumsum(merged_counts)]), dtype=np.int64
-                )
-                self.weights_wire = (
-                    self.weights.astype(np.float16) if self.half else self.weights
                 )
             # per-graph max in-degree (edges are (graph, dst)-sorted, so
             # in-degrees are run lengths): one init pass lets each batch
@@ -406,6 +405,15 @@ class GraphLoader:
                 starts = np.flatnonzero(first)
                 run_len = np.diff(np.concatenate([starts, [len(gid)]]))
                 np.maximum.at(self.graph_max_indeg, gid[starts], run_len)
+        # wire-dtype copies for the native packers (one conversion at init,
+        # after the optional merge, instead of per-edge casts per batch).
+        # mult_wire stands in for the weights when use_weights=False.
+        self.weights_wire = (
+            self.weights.astype(np.float16) if self.half else self.weights
+        )
+        self.mult_wire = (
+            self.edge_mult.astype(np.float16) if self.half else self.edge_mult
+        )
         self.batch_size = int(batch_size) if batch_size else len(labels)
         self.shuffle = shuffle
         self.use_weights = use_weights
@@ -462,14 +470,17 @@ class GraphLoader:
         if d_pad <= self.max_in_degree_wire:
             in_src = np.zeros((b, m_pad, d_pad), dtype=idx_t)
             in_w = np.zeros((b, m_pad, d_pad), dtype=small_t)
+            # use_weights=False aggregates each edge's MULTIPLICITY (1 for
+            # simple graphs; duplicates merged at init keep their count) so
+            # both wires match the flat layout's per-occurrence scatter-add
             if not pack_graph_inrow_native(
                 self.feats,
                 self.node_offsets,
                 self.edges_src,
                 self.edges_dst,
                 self.edge_offsets,
-                self.weights_wire,
-                self.use_weights,
+                self.weights_wire if self.use_weights else self.mult_wire,
+                True,
                 idx64,
                 b,
                 m_pad,
@@ -534,7 +545,7 @@ class GraphLoader:
             if self.use_weights:
                 w_l[cursor : cursor + e_i] = self.weights_wire[elo:ehi]
             else:
-                w_l[cursor : cursor + e_i] = 1.0
+                w_l[cursor : cursor + e_i] = self.mult_wire[elo:ehi]
             cursor += e_i
         return src_l, dst_l, slot_l, w_l
 
@@ -554,8 +565,8 @@ class GraphLoader:
             self.edges_src,
             self.edges_dst,
             self.edge_offsets,
-            self.weights,
-            self.use_weights,
+            self.weights if self.use_weights else self.edge_mult,
+            True,
             idx64,
             b,
             m_pad,
@@ -574,11 +585,11 @@ class GraphLoader:
                 w = (
                     self.weights[elo:ehi]
                     if self.use_weights
-                    else np.ones(ehi - elo, np.float32)
+                    else self.edge_mult[elo:ehi]
                 )
-                # adj[dst, src]: row i holds node i's incoming-edge weights.
-                # += (not =) so accidental duplicate edges still match the flat
-                # layout's scatter-add for "add" aggregation
+                # adj[dst, src]: row i holds node i's incoming-edge weights
+                # (duplicates are merged at init with summed weights /
+                # counted multiplicity, so = and += are equivalent here)
                 np.add.at(adj[slot], (dst, src), w.astype(small_t))
         yb[:k, 0] = self.labels[idx]
         ymask[:k] = 1.0

@@ -455,8 +455,13 @@ class GraphNet(nn.Module):
                     .add(
                         batch["edge_w"].astype(dtype),
                         mode="drop",
+                        # non-decreasing: live triples strictly ascend, then
+                        # the repeated (b, 0, 0) padding.  unique_indices is
+                        # deliberately NOT promised — the padding repeats,
+                        # and lax.scatter declares UB if the promise is
+                        # broken even for dropped out-of-bounds entries.
+                        # (A/B: the flag made no measurable difference.)
                         indices_are_sorted=True,
-                        unique_indices=True,
                     )
                 )
         act = activation_fn(self.activation)

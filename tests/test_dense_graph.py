@@ -347,3 +347,40 @@ def test_dense_gat_training_matches_flat():
         np.testing.assert_allclose(
             np.asarray(pa), np.asarray(pb), rtol=2e-3, atol=2e-4
         )
+
+
+def test_duplicate_edges_match_flat_for_unweighted_add():
+    """A duplicated directed edge must contribute its occurrence count in
+    every layout under use_weights=False (the flat scatter adds 1.0 per
+    occurrence; the dense merge carries multiplicity instead)."""
+    graphs = [
+        {
+            "features": np.eye(3, 4, dtype=np.float32),
+            # edge 0->1 twice plus 2->1: node 1's unweighted aggregate is 3
+            "edges": np.array([[0, 0, 2], [1, 1, 1]], dtype=np.int32),
+            "weights": np.array([0.3, 0.4, 0.5], dtype=np.float32),
+            "label": 1.0,
+        }
+    ]
+    model = GraphNet(
+        input_dim=4, hidden_dim=8, output_dim=1, activation="tanh",
+        local_pooling="add", deepchem_style=True,
+    )
+    mk = lambda layout, **kw: next(
+        iter(
+            GraphLoader(
+                graphs, batch_size=1, shuffle=False, layout=layout,
+                use_weights=False, **kw
+            )
+        )
+    )
+    fb = mk("flat")
+    variables = model.init(jax.random.PRNGKey(0), fb, train=False)
+    lf = np.asarray(model.apply(variables, fb, train=False))
+    for batch in (mk("dense"), mk("dense", adj_wire="host"),
+                  mk("dense", max_in_degree_wire=0)):
+        ld = np.asarray(model.apply(variables, batch, train=False))
+        np.testing.assert_allclose(lf, ld, rtol=1e-5, atol=1e-6)
+    # and the host adjacency itself carries the multiplicity
+    host = mk("dense", adj_wire="host")
+    assert host["adj"][0, 1, 0] == 2.0 and host["adj"][0, 1, 2] == 1.0

@@ -111,33 +111,45 @@ def test_graph_pack_matches_python(kwargs):
 
 
 def test_dense_fp16_duplicate_edges_accumulate_like_numpy():
-    """np.add.at on an f16 array rounds after every add; C++ must match."""
+    """np.add.at on an f16 array rounds after every add; C++ must match.
+
+    Called on the raw packer (the loader merges duplicates at construction,
+    so batches never carry them — but the C++ contract still promises
+    numpy-parity accumulation for any input).
+    """
+    from point_cloud_classifier_tpu.native import pack_graph_dense_native
+
     rng = np.random.default_rng(2)
-    graphs = []
-    for i in range(20):
-        m = 8
-        # heavy duplication: every edge repeated several times
-        base = rng.integers(0, m, size=(2, 6))
-        edges = np.tile(base, 5)
-        graphs.append(
-            {
-                "features": rng.normal(size=(m, 4)).astype(np.float32),
-                "edges": edges.astype(np.int64),
-                "weights": rng.random(edges.shape[1]).astype(np.float32),
-                "label": float(i % 2),
-            }
-        )
-    _assert_identical(
-        *_batches_both_paths(
-            lambda: GraphLoader(
-                graphs,
-                batch_size=8,
-                shuffle=False,
-                layout="dense",
-                transfer_dtype="float16",
-            )
-        )
+    m, e = 8, 30
+    feats = rng.normal(size=(m, 4)).astype(np.float32)
+    # heavy duplication: every edge repeated several times
+    base = rng.integers(0, m, size=(2, 6))
+    edges = np.tile(base, 5).astype(np.int32)
+    w = rng.random(e).astype(np.float32)
+
+    b, m_pad = 1, 8
+    nodes = np.zeros((b, m_pad, 4), np.float16)
+    adj = np.zeros((b, m_pad, m_pad), np.float16)
+    node_mask = np.zeros((b, m_pad), np.float32)
+    ok = pack_graph_dense_native(
+        np.ascontiguousarray(feats, dtype=np.float16),
+        np.array([0, m], np.int64),
+        np.ascontiguousarray(edges[0]),
+        np.ascontiguousarray(edges[1]),
+        np.array([0, e], np.int64),
+        w,
+        True,
+        np.array([0], np.int64),
+        b,
+        m_pad,
+        nodes,
+        adj,
+        node_mask,
     )
+    assert ok
+    oracle = np.zeros((m_pad, m_pad), np.float16)
+    np.add.at(oracle, (edges[1], edges[0]), w.astype(np.float16))
+    np.testing.assert_array_equal(adj[0], oracle)
 
 
 def test_partial_final_batch_and_empty_event():

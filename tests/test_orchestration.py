@@ -220,6 +220,18 @@ def test_graph_layout_eligibility_sees_model_config(caches):
     assert dense.graph_layout == "auto"
     gat = get_dataloader(
         "s2pg",
-        {"dataset": dict(base), "model": {"use_gat": True, "local_pooling": "max"}},
+        {
+            "dataset": dict(base, use_weights=False),
+            "model": {"use_gat": True, "local_pooling": "max"},
+        },
     )
     assert gat.graph_layout == "auto"  # local_pooling vacuous under GAT
+    gat_w = get_dataloader(
+        "s2pg",
+        {
+            "dataset": dict(base, use_weights=True),
+            "model": {"use_gat": True},
+        },
+    )
+    # weighted GAT (flat GAT ignores weights; the dense mask can't) stays flat
+    assert gat_w.graph_layout == "flat"

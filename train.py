@@ -74,10 +74,15 @@ def get_dataloader(dataset_name: str, config: dict):
             # per-batch fallback to the flat edge-list layout for oversized
             # events ("auto")
             mdl = config.get("model", {})
-            eligible = (
-                mdl.get("use_gat", False)
-                or mdl.get("local_pooling", "add") in ("add", "mean")
-            ) and not mdl.get("knn_k", 0)
+            if mdl.get("use_gat", False):
+                # dense GAT masks on w != 0, so a weighted GAT (flat GAT
+                # ignores weights; torch_geometric's asserts on them) could
+                # drop underflowed-to-zero gaussian weights — keep those
+                # degenerate configs on the flat layout
+                eligible = not ds_cfg.get("use_weights", True)
+            else:
+                eligible = mdl.get("local_pooling", "add") in ("add", "mean")
+            eligible = eligible and not mdl.get("knn_k", 0)
             ds_cfg["graph_layout"] = "auto" if eligible else "flat"
         return Step2PointGraph(**ds_cfg)
     raise ValueError(f"Unknown dataset: {dataset_name}")
