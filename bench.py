@@ -345,20 +345,27 @@ def _graph_batch_dense_inrow(
     dst = wire["edge_dst"][live].astype(np.int64)
     src = wire["edge_src"][live]
     w = wire["edge_w"][live]
-    row = slot * m + dst  # sorted ascending already
-    counts = np.bincount(row, minlength=b * m)
-    d_max = max(1, 1 << (int(counts.max()) - 1).bit_length())
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    pos = np.arange(len(row)) - starts[row]
     idx_t, feat_t = src.dtype, w.dtype
-    in_src = np.zeros((b * m, d_max), dtype=idx_t)
-    in_w = np.zeros((b * m, d_max), dtype=feat_t)
-    in_src[row, pos] = src
-    in_w[row, pos] = w
+
+    def rows_of(key_local, val_local):
+        row = slot * m + key_local
+        order = np.argsort(row, kind="stable")
+        row, val, ww = row[order], val_local[order], w[order]
+        counts = np.bincount(row, minlength=b * m)
+        d_pad = max(4, 1 << (max(int(counts.max()), 1) - 1).bit_length())
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        pos = np.arange(len(row)) - starts[row]
+        vals = np.zeros((b * m, d_pad), dtype=idx_t)
+        ws = np.zeros((b * m, d_pad), dtype=feat_t)
+        vals[row, pos] = val
+        ws[row, pos] = ww
+        return vals.reshape(b, m, d_pad), ws.reshape(b, m, d_pad)
+
     for k in ("edge_src", "edge_dst", "edge_slot", "edge_w"):
         del wire[k]
-    wire["in_src"] = in_src.reshape(b, m, d_max)
-    wire["in_w"] = in_w.reshape(b, m, d_max)
+    wire["in_src"], wire["in_w"] = rows_of(dst, src)
+    # out-row mirror: the fused kernel's backward aggregates over it
+    wire["out_dst"], wire["out_w"] = rows_of(src, dst)
     return wire
 
 
@@ -404,6 +411,7 @@ def measure_graph_jax(
     fuse: int = 1,
     layout: str = "dense",
     use_gat: bool = False,
+    fused_inrow: bool = False,
 ) -> float:
     """graph_net train-step throughput (reference config: GraphConv h128 tanh;
     --gat swaps in the GATConv variant, h128 over 4 heads)."""
@@ -419,6 +427,7 @@ def measure_graph_jax(
         deepchem_style=True,
         compute_dtype=dtype,
         use_gat=use_gat,
+        fused_inrow=fused_inrow,
     )
     wrapper = ModelWrapper(model, learning_rate=1e-3, epochs=1)
     half = dtype == "bfloat16"
@@ -724,6 +733,13 @@ def main(argv=None) -> None:
         "the resident pipeline, 1 for stream",
     )
     parser.add_argument(
+        "--fused-inrow",
+        action="store_true",
+        help="enable the opt-in Pallas in-row aggregation kernel on the "
+        "dense graph layout (A/B-measured slower at bench shapes — see "
+        "docs/kernels.md)",
+    )
+    parser.add_argument(
         "--gat",
         action="store_true",
         help="graph_net workload uses GATConv (4 heads) instead of GraphConv",
@@ -797,6 +813,7 @@ def main(argv=None) -> None:
             fuse=args.fuse,
             layout=args.graph_layout,
             use_gat=args.gat,
+            fused_inrow=args.fused_inrow,
         )
         print(
             json.dumps(

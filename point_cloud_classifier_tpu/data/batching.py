@@ -405,6 +405,28 @@ class GraphLoader:
                 starts = np.flatnonzero(first)
                 run_len = np.diff(np.concatenate([starts, [len(gid)]]))
                 np.maximum.at(self.graph_max_indeg, gid[starts], run_len)
+            # OUT-row mirror: each node's outgoing edges, (graph, src)-
+            # sorted.  The fused aggregation kernel's backward is the same
+            # aggregation over the transposed adjacency, which is exactly
+            # the out-row lists (ops/inrow_graph.py).
+            order_o = np.lexsort((self.edges_dst, self.edges_src, gid))
+            self.edges_src_o = np.ascontiguousarray(self.edges_src[order_o])
+            self.edges_dst_o = np.ascontiguousarray(self.edges_dst[order_o])
+            self.weights_o = np.ascontiguousarray(self.weights[order_o])
+            self.edge_mult_o = np.ascontiguousarray(self.edge_mult[order_o])
+            self.graph_max_outdeg = np.zeros(len(self.edge_counts), dtype=np.int64)
+            gid_o = gid[order_o] if len(order_o) else gid
+            if len(self.edges_src_o):
+                first_o = np.concatenate(
+                    [
+                        [True],
+                        (gid_o[1:] != gid_o[:-1])
+                        | (self.edges_src_o[1:] != self.edges_src_o[:-1]),
+                    ]
+                )
+                starts_o = np.flatnonzero(first_o)
+                run_len_o = np.diff(np.concatenate([starts_o, [len(gid_o)]]))
+                np.maximum.at(self.graph_max_outdeg, gid_o[starts_o], run_len_o)
         # wire-dtype copies for the native packers (one conversion at init,
         # after the optional merge, instead of per-edge casts per batch).
         # mult_wire stands in for the weights when use_weights=False.
@@ -414,6 +436,13 @@ class GraphLoader:
         self.mult_wire = (
             self.edge_mult.astype(np.float16) if self.half else self.edge_mult
         )
+        if layout in ("dense", "auto"):
+            self.weights_o_wire = (
+                self.weights_o.astype(np.float16) if self.half else self.weights_o
+            )
+            self.mult_o_wire = (
+                self.edge_mult_o.astype(np.float16) if self.half else self.edge_mult_o
+            )
         self.batch_size = int(batch_size) if batch_size else len(labels)
         self.shuffle = shuffle
         self.use_weights = use_weights
@@ -468,43 +497,46 @@ class GraphLoader:
         d_max = int(self.graph_max_indeg[idx].max()) if total_edges else 0
         d_pad = max(4, 1 << (max(d_max, 1) - 1).bit_length())
         if d_pad <= self.max_in_degree_wire:
-            in_src = np.zeros((b, m_pad, d_pad), dtype=idx_t)
-            in_w = np.zeros((b, m_pad, d_pad), dtype=small_t)
             # use_weights=False aggregates each edge's MULTIPLICITY (1 for
             # simple graphs; duplicates merged at init keep their count) so
             # both wires match the flat layout's per-occurrence scatter-add
-            if not pack_graph_inrow_native(
-                self.feats,
-                self.node_offsets,
-                self.edges_src,
-                self.edges_dst,
-                self.edge_offsets,
-                self.weights_wire if self.use_weights else self.mult_wire,
-                True,
+            in_src, in_w = self._pack_inrow(
                 idx64,
                 b,
                 m_pad,
                 d_pad,
                 nodes,
                 node_mask,
-                in_src,
-                in_w,
-            ):
-                src_l, dst_l, slot_l, w_l = self._gather_batch_edges(
-                    idx, nodes, node_mask, total_edges, small_t
-                )
-                # rows are (slot, dst)-contiguous because per-graph edges
-                # are dst-sorted at construction
-                row = slot_l.astype(np.int64) * m_pad + dst_l
-                counts = np.bincount(row, minlength=b * m_pad)
-                starts = np.concatenate([[0], np.cumsum(counts)])
-                pos = np.arange(total_edges) - starts[row]
-                flat_src = in_src.reshape(b * m_pad, d_pad)
-                flat_w = in_w.reshape(b * m_pad, d_pad)
-                flat_src[row, pos] = src_l
-                flat_w[row, pos] = w_l
+                total_edges,
+                idx_t,
+                small_t,
+                self.edges_src,
+                self.edges_dst,
+                self.weights_wire if self.use_weights else self.mult_wire,
+            )
             batch["in_src"] = in_src
             batch["in_w"] = in_w
+            # OUT-row mirror (the transposed adjacency): consumed by the
+            # fused aggregation kernel's backward (ops/inrow_graph.py)
+            do_max = int(self.graph_max_outdeg[idx].max()) if total_edges else 0
+            do_pad = max(4, 1 << (max(do_max, 1) - 1).bit_length())
+            if do_pad <= self.max_in_degree_wire:
+                out_dst, out_w = self._pack_inrow(
+                    idx64,
+                    b,
+                    m_pad,
+                    do_pad,
+                    nodes,
+                    node_mask,
+                    total_edges,
+                    idx_t,
+                    small_t,
+                    self.edges_dst_o,
+                    self.edges_src_o,
+                    self.weights_o_wire if self.use_weights else self.mult_o_wire,
+                )
+                batch["out_dst"] = out_dst
+                batch["out_w"] = out_w
             return batch
 
         src_l, dst_l, slot_l, w_l = self._gather_batch_edges(
@@ -524,6 +556,67 @@ class GraphLoader:
         batch["edge_slot"] = edge_slot
         batch["edge_w"] = edge_w
         return batch
+
+    def _pack_inrow(
+        self,
+        idx64,
+        b,
+        m_pad,
+        d_pad,
+        nodes,
+        node_mask,
+        total_edges,
+        idx_t,
+        small_t,
+        values,
+        keys,
+        weights,
+    ):
+        """[B, M, D] per-row lists: cell (slot, keys[e], pos) <- values[e].
+
+        ``keys`` must be run-sorted within each graph (the loader sorts both
+        edge directions at init).  For the in-row lists values/keys are
+        (src, dst); for the out-row mirror they are (dst_o, src_o).
+        """
+        out_val = np.zeros((b, m_pad, d_pad), dtype=idx_t)
+        out_w = np.zeros((b, m_pad, d_pad), dtype=small_t)
+        if not pack_graph_inrow_native(
+            self.feats,
+            self.node_offsets,
+            values,
+            keys,
+            self.edge_offsets,
+            weights,
+            True,
+            idx64,
+            b,
+            m_pad,
+            d_pad,
+            nodes,
+            node_mask,
+            out_val,
+            out_w,
+        ):
+            val_l = np.empty((total_edges,), dtype=np.int32)
+            key_l = np.empty((total_edges,), dtype=np.int64)
+            w_l = np.empty((total_edges,), dtype=small_t)
+            cursor = 0
+            for slot, g_i in enumerate(idx64):
+                nlo, nhi = self.node_offsets[g_i], self.node_offsets[g_i + 1]
+                elo, ehi = self.edge_offsets[g_i], self.edge_offsets[g_i + 1]
+                n_i, e_i = nhi - nlo, ehi - elo
+                nodes[slot, :n_i] = self.feats[nlo:nhi]
+                node_mask[slot, :n_i] = 1.0
+                val_l[cursor : cursor + e_i] = values[elo:ehi]
+                key_l[cursor : cursor + e_i] = keys[elo:ehi] + slot * m_pad
+                w_l[cursor : cursor + e_i] = weights[elo:ehi]
+                cursor += e_i
+            counts = np.bincount(key_l, minlength=b * m_pad)
+            starts = np.concatenate([[0], np.cumsum(counts)])
+            pos = np.arange(total_edges) - starts[key_l]
+            out_val.reshape(b * m_pad, d_pad)[key_l, pos] = val_l
+            out_w.reshape(b * m_pad, d_pad)[key_l, pos] = w_l
+        return out_val, out_w
 
     def _gather_batch_edges(self, idx, nodes, node_mask, total_edges, small_t):
         """Python fallback: fill nodes/node_mask and return this batch's

@@ -262,6 +262,9 @@ class GraphNet(nn.Module):
     deepchem_style: bool = False
     compute_dtype: str = "float32"  # "bfloat16": conv matmuls in bf16,
     # segment aggregations and norms stay f32
+    fused_inrow: bool = False  # opt-in Pallas in-row aggregation kernel on
+    # the dense layout (ops/inrow_graph.py) — see the A/B note in
+    # _dense_forward before enabling
     knn_k: int = 0  # >0: ignore provided edges and build kNN edges from node
     # positions ON DEVICE inside the jit'd step (ops/knn.py) — the idiomatic
     # TPU alternative to the reference's offline lineage edges (SURVEY §0)
@@ -414,7 +417,34 @@ class GraphNet(nn.Module):
         x = batch["nodes"].astype(dtype)
         node_mask = batch["node_mask"].astype(jnp.float32)
         b, m, _ = x.shape
-        if "adj" in batch:
+        # opt-in: the fused Pallas kernel aggregates straight from the
+        # in-row lists (adjacency built tile-by-tile in VMEM, consumed by
+        # the matmul in place — [B, M, M] never exists in HBM).  Needs the
+        # out-row mirror for its backward, and only GraphConv add/mean
+        # without SAG factors this way (SAG reuses/masks the adjacency, GAT
+        # needs the full logit matrix).  OFF by default: the same-window
+        # A/B (41.5k vs 74.8k graphs/sec, fuse 4) showed that rebuilding
+        # the adjacency inside every conv — twice forward, twice backward —
+        # costs more VPU arithmetic than the saved HBM traffic is worth;
+        # the XLA path builds once and reuses the buffer four times.  Kept
+        # for shapes where HBM pressure dominates (huge M / tight memory).
+        fused = (
+            self.fused_inrow
+            and "in_src" in batch
+            and "out_dst" in batch
+            and not self.use_gat
+            and not self.sag_pool
+            and jax.default_backend() == "tpu"
+        )
+        if fused:
+            from point_cloud_classifier_tpu.ops.inrow_graph import inrow_aggregate
+
+            f_in_src = batch["in_src"].astype(jnp.int32)
+            f_in_w = batch["in_w"].astype(dtype)
+            f_out_dst = batch["out_dst"].astype(jnp.int32)
+            f_out_w = batch["out_w"].astype(dtype)
+            adj = None
+        elif "adj" in batch:
             adj = batch["adj"].astype(dtype)
         else:
             # device-side adjacency (GraphLoader adj_wire="device"): the
@@ -486,9 +516,13 @@ class GraphNet(nn.Module):
                 return GATConv(self.hidden_dim // self.gat_heads, self.gat_heads)(
                     h, adj_mask=(adj != 0)
                 )
-            return GraphConv(self.hidden_dim, self.local_pooling)(
-                h, agg=dense_agg(h, adj)
-            )
+            if fused:
+                agg = inrow_aggregate(
+                    h, f_in_src, f_in_w, f_out_dst, f_out_w, self.local_pooling
+                )
+            else:
+                agg = dense_agg(h, adj)
+            return GraphConv(self.hidden_dim, self.local_pooling)(h, agg=agg)
 
         x = conv(x)
         x = act(x)

@@ -1,0 +1,145 @@
+"""Fused in-row aggregation kernel (ops/inrow_graph.py) vs the XLA oracle.
+
+Kernel runs in Pallas interpreter mode on CPU; the XLA compare-build path
+(`inrow_aggregate_xla`) is the semantics oracle — itself pinned against the
+flat layout by tests/test_dense_graph.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from point_cloud_classifier_tpu.data.batching import GraphLoader
+from point_cloud_classifier_tpu.ops.inrow_graph import (
+    inrow_adjacency_xla,
+    inrow_aggregate,
+    inrow_aggregate_xla,
+)
+
+
+def _random_inrow(rng, b=3, m=32, d=4, h=8, frac=0.5):
+    in_src = rng.integers(0, m, size=(b, m, d)).astype(np.int32)
+    in_w = (rng.random((b, m, d)) * (rng.random((b, m, d)) < frac)).astype(
+        np.float32
+    )
+    x = rng.normal(size=(b, m, h)).astype(np.float32)
+    # out-row mirror built from the dense adjacency's transpose
+    adj = np.asarray(inrow_adjacency_xla(in_src, in_w, m, jnp.float32))
+    adj_t = np.swapaxes(adj, 1, 2)
+    d_out = max(4, int((adj_t != 0).sum(axis=2).max()))
+    out_dst = np.zeros((b, m, d_out), np.int32)
+    out_w = np.zeros((b, m, d_out), np.float32)
+    for bb in range(b):
+        for row in range(m):
+            cols = np.flatnonzero(adj_t[bb, row])
+            out_dst[bb, row, : len(cols)] = cols
+            out_w[bb, row, : len(cols)] = adj_t[bb, row, cols]
+    return x, in_src, in_w, out_dst, out_w
+
+
+@pytest.mark.parametrize("aggr", ["add", "mean"])
+def test_kernel_matches_xla_forward(aggr):
+    rng = np.random.default_rng(0)
+    x, in_src, in_w, out_dst, out_w = _random_inrow(rng)
+    got = inrow_aggregate(x, in_src, in_w, out_dst, out_w, aggr, True)
+    want = inrow_aggregate_xla(x, in_src, in_w, aggr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("aggr", ["add", "mean"])
+def test_kernel_gradient_matches_xla(aggr):
+    rng = np.random.default_rng(1)
+    x, in_src, in_w, out_dst, out_w = _random_inrow(rng)
+    g = rng.normal(size=x.shape[:2] + (x.shape[2],)).astype(np.float32)
+
+    def loss_kernel(xx):
+        return jnp.sum(
+            inrow_aggregate(xx, in_src, in_w, out_dst, out_w, aggr, True) * g
+        )
+
+    def loss_xla(xx):
+        return jnp.sum(inrow_aggregate_xla(xx, in_src, in_w, aggr) * g)
+
+    dk = jax.grad(loss_kernel)(x)
+    dx = jax.grad(loss_xla)(x)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dx), rtol=1e-4, atol=1e-5)
+
+
+def test_non_pow2_m_falls_back_to_xla():
+    rng = np.random.default_rng(2)
+    b, m, d, h = 2, 24, 4, 8  # m multiple of 8 but not a power of two
+    in_src = rng.integers(0, m, size=(b, m, d)).astype(np.int32)
+    in_w = rng.random((b, m, d)).astype(np.float32)
+    x = rng.normal(size=(b, m, h)).astype(np.float32)
+    got = inrow_aggregate(x, in_src, in_w, None, None, "add", True)
+    want = inrow_aggregate_xla(x, in_src, in_w, "add")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def _random_graphs(n_graphs, seed):
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for i in range(n_graphs):
+        n = int(rng.integers(3, 12))
+        pairs = sorted(
+            {
+                (int(a), int(bb))
+                for a, bb in rng.integers(0, n, size=(3 * n, 2))
+                if a != bb
+            }
+        )
+        edges = np.array(pairs, dtype=np.int32).T.reshape(2, -1)
+        graphs.append(
+            {
+                "features": rng.normal(size=(n, 4)).astype(np.float32),
+                "edges": edges,
+                "weights": rng.uniform(0.1, 1.0, size=(edges.shape[1],)).astype(
+                    np.float32
+                ),
+                "label": float(i % 2),
+            }
+        )
+    return graphs
+
+
+def test_loader_out_lists_are_the_transposed_adjacency():
+    """in-row and out-row wires must describe the same adjacency, transposed."""
+    graphs = _random_graphs(6, seed=3)
+    loader = GraphLoader(graphs, batch_size=3, shuffle=False, layout="dense")
+    for batch in loader:
+        assert "out_dst" in batch and "out_w" in batch
+        m = batch["nodes"].shape[1]
+        a_in = np.asarray(
+            inrow_adjacency_xla(batch["in_src"], batch["in_w"], m, jnp.float32)
+        )
+        a_out = np.asarray(
+            inrow_adjacency_xla(batch["out_dst"], batch["out_w"], m, jnp.float32)
+        )
+        np.testing.assert_allclose(a_in, np.swapaxes(a_out, 1, 2), rtol=1e-6)
+
+
+def test_loader_out_lists_native_matches_python():
+    import os
+
+    import point_cloud_classifier_tpu.native as native
+
+    if not native.packer_available():
+        pytest.skip("C++ toolchain unavailable")
+    graphs = _random_graphs(10, seed=4)
+    mk = lambda: GraphLoader(
+        graphs, batch_size=4, shuffle=True, seed=11, layout="dense",
+        transfer_dtype="float16",
+    )
+    a = list(mk())
+    os.environ["PCC_NATIVE"] = "0"
+    native._packer_lib = None
+    try:
+        b = list(mk())
+    finally:
+        del os.environ["PCC_NATIVE"]
+        native._packer_lib = None
+    for ba, bb in zip(a, b):
+        assert set(ba) == set(bb)
+        for key in ba:
+            np.testing.assert_array_equal(ba[key], bb[key], err_msg=key)
