@@ -332,7 +332,8 @@ def _graph_batch_dense_wire(
 
 
 def _graph_batch_dense_inrow(
-    b: int, n: int, e: int, f: int, seed: int = 0, half: bool = True
+    b: int, n: int, e: int, f: int, seed: int = 0, half: bool = True,
+    out_rows: bool = False,
 ):
     """The dense workload in the in-row device wire: per-node padded
     incoming edges ``in_src``/``in_w [B, M, D]`` (D = max in-degree
@@ -364,8 +365,8 @@ def _graph_batch_dense_inrow(
     for k in ("edge_src", "edge_dst", "edge_slot", "edge_w"):
         del wire[k]
     wire["in_src"], wire["in_w"] = rows_of(dst, src)
-    # out-row mirror: the fused kernel's backward aggregates over it
-    wire["out_dst"], wire["out_w"] = rows_of(src, dst)
+    if out_rows:  # the fused kernel's backward aggregates over the mirror
+        wire["out_dst"], wire["out_w"] = rows_of(src, dst)
     return wire
 
 
@@ -431,8 +432,10 @@ def measure_graph_jax(
     )
     wrapper = ModelWrapper(model, learning_rate=1e-3, epochs=1)
     half = dtype == "bfloat16"
+    from functools import partial as _partial
+
     mk = {
-        "dense": _graph_batch_dense_inrow,
+        "dense": _partial(_graph_batch_dense_inrow, out_rows=fused_inrow),
         "dense-scatter": _graph_batch_dense_wire,
         "dense-host": _graph_batch_dense,
         "flat": _graph_batch,

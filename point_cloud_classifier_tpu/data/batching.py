@@ -261,6 +261,7 @@ class GraphLoader:
         min_edge_bucket_dense: int = 512,
         length_sorted: bool = False,
         max_in_degree_wire: int = 32,
+        emit_out_rows: bool = False,
     ):
         # "float16": fp16 features/weights + int16 ids on the wire (see
         # PointCloudLoader) — models upcast on device.  seg_encoding
@@ -304,6 +305,10 @@ class GraphLoader:
         self.min_edge_bucket_dense = min_edge_bucket_dense
         self.length_sorted = bool(length_sorted)
         self.max_in_degree_wire = int(max_in_degree_wire)
+        # out-row lists are only consumed by the opt-in fused aggregation
+        # kernel's backward (GraphNet.fused_inrow); keep the default wire
+        # lean and skip packing them unless asked
+        self.emit_out_rows = bool(emit_out_rows)
         self.min_dense_nodes = min_dense_nodes
         self.max_dense_bytes = max_dense_bytes
         self.seg_encoding = seg_encoding
@@ -520,7 +525,7 @@ class GraphLoader:
             # fused aggregation kernel's backward (ops/inrow_graph.py)
             do_max = int(self.graph_max_outdeg[idx].max()) if total_edges else 0
             do_pad = max(4, 1 << (max(do_max, 1) - 1).bit_length())
-            if do_pad <= self.max_in_degree_wire:
+            if self.emit_out_rows and do_pad <= self.max_in_degree_wire:
                 out_dst, out_w = self._pack_inrow(
                     idx64,
                     b,

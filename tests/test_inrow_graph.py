@@ -106,7 +106,9 @@ def _random_graphs(n_graphs, seed):
 def test_loader_out_lists_are_the_transposed_adjacency():
     """in-row and out-row wires must describe the same adjacency, transposed."""
     graphs = _random_graphs(6, seed=3)
-    loader = GraphLoader(graphs, batch_size=3, shuffle=False, layout="dense")
+    loader = GraphLoader(
+        graphs, batch_size=3, shuffle=False, layout="dense", emit_out_rows=True
+    )
     for batch in loader:
         assert "out_dst" in batch and "out_w" in batch
         m = batch["nodes"].shape[1]
@@ -129,7 +131,7 @@ def test_loader_out_lists_native_matches_python():
     graphs = _random_graphs(10, seed=4)
     mk = lambda: GraphLoader(
         graphs, batch_size=4, shuffle=True, seed=11, layout="dense",
-        transfer_dtype="float16",
+        transfer_dtype="float16", emit_out_rows=True,
     )
     a = list(mk())
     os.environ["PCC_NATIVE"] = "0"
@@ -143,3 +145,9 @@ def test_loader_out_lists_native_matches_python():
         assert set(ba) == set(bb)
         for key in ba:
             np.testing.assert_array_equal(ba[key], bb[key], err_msg=key)
+
+
+def test_default_wire_omits_out_rows():
+    graphs = _random_graphs(4, seed=5)
+    for batch in GraphLoader(graphs, batch_size=2, shuffle=False, layout="dense"):
+        assert "out_dst" not in batch and "in_src" in batch
