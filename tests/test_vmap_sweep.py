@@ -195,3 +195,39 @@ def test_run_search_vmapped_artifacts(tmp_path):
     y_true, y_pred = model.predict(loader)
     acc = float((y_pred.reshape(-1) == y_true.reshape(-1)).mean())
     assert acc == pytest.approx(top[0]["val_acc"], abs=0.2)
+
+
+def test_vmapped_graph_arms_dense_layout():
+    """Vmapped arms train over dense in-row graph batches (the production
+    wire for GraphConv add/mean) — dict batches with [B, M, D] arrays must
+    trace through the shared-batch vmap cleanly."""
+    from point_cloud_classifier_tpu.data.batching import GraphLoader
+    from point_cloud_classifier_tpu.models import GraphNet
+
+    rng = np.random.default_rng(5)
+    graphs = []
+    for i in range(16):
+        n = int(rng.integers(3, 10))
+        pairs = sorted(
+            {(int(a), int(b)) for a, b in rng.integers(0, n, size=(2 * n, 2)) if a != b}
+        )
+        edges = np.array(pairs, dtype=np.int32).T.reshape(2, -1)
+        graphs.append(
+            {
+                "features": rng.normal(size=(n, 4)).astype(np.float32),
+                "edges": edges,
+                "weights": rng.uniform(0.1, 1.0, size=(edges.shape[1],)).astype(np.float32),
+                "label": float(i % 2),
+            }
+        )
+    train = GraphLoader(graphs[:12], batch_size=4, shuffle=False, layout="dense")
+    val = GraphLoader(graphs[12:], batch_size=4, shuffle=False, layout="dense")
+    model = GraphNet(
+        input_dim=4, hidden_dim=8, output_dim=1, activation="tanh",
+        local_pooling="add", deepchem_style=True,
+    )
+    result = train_configs_vmapped(
+        model, [1e-2, 1e-3], "adam", epochs=2, train_loader=train, val_loader=val
+    )
+    assert len(result["val_accs"]) == 2
+    assert all(0.0 <= a <= 1.0 for a in result["val_accs"])
