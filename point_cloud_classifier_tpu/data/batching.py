@@ -410,10 +410,12 @@ class GraphLoader:
                 starts = np.flatnonzero(first)
                 run_len = np.diff(np.concatenate([starts, [len(gid)]]))
                 np.maximum.at(self.graph_max_indeg, gid[starts], run_len)
-            # OUT-row mirror: each node's outgoing edges, (graph, src)-
-            # sorted.  The fused aggregation kernel's backward is the same
-            # aggregation over the transposed adjacency, which is exactly
-            # the out-row lists (ops/inrow_graph.py).
+        # OUT-row mirror: each node's outgoing edges, (graph, src)-sorted.
+        # The fused aggregation kernel's backward is the same aggregation
+        # over the transposed adjacency, which is exactly the out-row lists
+        # (ops/inrow_graph.py).  Only built when the wire will ship them.
+        if layout in ("dense", "auto") and emit_out_rows:
+            gid = np.repeat(np.arange(len(self.edge_counts)), self.edge_counts)
             order_o = np.lexsort((self.edges_dst, self.edges_src, gid))
             self.edges_src_o = np.ascontiguousarray(self.edges_src[order_o])
             self.edges_dst_o = np.ascontiguousarray(self.edges_dst[order_o])
@@ -441,7 +443,7 @@ class GraphLoader:
         self.mult_wire = (
             self.edge_mult.astype(np.float16) if self.half else self.edge_mult
         )
-        if layout in ("dense", "auto"):
+        if layout in ("dense", "auto") and emit_out_rows:
             self.weights_o_wire = (
                 self.weights_o.astype(np.float16) if self.half else self.weights_o
             )
@@ -521,27 +523,33 @@ class GraphLoader:
             )
             batch["in_src"] = in_src
             batch["in_w"] = in_w
-            # OUT-row mirror (the transposed adjacency): consumed by the
-            # fused aggregation kernel's backward (ops/inrow_graph.py)
-            do_max = int(self.graph_max_outdeg[idx].max()) if total_edges else 0
-            do_pad = max(4, 1 << (max(do_max, 1) - 1).bit_length())
-            if self.emit_out_rows and do_pad <= self.max_in_degree_wire:
-                out_dst, out_w = self._pack_inrow(
-                    idx64,
-                    b,
-                    m_pad,
-                    do_pad,
-                    nodes,
-                    node_mask,
-                    total_edges,
-                    idx_t,
-                    small_t,
-                    self.edges_dst_o,
-                    self.edges_src_o,
-                    self.weights_o_wire if self.use_weights else self.mult_o_wire,
+            if self.emit_out_rows:
+                # OUT-row mirror (the transposed adjacency): consumed by
+                # the fused aggregation kernel's backward (inrow_graph.py)
+                do_max = (
+                    int(self.graph_max_outdeg[idx].max()) if total_edges else 0
                 )
-                batch["out_dst"] = out_dst
-                batch["out_w"] = out_w
+                do_pad = max(4, 1 << (max(do_max, 1) - 1).bit_length())
+                if do_pad <= self.max_in_degree_wire:
+                    out_dst, out_w = self._pack_inrow(
+                        idx64,
+                        b,
+                        m_pad,
+                        do_pad,
+                        nodes,
+                        node_mask,
+                        total_edges,
+                        idx_t,
+                        small_t,
+                        self.edges_dst_o,
+                        self.edges_src_o,
+                        self.weights_o_wire
+                        if self.use_weights
+                        else self.mult_o_wire,
+                        fill_nodes=False,
+                    )
+                    batch["out_dst"] = out_dst
+                    batch["out_w"] = out_w
             return batch
 
         src_l, dst_l, slot_l, w_l = self._gather_batch_edges(
@@ -576,12 +584,14 @@ class GraphLoader:
         values,
         keys,
         weights,
+        fill_nodes: bool = True,
     ):
         """[B, M, D] per-row lists: cell (slot, keys[e], pos) <- values[e].
 
         ``keys`` must be run-sorted within each graph (the loader sorts both
         edge directions at init).  For the in-row lists values/keys are
-        (src, dst); for the out-row mirror they are (dst_o, src_o).
+        (src, dst); for the out-row mirror they are (dst_o, src_o) with
+        ``fill_nodes=False`` (the first pass already filled nodes/mask).
         """
         out_val = np.zeros((b, m_pad, d_pad), dtype=idx_t)
         out_w = np.zeros((b, m_pad, d_pad), dtype=small_t)
@@ -601,6 +611,7 @@ class GraphLoader:
             node_mask,
             out_val,
             out_w,
+            fill_nodes=fill_nodes,
         ):
             val_l = np.empty((total_edges,), dtype=np.int32)
             key_l = np.empty((total_edges,), dtype=np.int64)
@@ -610,8 +621,9 @@ class GraphLoader:
                 nlo, nhi = self.node_offsets[g_i], self.node_offsets[g_i + 1]
                 elo, ehi = self.edge_offsets[g_i], self.edge_offsets[g_i + 1]
                 n_i, e_i = nhi - nlo, ehi - elo
-                nodes[slot, :n_i] = self.feats[nlo:nhi]
-                node_mask[slot, :n_i] = 1.0
+                if fill_nodes:
+                    nodes[slot, :n_i] = self.feats[nlo:nhi]
+                    node_mask[slot, :n_i] = 1.0
                 val_l[cursor : cursor + e_i] = values[elo:ehi]
                 key_l[cursor : cursor + e_i] = keys[elo:ehi] + slot * m_pad
                 w_l[cursor : cursor + e_i] = weights[elo:ehi]

@@ -180,6 +180,7 @@ class Step2PointGraph(DataModule):
         seg_encoding: str = "ids",
         graph_layout: str = "flat",
         length_sorted: bool = False,
+        emit_out_rows: bool = False,
         **kwargs,
     ):
         super().__init__(data_dir=data_dir, **kwargs)
@@ -188,6 +189,9 @@ class Step2PointGraph(DataModule):
         # similar-size graphs per batch (train split only): quadratic
         # adjacency-size savings for the dense layout
         self.length_sorted = length_sorted
+        # out-row wire for GraphNet.fused_inrow's backward (see
+        # data/batching.GraphLoader)
+        self.emit_out_rows = emit_out_rows
         # "dense"/"auto": batched adjacency-matrix batches (message passing
         # as MXU matmuls, no gather/scatter) — see data/batching.GraphLoader
         self.graph_layout = graph_layout
@@ -414,6 +418,7 @@ class Step2PointGraph(DataModule):
             seg_encoding=self.seg_encoding,
             layout=self.graph_layout,
             length_sorted=self.length_sorted and split == "train",
+            emit_out_rows=self.emit_out_rows,
         )
 
     def get_train_loader(self) -> GraphLoader:

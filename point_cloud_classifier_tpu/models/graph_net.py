@@ -436,6 +436,17 @@ class GraphNet(nn.Module):
             and not self.sag_pool
             and jax.default_backend() == "tpu"
         )
+        if self.fused_inrow and not fused:
+            import warnings
+
+            warnings.warn(
+                "GraphNet(fused_inrow=True) has no effect on this batch: "
+                "it needs the dense in-row wire WITH out-row lists "
+                "(GraphLoader(emit_out_rows=True); train.py sets it when "
+                "model.fused_inrow is on) and no GAT/SAG; running the "
+                "ordinary path instead",
+                stacklevel=2,
+            )
         if fused:
             from point_cloud_classifier_tpu.ops.inrow_graph import inrow_aggregate
 
@@ -464,16 +475,13 @@ class GraphNet(nn.Module):
             # strictly ascending + duplicate-merged with padding at
             # out-of-range slot b, built with one sorted/unique scatter.
             if "in_src" in batch:
-                in_src = batch["in_src"].astype(jnp.int32)
-                in_w = batch["in_w"].astype(dtype)
-                iota = jnp.arange(m, dtype=jnp.int32)[None, None, :]
-                # unrolled accumulate (A/B-measured faster than the
-                # equivalent [B, M, D, M] generate+reduce fusion)
-                adj = jnp.zeros((b, m, m), dtype)
-                for d in range(in_src.shape[-1]):
-                    adj = adj + (in_src[:, :, d, None] == iota) * in_w[
-                        :, :, d, None
-                    ]
+                from point_cloud_classifier_tpu.ops.inrow_graph import (
+                    inrow_adjacency_xla,
+                )
+
+                adj = inrow_adjacency_xla(
+                    batch["in_src"], batch["in_w"], m, dtype
+                )
             else:
                 adj = (
                     jnp.zeros((b, m, m), dtype)

@@ -223,6 +223,7 @@ def _load_packer() -> Optional[ctypes.CDLL]:
         _VP, _VP,  # nodes, node_mask
         _VP, _I64,  # in_src, idx_itemsize
         _VP, _I64,  # in_w, w_itemsize
+        _I64,  # fill_nodes
     ]
     lib.pack_graph_dense.restype = _I64
     lib.pack_graph_dense.argtypes = [
@@ -378,10 +379,13 @@ def pack_graph_inrow_native(
     node_mask: np.ndarray,
     in_src: np.ndarray,
     in_w: np.ndarray,
+    fill_nodes: bool = True,
 ) -> bool:
     """Fill an in-row dense-wire batch in C++ (oracle:
     GraphLoader._dense_wire_batch's numpy path).  ``weights`` must already
-    be wire-dtype (same itemsize as ``in_w``)."""
+    be wire-dtype (same itemsize as ``in_w``).  ``fill_nodes=False`` skips
+    the node/mask memcpy for a second (out-row mirror) pass over buffers
+    the first pass already filled."""
     lib = _load_packer()
     if lib is None:
         return False
@@ -396,5 +400,6 @@ def pack_graph_inrow_native(
         _ptr(nodes), _ptr(node_mask),
         _ptr(in_src), in_src.itemsize,
         _ptr(in_w), in_w.itemsize,
+        int(fill_nodes),
     )
     return rc >= 0

@@ -200,7 +200,7 @@ int64_t pack_graph_inrow(const char* feats, int64_t feat_dim,
                          int64_t b, int64_t m_pad, int64_t d_pad,
                          char* nodes, float* node_mask, void* in_src,
                          int64_t idx_itemsize, void* in_w,
-                         int64_t w_itemsize) {
+                         int64_t w_itemsize, int64_t fill_nodes) {
   const int64_t row_bytes = feat_dim * itemsize;
   const int16_t one_f16 = 0x3C00;
   for (int64_t slot = 0; slot < k; ++slot) {
@@ -209,10 +209,12 @@ int64_t pack_graph_inrow(const char* feats, int64_t feat_dim,
     const int64_t elo = edge_offsets[g], ehi = edge_offsets[g + 1];
     const int64_t n_i = nhi - nlo;
     if (n_i > m_pad) return -1;
-    std::memcpy(nodes + (slot * m_pad) * row_bytes, feats + nlo * row_bytes,
-                n_i * row_bytes);
-    float* mask = node_mask + slot * m_pad;
-    for (int64_t r = 0; r < n_i; ++r) mask[r] = 1.0f;
+    if (fill_nodes) {  // the out-row mirror pass reuses already-filled buffers
+      std::memcpy(nodes + (slot * m_pad) * row_bytes, feats + nlo * row_bytes,
+                  n_i * row_bytes);
+      float* mask = node_mask + slot * m_pad;
+      for (int64_t r = 0; r < n_i; ++r) mask[r] = 1.0f;
+    }
 
     int64_t pos = 0;
     int32_t prev_dst = -1;

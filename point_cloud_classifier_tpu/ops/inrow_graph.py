@@ -89,10 +89,16 @@ def _make_kernel(t: int, m: int, d: int, aggr: str):
     return kernel
 
 
-def _tile_rows(m: int, h: int, d: int) -> int:
-    """Largest pow-2 row tile with the [T, M] f32 adjacency block (and its
-    compare temporaries, ~3 live copies) within ~6 MB of VMEM."""
-    budget = max(8, (6 << 20) // (12 * m))
+def _tile_rows(m: int, width: int, itemsize: int) -> int:
+    """Largest pow-2 row tile whose [T, M] f32 adjacency block (~3 live
+    compare temporaries) fits what remains of a ~10 MB VMEM budget after
+    the resident [M, width] feature block and the [T, width] output; 0 if
+    even T=8 doesn't fit (caller falls back to XLA)."""
+    resident = m * width * itemsize * 2  # h block, double-buffered
+    remaining = (10 << 20) - resident
+    budget = remaining // (12 * m) if remaining > 0 else 0
+    if budget < 8:
+        return 0
     t = 8
     while t * 2 <= min(budget, m):
         t *= 2
@@ -102,8 +108,15 @@ def _tile_rows(m: int, h: int, d: int) -> int:
 def _inrow_aggregate_impl(h, in_src, in_w, aggr: str, interpret: bool):
     b, m, width = h.shape
     d = in_src.shape[-1]
-    t = _tile_rows(m, width, d)
-    if m % t != 0 or (m & (m - 1)) != 0:
+    t = _tile_rows(m, width, h.dtype.itemsize)
+    if (
+        t == 0
+        or m % t != 0
+        or (m & (m - 1)) != 0
+        or (jax.default_backend() != "tpu" and not interpret)
+    ):
+        # XLA fallback: VMEM-infeasible shapes, non-pow2 buckets, and
+        # non-TPU backends (Mosaic only interprets elsewhere)
         return inrow_aggregate_xla(h, in_src, in_w, aggr)
     kernel = _make_kernel(t, m, d, aggr)
     return pl.pallas_call(
@@ -135,17 +148,19 @@ def inrow_aggregate(h, in_src, in_w, out_dst, out_w, aggr: str = "add",
 
 def _fwd(h, in_src, in_w, out_dst, out_w, aggr, interpret):
     out = _inrow_aggregate_impl(h, in_src, in_w, aggr, interpret)
-    return out, (in_src, in_w, out_dst, out_w)
+    return out, (h, in_src, in_w, out_dst, out_w)
 
 
 def _bwd(aggr, interpret, residuals, g):
-    in_src, in_w, out_dst, out_w = residuals
+    h, in_src, in_w, out_dst, out_w = residuals
     if out_dst is None:
         raise ValueError(
             "inrow_aggregate backward needs the out-row lists "
-            "(out_dst/out_w); the GraphLoader in-row wire ships them"
+            "(out_dst/out_w); GraphLoader(emit_out_rows=True) ships them"
         )
     if aggr == "mean":
+        # out = (A @ h) / deg with deg piecewise-constant in the weights,
+        # so the division folds into the upstream cotangent once
         deg = jnp.sum((in_w != 0).astype(jnp.float32), axis=2)
         g = (g.astype(jnp.float32) / jnp.maximum(deg, 1.0)[..., None]).astype(
             g.dtype
@@ -153,11 +168,20 @@ def _bwd(aggr, interpret, residuals, g):
     # adjᵀ aggregation == the same kernel over the out-row lists (always
     # "add": the mean division above already happened on the dst side)
     dh = _inrow_aggregate_impl(g, out_dst, out_w, "add", interpret)
+    # true weight cotangent: d out[b,i]/d in_w[b,i,d] = h[b, src_d], so
+    # dL/din_w = <g', h[src]> — a row gather + dot.  The model path feeds
+    # loader data (never differentiated), but library callers must get the
+    # real gradient, not silent zeros.
+    bidx = jnp.arange(h.shape[0])[:, None, None]
+    gathered = h[bidx, in_src.astype(jnp.int32)]  # [B, M, D, H]
+    din_w = jnp.sum(gathered * g[:, :, None, :], axis=-1).astype(in_w.dtype)
+    # out_dst/out_w only route the backward; the forward doesn't depend on
+    # them, so their cotangent is genuinely zero
     zero_i = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     return (
         dh,
         zero_i(in_src),
-        jnp.zeros_like(in_w),
+        din_w,
         zero_i(out_dst),
         jnp.zeros_like(out_w),
     )

@@ -151,3 +151,21 @@ def test_default_wire_omits_out_rows():
     graphs = _random_graphs(4, seed=5)
     for batch in GraphLoader(graphs, batch_size=2, shuffle=False, layout="dense"):
         assert "out_dst" not in batch and "in_src" in batch
+
+
+@pytest.mark.parametrize("aggr", ["add", "mean"])
+def test_kernel_weight_gradient_matches_xla(aggr):
+    """dL/din_w must be the true cotangent, not silent zeros."""
+    rng = np.random.default_rng(6)
+    x, in_src, in_w, out_dst, out_w = _random_inrow(rng)
+    g = rng.normal(size=x.shape).astype(np.float32)
+
+    dk = jax.grad(
+        lambda w: jnp.sum(inrow_aggregate(x, in_src, w, out_dst, out_w, aggr, True) * g)
+    )(in_w)
+    dx = jax.grad(
+        lambda w: jnp.sum(inrow_aggregate_xla(x, in_src, w, aggr) * g)
+    )(in_w)
+    # the oracle's mean path differentiates through the (w != 0) degree
+    # indicator the same way (piecewise-constant -> no extra term)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dx), rtol=1e-4, atol=1e-5)

@@ -84,6 +84,9 @@ def get_dataloader(dataset_name: str, config: dict):
                 eligible = mdl.get("local_pooling", "add") in ("add", "mean")
             eligible = eligible and not mdl.get("knn_k", 0)
             ds_cfg["graph_layout"] = "auto" if eligible else "flat"
+            if mdl.get("fused_inrow", False):
+                # the opt-in fused kernel's backward needs the out-row wire
+                ds_cfg.setdefault("emit_out_rows", True)
         return Step2PointGraph(**ds_cfg)
     raise ValueError(f"Unknown dataset: {dataset_name}")
 
