@@ -231,3 +231,29 @@ def test_vmapped_graph_arms_dense_layout():
     )
     assert len(result["val_accs"]) == 2
     assert all(0.0 <= a <= 1.0 for a in result["val_accs"])
+
+
+def test_run_search_vmapped_graph_net(tmp_path):
+    """End-to-end vmapped search over graph_net arms: samplers may draw
+    GAT/max/dense-eligible configs — every group must build a loader whose
+    layout its model can actually consume (regression: the sweep once
+    dropped the model section, feeding dense batches to max-aggregation)."""
+    import sweep as sweep_mod
+    from point_cloud_classifier_tpu.data.synthetic import write_synthetic_dataset
+    from point_cloud_classifier_tpu.utils.config import load_config
+    from train import get_dataloader
+
+    data_dir = str(tmp_path / "data")
+    write_synthetic_dataset(data_dir, n_events_per_file=20, seed=6)
+    config = load_config("configs/base.yaml", "configs/graph_net.yaml")
+    config["dataset"]["data_dir"] = data_dir
+    config["dataset"]["create_dataset"] = True
+    get_dataloader("s2pg", config)
+
+    np.random.seed(3)
+    top = sweep_mod.run_search_vmapped(
+        "graph_net", "s2pg", search_dir=str(tmp_path / "s"),
+        max_runs=3, epochs=1, force=True, data_dir=data_dir,
+    )
+    status = tmp_path / "s" / "status_log.txt"
+    assert len(top) == 3, (top, status.read_text() if status.exists() else "")
