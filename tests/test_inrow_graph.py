@@ -169,3 +169,44 @@ def test_kernel_weight_gradient_matches_xla(aggr):
     # the oracle's mean path differentiates through the (w != 0) degree
     # indicator the same way (piecewise-constant -> no extra term)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(dx), rtol=1e-4, atol=1e-5)
+
+
+def test_model_fused_path_matches_xla_path(monkeypatch):
+    """GraphNet(fused_inrow=True) end-to-end (kernel in interpreter mode)
+    must reproduce the ordinary dense path's logits and updates."""
+    import point_cloud_classifier_tpu.ops.inrow_graph as ig
+    from point_cloud_classifier_tpu.models import GraphNet, ModelWrapper
+
+    graphs = _random_graphs(8, seed=7)
+
+    def run(fused):
+        loader = GraphLoader(
+            graphs, batch_size=4, shuffle=False, layout="dense",
+            emit_out_rows=fused, min_dense_nodes=16,
+        )
+        model = GraphNet(
+            input_dim=4, hidden_dim=8, output_dim=1, activation="tanh",
+            local_pooling="mean", deepchem_style=True, fused_inrow=fused,
+        )
+        w = ModelWrapper(model, learning_rate=1e-2, epochs=2, seed=0)
+        w.fit(loader)
+        return w
+
+    base = run(False)
+    # route the fused gate through the interpreter-mode kernel on CPU,
+    # counting calls so a silently-disengaged gate fails the test
+    calls = {"n": 0}
+    orig = ig.inrow_aggregate
+
+    def spy(*args, **kw):
+        calls["n"] += 1
+        return orig(*args, **dict(kw, interpret=True))
+
+    monkeypatch.setattr(ig, "inrow_aggregate", spy)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    fused = run(True)
+    assert calls["n"] > 0, "fused_inrow path never engaged"
+    for pa, pb in zip(jax.tree.leaves(base.params), jax.tree.leaves(fused.params)):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), rtol=2e-4, atol=2e-5
+        )
