@@ -394,6 +394,23 @@ class GraphLoader:
                 self.edge_offsets = np.ascontiguousarray(
                     np.concatenate([[0], np.cumsum(merged_counts)]), dtype=np.int64
                 )
+            # exact per-node in-degree in PER-OCCURRENCE terms (sum of
+            # merged-edge multiplicities, zero-weight edges included):
+            # shipped as ``in_deg [B, M]`` so the dense mean divides by the
+            # same denominator as the flat path's segment_count — counting
+            # nonzero adjacency entries instead would miss duplicate edges
+            # (merged) and drop w==0 edges (e.g. fp16-underflowed gaussian
+            # weights)
+            self.node_indeg = np.zeros(len(self.feats), dtype=np.float32)
+            if len(self.edges_dst):
+                gid_d = np.repeat(
+                    np.arange(len(self.edge_counts)), self.edge_counts
+                )
+                np.add.at(
+                    self.node_indeg,
+                    self.node_offsets[gid_d] + self.edges_dst,
+                    self.edge_mult,
+                )
             # per-graph max in-degree (edges are (graph, dst)-sorted, so
             # in-degrees are run lengths): one init pass lets each batch
             # size its in-row D bucket with an O(B) lookup
@@ -496,6 +513,7 @@ class GraphLoader:
         batch = {
             "nodes": nodes,
             "node_mask": node_mask,
+            "in_deg": self._indeg_rows(idx, b, m_pad),
             "y": yb,
             "y_mask": ymask,
         }
@@ -635,6 +653,15 @@ class GraphLoader:
             out_w.reshape(b * m_pad, d_pad)[key_l, pos] = w_l
         return out_val, out_w
 
+    def _indeg_rows(self, idx, b: int, m_pad: int) -> np.ndarray:
+        """Per-occurrence in-degree rows ``[B, M]`` for this batch's graphs
+        (see the ``node_indeg`` init pass) — B range-copies, negligible."""
+        out = np.zeros((b, m_pad), dtype=np.float32)
+        for slot, g_i in enumerate(idx):
+            nlo, nhi = self.node_offsets[g_i], self.node_offsets[g_i + 1]
+            out[slot, : nhi - nlo] = self.node_indeg[nlo:nhi]
+        return out
+
     def _gather_batch_edges(self, idx, nodes, node_mask, total_edges, small_t):
         """Python fallback: fill nodes/node_mask and return this batch's
         flat LOCAL edge arrays (src, dst, slot, wire-dtype weights)."""
@@ -707,6 +734,7 @@ class GraphLoader:
             "nodes": nodes,
             "adj": adj,
             "node_mask": node_mask,
+            "in_deg": self._indeg_rows(idx, b, m_pad),
             "y": yb,
             "y_mask": ymask,
         }
@@ -771,14 +799,21 @@ class GraphLoader:
             ymask = np.zeros((b,), dtype=np.float32)
             seg_counts = np.zeros((b + 1,), dtype=np.int32)
 
+            # use_weights=False ships each edge's MULTIPLICITY, not 1.0:
+            # under layout dense/auto the init-time merge collapsed duplicate
+            # directed edges, so a flat fill of 1.0 would count a duplicated
+            # edge once where the pure-flat scatter-add counts each
+            # occurrence.  mult_wire is all-ones when nothing was merged
+            # (layout="flat"), so this is the identity there.
+            wire_w = self.weights_wire if self.use_weights else self.mult_wire
             if not pack_graph_flat_native(
                 self.feats,
                 self.node_offsets,
                 self.edges_src,
                 self.edges_dst,
                 self.edge_offsets,
-                self.weights_wire,
-                self.use_weights,
+                wire_w,
+                True,
                 np.ascontiguousarray(idx, dtype=np.int64),
                 b,
                 n_pad,
@@ -807,10 +842,7 @@ class GraphLoader:
                     dst[edge_cursor : edge_cursor + e_i] = (
                         self.edges_dst[elo:ehi] + node_cursor
                     )
-                    if self.use_weights:
-                        edge_w[edge_cursor : edge_cursor + e_i] = self.weights[elo:ehi]
-                    else:
-                        edge_w[edge_cursor : edge_cursor + e_i] = 1.0
+                    edge_w[edge_cursor : edge_cursor + e_i] = wire_w[elo:ehi]
                     edge_mask[edge_cursor : edge_cursor + e_i] = 1.0
                     node_cursor += n_i
                     edge_cursor += e_i

@@ -78,7 +78,11 @@ class ResidentCache:
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
         self._epoch += 1
         if self._abandoned:
-            yield from self.loader
+            # still place each batch (mesh shardings / device_put): the
+            # oversized-dataset fallback must match the streaming pipeline's
+            # placement, not silently skip data-axis sharding under a mesh
+            for batch in self.loader:
+                yield self._put(batch)
             return
         if self._cached is not None:
             order = range(len(self._cached))
@@ -100,8 +104,9 @@ class ResidentCache:
                 # straight from the loader; later epochs too)
                 self._abandoned = True
                 pinned.clear()
-                yield batch
-                yield from it
+                yield self._put(batch)
+                for rest in it:
+                    yield self._put(rest)
                 return
             dev = self._put(batch)
             pinned.append(dev)

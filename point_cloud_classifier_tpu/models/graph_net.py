@@ -503,15 +503,26 @@ class GraphNet(nn.Module):
                     )
                 )
         act = activation_fn(self.activation)
+        # mean denominator: the wire's exact per-occurrence in-degree when
+        # available (counts duplicate-merged edges per occurrence and keeps
+        # w==0 edges, matching the flat path's segment_count exactly);
+        # counting nonzero adjacency entries is the fallback for hand-built
+        # batches.  After SAG pooling the degree changes dynamically and the
+        # count-nonzero form takes over — exact for simple graphs with
+        # nonzero weights (the lineage builder's output); multigraphs or
+        # zero-weight edges under SAG+mean keep the count-nonzero semantics
+        # (documented divergence, mirroring the dense-GAT w!=0 caveat).
+        in_deg = batch.get("in_deg")
 
-        def dense_agg(h, a):
+        def dense_agg(h, a, deg=None):
             # f32 accumulation like the flat path's f32 segment ops
             out = jnp.einsum(
                 "bij,bjf->bif", a, h, preferred_element_type=jnp.float32
             )
             if self.local_pooling == "mean":
-                deg = jnp.sum((a != 0).astype(jnp.float32), axis=2)
-                out = out / jnp.maximum(deg, 1.0)[..., None]
+                if deg is None:
+                    deg = jnp.sum((a != 0).astype(jnp.float32), axis=2)
+                out = out / jnp.maximum(deg.astype(jnp.float32), 1.0)[..., None]
             return out.astype(h.dtype)
 
         def bn(mod, h, mask):
@@ -525,11 +536,23 @@ class GraphNet(nn.Module):
                     h, adj_mask=(adj != 0)
                 )
             if fused:
-                agg = inrow_aggregate(
-                    h, f_in_src, f_in_w, f_out_dst, f_out_w, self.local_pooling
-                )
+                if self.local_pooling == "mean" and in_deg is not None:
+                    # kernel aggregates "add"; the exact-degree division
+                    # happens outside so the custom_vjp stays untouched
+                    # (division is linear — autodiff composes it correctly)
+                    agg = inrow_aggregate(
+                        h, f_in_src, f_in_w, f_out_dst, f_out_w, "add"
+                    )
+                    agg = (
+                        agg.astype(jnp.float32)
+                        / jnp.maximum(in_deg.astype(jnp.float32), 1.0)[..., None]
+                    ).astype(h.dtype)
+                else:
+                    agg = inrow_aggregate(
+                        h, f_in_src, f_in_w, f_out_dst, f_out_w, self.local_pooling
+                    )
             else:
-                agg = dense_agg(h, adj)
+                agg = dense_agg(h, adj, in_deg)
             return GraphConv(self.hidden_dim, self.local_pooling)(h, agg=agg)
 
         x = conv(x)
@@ -544,6 +567,7 @@ class GraphNet(nn.Module):
             keep = keep.astype(jnp.float32)
             adj = adj * keep[:, :, None].astype(dtype) * keep[:, None, :].astype(dtype)
             node_mask = keep
+            in_deg = None  # degrees changed; conv2 falls back to count-nonzero
 
         x = conv(x)
         x = act(x)

@@ -417,7 +417,15 @@ class ModelWrapper:
             from point_cloud_classifier_tpu.data.resident import ResidentCache
 
             if not isinstance(train_loader, ResidentCache):
-                train_loader = ResidentCache(train_loader, mesh=self.mesh)
+                # shuffle_seed keeps SGD stochastic across epochs: the cache
+                # replays epoch-1 batches, so without it every epoch would
+                # silently repeat the identical batch ORDER (the underlying
+                # loader's per-epoch reshuffle never runs again).  Batch
+                # COMPOSITION stays fixed after epoch one — the standard
+                # trade of cached input pipelines (data/resident.py).
+                train_loader = ResidentCache(
+                    train_loader, mesh=self.mesh, shuffle_seed=self.seed
+                )
             if val_loader is not None and not isinstance(val_loader, ResidentCache):
                 val_loader = ResidentCache(val_loader, mesh=self.mesh)
         start_epoch = self.restore_state() if resume else 0

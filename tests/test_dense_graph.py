@@ -384,3 +384,96 @@ def test_duplicate_edges_match_flat_for_unweighted_add():
     # and the host adjacency itself carries the multiplicity
     host = mk("dense", adj_wire="host")
     assert host["adj"][0, 1, 0] == 2.0 and host["adj"][0, 1, 2] == 1.0
+
+
+_MULTIGRAPHS = [
+    {
+        "features": np.eye(3, 4, dtype=np.float32),
+        # edge 0->1 twice plus 2->1: node 1 has per-occurrence in-degree 3
+        "edges": np.array([[0, 0, 2], [1, 1, 1]], dtype=np.int32),
+        "weights": np.array([0.3, 0.4, 0.5], dtype=np.float32),
+        "label": 1.0,
+    }
+]
+
+
+def test_auto_layout_flat_fallback_preserves_multiplicity():
+    """ADVICE r1: under layout='auto' + use_weights=False, a batch that
+    falls back to the flat wire must ship each edge's multiplicity (the
+    duplicates were MERGED at loader init), not a 1.0 fill — otherwise a
+    duplicated edge counts once where the pure-flat path counts each
+    occurrence."""
+    model = GraphNet(
+        input_dim=4, hidden_dim=8, output_dim=1, activation="tanh",
+        local_pooling="add", deepchem_style=True,
+    )
+    pure_flat = next(iter(GraphLoader(
+        _MULTIGRAPHS, batch_size=1, shuffle=False, layout="flat",
+        use_weights=False,
+    )))
+    # max_dense_bytes=1 forces every auto batch onto the flat fallback wire
+    fallback = next(iter(GraphLoader(
+        _MULTIGRAPHS, batch_size=1, shuffle=False, layout="auto",
+        use_weights=False, max_dense_bytes=1,
+    )))
+    assert "adj" not in fallback and "in_src" not in fallback
+    # the duplicated 0->1 edge rides the wire once with weight 2.0
+    assert sorted(np.asarray(fallback["edge_w"])[fallback["edge_mask"] > 0]) == [
+        1.0,
+        2.0,
+    ]
+    variables = model.init(jax.random.PRNGKey(0), pure_flat, train=False)
+    lf = np.asarray(model.apply(variables, pure_flat, train=False))
+    lb = np.asarray(model.apply(variables, fallback, train=False))
+    np.testing.assert_allclose(lf, lb, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("use_weights", [False, True])
+@pytest.mark.parametrize("adj_wire", ["host", "device"])
+def test_dense_mean_matches_flat_on_multigraph(use_weights, adj_wire):
+    """ADVICE r1: dense mean divides by the wire's exact per-occurrence
+    in-degree (``in_deg``), so duplicate-merged edges keep flat parity."""
+    model = GraphNet(
+        input_dim=4, hidden_dim=8, output_dim=1, activation="tanh",
+        local_pooling="mean", deepchem_style=True,
+    )
+    mk = lambda layout, **kw: next(iter(GraphLoader(
+        _MULTIGRAPHS, batch_size=1, shuffle=False, layout=layout,
+        use_weights=use_weights, **kw
+    )))
+    fb = mk("flat")
+    variables = model.init(jax.random.PRNGKey(0), fb, train=False)
+    lf = np.asarray(model.apply(variables, fb, train=False))
+    db = mk("dense", adj_wire=adj_wire)
+    assert np.asarray(db["in_deg"])[0, 1] == 3.0
+    ld = np.asarray(model.apply(variables, db, train=False))
+    np.testing.assert_allclose(lf, ld, rtol=1e-5, atol=1e-6)
+
+
+def test_dense_mean_counts_zero_weight_edges_like_flat():
+    """A w==0 edge (e.g. fp16-underflowed gaussian weight) is invisible in
+    the adjacency but must still count in the mean denominator, exactly as
+    the flat path's segment_count does."""
+    graphs = [
+        {
+            "features": np.eye(3, 4, dtype=np.float32),
+            "edges": np.array([[0, 2], [1, 1]], dtype=np.int32),
+            "weights": np.array([0.0, 0.5], dtype=np.float32),
+            "label": 0.0,
+        }
+    ]
+    model = GraphNet(
+        input_dim=4, hidden_dim=8, output_dim=1, activation="tanh",
+        local_pooling="mean", deepchem_style=True,
+    )
+    mk = lambda layout, **kw: next(iter(GraphLoader(
+        graphs, batch_size=1, shuffle=False, layout=layout,
+        use_weights=True, **kw
+    )))
+    fb = mk("flat")
+    variables = model.init(jax.random.PRNGKey(0), fb, train=False)
+    lf = np.asarray(model.apply(variables, fb, train=False))
+    for db in (mk("dense"), mk("dense", adj_wire="host")):
+        assert np.asarray(db["in_deg"])[0, 1] == 2.0
+        ld = np.asarray(model.apply(variables, db, train=False))
+        np.testing.assert_allclose(lf, ld, rtol=1e-5, atol=1e-6)

@@ -66,20 +66,62 @@ def test_cache_with_mesh_places_data_shardings():
     assert b2["x"].sharding.spec == P("data", None)
 
 
+def test_abandoned_cache_still_places_shardings():
+    """ADVICE r1: the over-budget fallback must keep the streaming
+    pipeline's placement — batches yielded after abandonment (and on every
+    later epoch) still go through shard_batch under a mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh()
+    src = CountingLoader([_tabular_batch(seed=s) for s in range(3)])
+    cache = ResidentCache(src, mesh=mesh, budget_bytes=1)
+    for epoch in range(1, 3):
+        got = list(cache)
+        assert len(got) == 3 and src.passes == epoch
+        for b in got:
+            assert b["x"].sharding.spec == P("data", None)
+    assert not cache.cached
+
+
 def test_resident_fit_matches_streaming_fit_exactly():
+    """Resident training == streaming training fed the same replay order.
+
+    fit() hands the cache ``shuffle_seed=wrapper.seed``, so epoch 1 streams
+    in loader order and epoch e ≥ 2 replays under
+    ``default_rng(seed + e).permutation`` (data/resident.py) — the streaming
+    oracle below reproduces that order explicitly.
+    """
     import jax
 
     train = [_tabular_batch(seed=s) for s in range(3)]
     val = [_tabular_batch(seed=9)]
+    seed = 0
+
+    class ReplayOrderLoader:
+        """Streams the exact order ResidentCache(shuffle_seed=seed) yields."""
+
+        def __init__(self, batches):
+            self.batches = batches
+            self._epoch = 0
+
+        def __iter__(self):
+            self._epoch += 1
+            order = range(len(self.batches))
+            if self._epoch >= 2:
+                order = np.random.default_rng(seed + self._epoch).permutation(
+                    len(self.batches)
+                )
+            for i in order:
+                yield self.batches[i]
 
     def run(resident):
         model = FullyConnectedNet(
             input_dim=9, hidden_layers=[8], batch_normalization=True, output_dim=1
         )
         w = ModelWrapper(
-            model, learning_rate=1e-2, epochs=3, seed=0, device_resident=resident
+            model, learning_rate=1e-2, epochs=3, seed=seed, device_resident=resident
         )
-        w.fit(train, val)
+        w.fit(ReplayOrderLoader(train) if not resident else train, val)
         return w
 
     a, b = run(False), run(True)
