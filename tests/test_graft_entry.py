@@ -9,7 +9,8 @@ def test_entry_compiles_and_runs():
 
     fn, (variables, batch) = g.entry()
     logits = jax.jit(fn)(variables, batch)
-    assert logits.shape == (batch["y"].shape[0], 1)
+    # two legs: flagship (XLA φ+pool) and width-512 (fused Pallas on TPU)
+    assert logits.shape == (batch["y"].shape[0], 2)
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
