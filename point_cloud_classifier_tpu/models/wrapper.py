@@ -286,11 +286,16 @@ class ModelWrapper:
     def _build_steps(self) -> None:
         key = (repr(self.model), self.optimizer_name)
         if key in _STEP_CACHE:
-            self._train_step, self._eval_step, self._train_step_fused = _STEP_CACHE[key]
+            (
+                self._train_step,
+                self._eval_step,
+                self._train_step_fused,
+                self._train_step_debug,
+            ) = _STEP_CACHE[key]
             return
         model, tx = self.model, self.tx
 
-        def _step_math(params, batch_stats, opt_state, batch):
+        def _step_math_full(params, batch_stats, opt_state, batch):
             def loss_fn(p):
                 logits, mutated = model.apply(
                     {"params": p, "batch_stats": batch_stats},
@@ -306,9 +311,20 @@ class ModelWrapper:
             )(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, new_stats, opt_state, loss
+            return params, new_stats, opt_state, loss, logits, grads
+
+        def _step_math(params, batch_stats, opt_state, batch):
+            # logits/grads dropped → XLA dead-code-eliminates their escape,
+            # so the hot step pays nothing for the debug variant's existence
+            return _step_math_full(params, batch_stats, opt_state, batch)[:4]
 
         train_step = partial(jax.jit, donate_argnums=(0, 1, 2))(_step_math)
+        # histogram-parity step (reference `models/wrapper.py:79-84` logs the
+        # last batch's logits + per-parameter grads every epoch): same math,
+        # but the logits and gradient tree escape the jit boundary
+        train_step_debug = partial(jax.jit, donate_argnums=(0, 1, 2))(
+            _step_math_full
+        )
 
         @jax.jit
         def eval_step(params, batch_stats, batch):
@@ -336,7 +352,8 @@ class ModelWrapper:
         self._train_step = train_step
         self._eval_step = eval_step
         self._train_step_fused = train_step_fused
-        _STEP_CACHE[key] = (train_step, eval_step, train_step_fused)
+        self._train_step_debug = train_step_debug
+        _STEP_CACHE[key] = (train_step, eval_step, train_step_fused, train_step_debug)
 
     # -- full-state checkpoint / resume (reference has none: its resume
     # granularity is "retrain", SURVEY §5) --------------------------------
@@ -429,10 +446,20 @@ class ModelWrapper:
             if val_loader is not None and not isinstance(val_loader, ResidentCache):
                 val_loader = ResidentCache(val_loader, mesh=self.mesh)
         start_epoch = self.restore_state() if resume else 0
+        # histogram-parity mode (reference `models/wrapper.py:79-84`): log
+        # the last batch's logits histogram + per-parameter weight AND grad
+        # histograms every epoch.  Forces single-batch dispatches (grads
+        # must escape the jit boundary per batch) and a device→host copy of
+        # the whole gradient tree — exactly the reference's unconditional
+        # throughput sink, so it stays opt-in.
+        hist_on = (
+            log._tb is not None and os.environ.get("PCC_TB_HISTOGRAMS") == "1"
+        )
         for epoch in range(start_epoch, self.epochs):
             batch_losses = []
             timer = StepTimer()
             pending = []  # same-shape batches awaiting a fused dispatch
+            last_aux = [None]  # (logits, grads) of the epoch's last batch
             shapes_seen = getattr(self, "_shapes_seen", set())
             self._shapes_seen = shapes_seen
 
@@ -440,7 +467,19 @@ class ModelWrapper:
                 if not pending:
                     return
                 with timer.step():
-                    if len(pending) == 1:
+                    if hist_on and len(pending) == 1:
+                        (
+                            self.params,
+                            self.batch_stats,
+                            self.opt_state,
+                            loss,
+                            logits,
+                            grads,
+                        ) = self._train_step_debug(
+                            self.params, self.batch_stats, self.opt_state, pending[0]
+                        )
+                        last_aux[0] = (logits, grads)
+                    elif len(pending) == 1:
                         self.params, self.batch_stats, self.opt_state, loss = (
                             self._train_step(
                                 self.params, self.batch_stats, self.opt_state, pending[0]
@@ -475,7 +514,7 @@ class ModelWrapper:
                     ):
                         flush()
                     pending.append(batch)
-                    if self.fuse_steps <= 1:
+                    if self.fuse_steps <= 1 or hist_on:
                         flush()
                 flush()
             # ONE device→host transfer per epoch: each individual float()
@@ -527,12 +566,20 @@ class ModelWrapper:
                     print("Early stopping triggered.")
                     self.save_state(epoch, force=self.state_every > 0)
                     break
-            if os.environ.get("PCC_TB_HISTOGRAMS") == "1" and self.params is not None:
-                flat = {}
-                for path, leaf in jax.tree_util.tree_flatten_with_path(self.params)[0]:
-                    name = "/".join(str(getattr(p, "key", p)) for p in path)
-                    flat[name] = leaf
-                log.histograms(flat.items(), epoch)
+            if hist_on and self.params is not None:
+                # reference naming: {name}_weight / {name}_grad per
+                # parameter, plus the last batch's raw "logits"
+                def _named(tree, suffix):
+                    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+                        name = "/".join(str(getattr(p, "key", p)) for p in path)
+                        yield f"{name}{suffix}", leaf
+
+                named = list(_named(self.params, "_weight"))
+                if last_aux[0] is not None:
+                    logits, grads = last_aux[0]
+                    named.append(("logits", logits))
+                    named.extend(_named(grads, "_grad"))
+                log.histograms(named, epoch)
             self.save_state(epoch)
         log.scalar("train_wall_seconds", time.time() - t0, 0)
         # bucket-explosion observability: each distinct batch shape is a
