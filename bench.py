@@ -360,13 +360,19 @@ def _graph_batch_dense_inrow(
         ws = np.zeros((b * m, d_pad), dtype=feat_t)
         vals[row, pos] = val
         ws[row, pos] = ww
-        return vals.reshape(b, m, d_pad), ws.reshape(b, m, d_pad)
+        pos_orig = np.empty(len(row), dtype=idx_t)
+        pos_orig[order] = pos  # each edge's slot position, original order
+        return vals.reshape(b, m, d_pad), ws.reshape(b, m, d_pad), pos_orig
 
     for k in ("edge_src", "edge_dst", "edge_slot", "edge_w"):
         del wire[k]
-    wire["in_src"], wire["in_w"] = rows_of(dst, src)
-    if out_rows:  # the fused kernel's backward aggregates over the mirror
-        wire["out_dst"], wire["out_w"] = rows_of(src, dst)
+    wire["in_src"], wire["in_w"], pos_in = rows_of(dst, src)
+    if out_rows:
+        # the mirror routes backwards: the fused kernel aggregates over it,
+        # and in-row GAT's gather cotangents ride out_pos (each edge's
+        # position in its destination's in-row list)
+        wire["out_dst"], wire["out_w"], _ = rows_of(src, dst)
+        wire["out_pos"], _, _ = rows_of(src, pos_in)
     return wire
 
 
@@ -435,7 +441,9 @@ def measure_graph_jax(
     from functools import partial as _partial
 
     mk = {
-        "dense": _partial(_graph_batch_dense_inrow, out_rows=fused_inrow),
+        "dense": _partial(
+            _graph_batch_dense_inrow, out_rows=fused_inrow or use_gat
+        ),
         "dense-scatter": _graph_batch_dense_wire,
         "dense-host": _graph_batch_dense,
         "flat": _graph_batch,

@@ -438,6 +438,27 @@ class GraphLoader:
             self.edges_dst_o = np.ascontiguousarray(self.edges_dst[order_o])
             self.weights_o = np.ascontiguousarray(self.weights[order_o])
             self.edge_mult_o = np.ascontiguousarray(self.edge_mult[order_o])
+            # each edge's position in its DESTINATION's in-row list (run
+            # index within the dst-sorted (graph, dst) runs), permuted to
+            # out-row order: ships as ``out_pos`` so gather-backwards
+            # (ops/inrow_graph.inrow_gather) can pick in-row cotangents
+            # from out-row slots without a device scatter
+            if len(self.edges_dst):
+                first_in = np.concatenate(
+                    [
+                        [True],
+                        (gid[1:] != gid[:-1])
+                        | (self.edges_dst[1:] != self.edges_dst[:-1]),
+                    ]
+                )
+                starts_in = np.flatnonzero(first_in)
+                run_id = np.cumsum(first_in) - 1
+                pos_in = np.arange(len(gid)) - starts_in[run_id]
+                self.inpos_o = np.ascontiguousarray(
+                    pos_in[order_o].astype(np.int32)
+                )
+            else:
+                self.inpos_o = np.zeros(0, np.int32)
             self.graph_max_outdeg = np.zeros(len(self.edge_counts), dtype=np.int64)
             gid_o = gid[order_o] if len(order_o) else gid
             if len(self.edges_src_o):
@@ -568,6 +589,25 @@ class GraphLoader:
                     )
                     batch["out_dst"] = out_dst
                     batch["out_w"] = out_w
+                    # the edges' in-row positions in the same out-row slots
+                    # (second pack pass over the identical (graph, src)
+                    # runs, so slot q of node j names the same edge)
+                    out_pos, _ = self._pack_inrow(
+                        idx64,
+                        b,
+                        m_pad,
+                        do_pad,
+                        nodes,
+                        node_mask,
+                        total_edges,
+                        idx_t,
+                        small_t,
+                        self.inpos_o,
+                        self.edges_src_o,
+                        self.weights_o_wire,
+                        fill_nodes=False,
+                    )
+                    batch["out_pos"] = out_pos
             return batch
 
         src_l, dst_l, slot_l, w_l = self._gather_batch_edges(

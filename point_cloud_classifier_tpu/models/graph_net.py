@@ -135,9 +135,60 @@ class GATConv(nn.Module):
         edge_valid: jnp.ndarray = None,
         node_valid: jnp.ndarray = None,
         adj_mask: jnp.ndarray = None,
+        in_src: jnp.ndarray = None,
+        in_w: jnp.ndarray = None,
+        out_dst: jnp.ndarray = None,
+        out_pos: jnp.ndarray = None,
+        out_w: jnp.ndarray = None,
     ) -> jnp.ndarray:
         h, d = self.heads, self.features
         glorot = nn.initializers.glorot_uniform()
+
+        if in_src is not None:
+            # IN-ROW attention (dense device wire, D = max in-degree ≤ 8):
+            # the [B, M, M] logit matrix never exists — scores and features
+            # gather over each node's D incoming slots (scatter-free
+            # backward via the out-row mirror, ops/inrow_graph.inrow_gather)
+            # and softmax runs over D+1 entries (the +1 is the self-loop,
+            # torch_geometric add_self_loops).  ~99.8% of the dense-path
+            # softmax work was on absent edges at lineage in-degrees.
+            from point_cloud_classifier_tpu.ops.inrow_graph import inrow_gather
+
+            b, m, _ = x.shape
+            dd = in_src.shape[-1]
+            xw = nn.Dense(h * d, use_bias=False, kernel_init=glorot)(x).reshape(
+                b, m, h, d
+            )
+            att_src = self.param("att_src", glorot, (1, h, d))
+            att_dst = self.param("att_dst", glorot, (1, h, d))
+            s_src = jnp.sum(xw * att_src, axis=-1).astype(jnp.float32)  # [B, M, H]
+            s_dst = jnp.sum(xw * att_dst, axis=-1).astype(jnp.float32)
+            valid = (in_w != 0).astype(jnp.float32)  # padding slots carry w=0
+            s_src_n = inrow_gather(s_src, in_src, out_dst, out_pos, out_w)
+            e_edge = nn.leaky_relu(
+                s_dst[:, :, None, :] + s_src_n, negative_slope=self.negative_slope
+            )
+            e_edge = jnp.where(valid[..., None] > 0, e_edge, -jnp.inf)
+            e_self = nn.leaky_relu(
+                s_dst + s_src, negative_slope=self.negative_slope
+            )[:, :, None, :]
+            e = jnp.concatenate([e_edge, e_self], axis=2)  # [B, M, D+1, H]
+            e = e - jax.lax.stop_gradient(jnp.max(e, axis=2, keepdims=True))
+            mask = jnp.concatenate(
+                [valid, jnp.ones((b, m, 1), jnp.float32)], axis=2
+            )
+            p = jnp.exp(e) * mask[..., None]
+            alpha = p / jnp.maximum(jnp.sum(p, axis=2, keepdims=True), 1e-16)
+            xw_flat = xw.reshape(b, m, h * d)
+            xw_n = inrow_gather(xw_flat, in_src, out_dst, out_pos, out_w).reshape(
+                b, m, dd, h, d
+            )
+            out32 = jnp.sum(
+                alpha[:, :, :dd, :, None] * xw_n.astype(jnp.float32), axis=2
+            ) + alpha[:, :, dd, :, None] * xw.astype(jnp.float32)
+            out = out32.astype(x.dtype).reshape(b, m, h * d)
+            bias = self.param("bias", nn.initializers.zeros, (h * d,))
+            return out + bias
 
         if adj_mask is not None:
             b, m, _ = x.shape
@@ -403,15 +454,33 @@ class GraphNet(nn.Module):
         adjacency mask plus one matmul per head (see :class:`GATConv`); the
         dense wire encodes edge existence as w ≠ 0, so a weighted GAT
         (which torch_geometric's GATConv rejects outright) would treat
-        zero-weight edges as absent.  Max aggregation keeps the flat
-        layout (max doesn't factor through an adjacency contraction).
+        zero-weight edges as absent.  Max aggregation (no SAG) runs over
+        the in-row lists directly (``ops/inrow_graph.inrow_max_aggregate``
+        — max doesn't factor through an adjacency contraction, so the
+        adjacency is never built); under SAG it keeps the flat layout.
         """
         # local_pooling is irrelevant under GAT (the reference picks GATConv
-        # OR GraphConv(aggr=local_pooling), `models/graph_net.py:46-51`)
-        if self.knn_k > 0 or (self.local_pooling == "max" and not self.use_gat):
+        # OR GraphConv(aggr=local_pooling), `models/graph_net.py:46-51`).
+        # max dense-ifies via the in-row lists (it doesn't factor through an
+        # adjacency matmul): needs the in-row wire + out-row mirror for the
+        # gather backward, and stays flat under SAG (whose rank-and-mask
+        # edge drops would need a second gathered mask).
+        inrow_max = (
+            not self.use_gat
+            and self.local_pooling == "max"
+            and not self.sag_pool
+            and "in_src" in batch
+            and "out_dst" in batch
+            and "out_pos" in batch
+        )
+        if self.knn_k > 0 or (
+            self.local_pooling == "max" and not self.use_gat and not inrow_max
+        ):
             raise ValueError(
-                "dense graph layout supports GraphConv add/mean and GAT; "
-                "use the flat (edge list) layout for max / knn_k"
+                "dense graph layout supports GraphConv add/mean, GAT, and "
+                "max over the in-row device wire with out-rows "
+                "(GraphLoader(emit_out_rows=True), no SAG); use the flat "
+                "(edge list) layout otherwise / for knn_k"
             )
         dtype = resolve_dtype(self.compute_dtype)
         x = batch["nodes"].astype(dtype)
@@ -447,6 +516,17 @@ class GraphNet(nn.Module):
                 "ordinary path instead",
                 stacklevel=2,
             )
+        # GAT over the in-row wire needs no adjacency at all: attention
+        # gathers over each node's ≤D incoming slots and the backward rides
+        # the out-row mirror (GATConv in-row branch).  Same-window A/B vs
+        # the [B, M, M] masked-softmax path below: see docs/kernels.md.
+        inrow_gat = (
+            self.use_gat
+            and not self.sag_pool
+            and "in_src" in batch
+            and "out_dst" in batch
+            and "out_pos" in batch
+        )
         if fused:
             from point_cloud_classifier_tpu.ops.inrow_graph import inrow_aggregate
 
@@ -455,6 +535,8 @@ class GraphNet(nn.Module):
             f_out_dst = batch["out_dst"].astype(jnp.int32)
             f_out_w = batch["out_w"].astype(dtype)
             adj = None
+        elif inrow_gat or inrow_max:
+            adj = None  # never materialised
         elif "adj" in batch:
             adj = batch["adj"].astype(dtype)
         else:
@@ -532,9 +614,34 @@ class GraphNet(nn.Module):
 
         def conv(h):
             if self.use_gat:
+                if inrow_gat:
+                    return GATConv(
+                        self.hidden_dim // self.gat_heads, self.gat_heads
+                    )(
+                        h,
+                        in_src=batch["in_src"].astype(jnp.int32),
+                        in_w=batch["in_w"],
+                        out_dst=batch["out_dst"].astype(jnp.int32),
+                        out_pos=batch["out_pos"].astype(jnp.int32),
+                        out_w=batch["out_w"],
+                    )
                 return GATConv(self.hidden_dim // self.gat_heads, self.gat_heads)(
                     h, adj_mask=(adj != 0)
                 )
+            if inrow_max:
+                from point_cloud_classifier_tpu.ops.inrow_graph import (
+                    inrow_max_aggregate,
+                )
+
+                agg = inrow_max_aggregate(
+                    h,
+                    batch["in_src"].astype(jnp.int32),
+                    batch["in_w"],
+                    batch["out_dst"].astype(jnp.int32),
+                    batch["out_pos"].astype(jnp.int32),
+                    batch["out_w"],
+                )
+                return GraphConv(self.hidden_dim, self.local_pooling)(h, agg=agg)
             if fused:
                 if self.local_pooling == "mean" and in_deg is not None:
                     # kernel aggregates "add"; the exact-degree division

@@ -188,3 +188,103 @@ def _bwd(aggr, interpret, residuals, g):
 
 
 inrow_aggregate.defvjp(_fwd, _bwd)
+
+
+def _inrow_gather_impl(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """values [B, M, C] gathered per edge slot: out[b,i,d] = values[b, idx[b,i,d]]."""
+    return jnp.take_along_axis(
+        values[:, :, None, :], idx.astype(jnp.int32)[..., None], axis=1
+    )
+
+
+@jax.custom_vjp
+def inrow_gather(values, in_src, out_dst, out_pos, out_valid):
+    """Per-edge row gather with a scatter-free backward.
+
+    Forward: ``out[b, i, d, :] = values[b, in_src[b, i, d], :]`` — the
+    per-incoming-edge gather the dense in-row GAT needs for neighbour
+    scores and features.
+
+    Backward: the cotangent ``dvalues[b, j] = Σ_{(i,d): in_src[b,i,d]=j}
+    g[b, i, d]`` is a scatter-add under plain autodiff — and an XLA scalar
+    scatter costs ~14 ns/edge on TPU (docs/kernels.md).  The out-row mirror
+    re-expresses it as a GATHER over node j's outgoing slots:
+    ``Σ_q g[b, out_dst[b,j,q], out_pos[b,j,q]]`` where ``out_pos`` is each
+    outgoing edge's position in its destination's in-row list
+    (``GraphLoader`` ships all three with ``emit_out_rows=True``).
+
+    ``out_dst``/``out_pos``/``out_valid`` only route the backward; pass
+    ``None`` for inference-only use (the backward then raises).
+
+    Contract: the upstream cotangent must be ZERO on padding slots
+    (``in_w == 0``) — the out-row route only visits real edges, while plain
+    autodiff would also scatter padding-slot cotangents into node 0.  Any
+    masked use satisfies this (attention multiplies padding slots by
+    α = 0 before they reach the loss).
+    """
+    return _inrow_gather_impl(values, in_src)
+
+
+def _inrow_gather_fwd(values, in_src, out_dst, out_pos, out_valid):
+    return _inrow_gather_impl(values, in_src), (
+        values,
+        in_src,
+        out_dst,
+        out_pos,
+        out_valid,
+    )
+
+
+def _inrow_gather_bwd(residuals, g):
+    values, in_src, out_dst, out_pos, out_valid = residuals
+    if out_dst is None or out_pos is None:
+        raise ValueError(
+            "inrow_gather backward needs the out-row mirror (out_dst/"
+            "out_pos/out_w); GraphLoader(emit_out_rows=True) ships it"
+        )
+    b, m, d = in_src.shape
+    c = g.shape[-1]
+    g_flat = g.reshape(b, m * d, c)
+    flat_idx = out_dst.astype(jnp.int32) * d + out_pos.astype(jnp.int32)
+    picked = jnp.take_along_axis(
+        g_flat[:, :, None, :], flat_idx[..., None], axis=1
+    )  # [B, M, Q, C]
+    # out_valid carries the out-row WEIGHTS wire (w=0 marks padding); the
+    # cotangent route needs pure validity, not a weighting
+    mask = (out_valid != 0).astype(jnp.float32)
+    dvalues = jnp.sum(
+        picked.astype(jnp.float32) * mask[..., None], axis=2
+    ).astype(values.dtype)
+    zero_i = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return (
+        dvalues,
+        zero_i(in_src),
+        zero_i(out_dst),
+        zero_i(out_pos),
+        jnp.zeros_like(out_valid),
+    )
+
+
+inrow_gather.defvjp(_inrow_gather_fwd, _inrow_gather_bwd)
+
+
+def inrow_max_aggregate(h, in_src, in_w, out_dst, out_pos, out_w):
+    """Masked neighbour max over the in-row lists: ``agg[b,i] = max_d
+    in_w[b,i,d] · h[b, in_src[b,i,d]]`` with padding slots (w=0) excluded
+    and all-masked rows returning 0 (the flat path's isfinite guard,
+    models/graph_net.GraphConv).
+
+    Dense-ifies ``local_pooling="max"`` — max doesn't factor through an
+    adjacency contraction, so the adjacency is never built; the gather's
+    backward rides the out-row mirror (only argmax slots carry cotangent,
+    and those are always valid slots, satisfying :func:`inrow_gather`'s
+    contract).  Parity with the flat layout is exact on simple graphs; a
+    duplicate-merged multigraph takes max over UNIQUE edges with summed
+    weight/multiplicity (documented divergence, like the dense-GAT w≠0
+    caveat — the lineage builder's graphs are simple).
+    """
+    gathered = inrow_gather(h, in_src, out_dst, out_pos, out_w)  # [B, M, D, C]
+    msg = gathered.astype(jnp.float32) * in_w[..., None].astype(jnp.float32)
+    masked = jnp.where(in_w[..., None] != 0, msg, -jnp.inf)
+    agg = jnp.max(masked, axis=2)
+    return jnp.where(jnp.isfinite(agg), agg, 0.0).astype(h.dtype)

@@ -46,6 +46,7 @@ def _prepare_data(data_dir: str, events: int, seed: int) -> None:
     write_synthetic_dataset(data_dir, n_events_per_file=events, seed=seed)
     # build all three caches with OUR pipeline (bit-identical to reference's)
     from point_cloud_classifier_tpu.data import (
+        Step2PointGraph,
         Step2PointPointCloud,
         Step2PointTabular,
     )
@@ -53,6 +54,7 @@ def _prepare_data(data_dir: str, events: int, seed: int) -> None:
     with _quiet():
         Step2PointTabular(data_dir, create_dataset=True)
         Step2PointPointCloud(data_dir, create_dataset=True)
+        Step2PointGraph(data_dir, create_dataset=True)
 
 
 def _val_acc(log_dir: str) -> float:
@@ -140,6 +142,128 @@ def train_reference(model_name: str, data_dir: str, run_root: str, seed: int, ep
                 del sys.modules[mod]
 
 
+def train_reference_graph(data_dir: str, seed: int, epochs) -> float:
+    """Reference-semantics GraphNet trained in torch on the bit-identical
+    S2PG caches — the accuracy oracle for the one config whose actual
+    reference cannot run here (torch_geometric absent).
+
+    Mirrors `/root/reference/models/graph_net.py:8-103` at the default
+    config (`configs/graph_net.yaml`: GraphConv(add) h128 ×2 with
+    torch_geometric semantics ``x' = W_rel·aggr(w·x_src) + W_root·x``,
+    tanh, BatchNorm1d after each conv, deepchem_style fc1→tanh→bn3 before a
+    global mean pool, fc2 head, use_weights=False, n_features=4) and the
+    reference trainer exactly (`models/wrapper.py`: adam lr 1e-3,
+    BCEWithLogitsLoss, 15 epochs, best-val-loss checkpoint + patience-10
+    early stop, final val accuracy from the CURRENT weights like
+    `train.py:168-169`), with the reference collate
+    (`utils/data.py:1228-1261`: node-offset edges + membership).
+    """
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+
+    from point_cloud_classifier_tpu.data import Step2PointGraph
+
+    ds = Step2PointGraph(data_dir)
+    train_g = ds._load_split_graphs("train")
+    val_g = ds._load_split_graphs("val")
+
+    def collate(graphs):
+        xs, membership, edges, ys = [], [], [], []
+        offset = 0
+        for i, g in enumerate(graphs):
+            feats = np.asarray(g["features"], np.float32)[:, :4]
+            xs.append(feats)
+            membership.append(np.full(len(feats), i, np.int64))
+            edges.append(np.asarray(g["edges"], np.int64) + offset)
+            ys.append([float(g["label"])])
+            offset += len(feats)
+        return (
+            torch.from_numpy(np.concatenate(xs)),
+            torch.from_numpy(np.concatenate(membership)),
+            torch.from_numpy(np.concatenate(edges, axis=1)),
+            torch.from_numpy(np.asarray(ys, np.float32)),
+        )
+
+    def batches(graphs, shuffle, rng):
+        idx = np.arange(len(graphs))
+        if shuffle:
+            rng.shuffle(idx)
+        for s in range(0, len(idx), 32):  # dataset.batch_size: 32
+            yield collate([graphs[i] for i in idx[s : s + 32]])
+
+    class RefGraphConv(nn.Module):
+        def __init__(self, dim_in, dim_out):
+            super().__init__()
+            self.lin_rel = nn.Linear(dim_in, dim_out)
+            self.lin_root = nn.Linear(dim_in, dim_out, bias=False)
+
+        def forward(self, x, src, dst):
+            agg = torch.zeros(x.shape[0], x.shape[1])
+            agg.index_add_(0, dst, x[src])  # use_weights=False: w == 1
+            return self.lin_rel(agg) + self.lin_root(x)
+
+    class RefGraphNet(nn.Module):
+        def __init__(self, hidden=128):
+            super().__init__()
+            self.conv1 = RefGraphConv(4, hidden)
+            self.bn1 = nn.BatchNorm1d(hidden)
+            self.conv2 = RefGraphConv(hidden, hidden)
+            self.bn2 = nn.BatchNorm1d(hidden)
+            self.fc1 = nn.Linear(hidden, 256)
+            self.bn3 = nn.BatchNorm1d(256)
+            self.fc2 = nn.Linear(256, 1)
+
+        def forward(self, x, membership, edges, batch_size):
+            src, dst = edges[0], edges[1]
+            x = self.bn1(torch.tanh(self.conv1(x, src, dst)))
+            x = self.bn2(torch.tanh(self.conv2(x, src, dst)))
+            x = self.bn3(torch.tanh(self.fc1(x)))  # deepchem_style
+            pooled = torch.zeros(batch_size, x.shape[1])
+            pooled.index_add_(0, membership, x)
+            counts = torch.bincount(membership, minlength=batch_size).clamp(min=1)
+            return self.fc2(pooled / counts[:, None].float())
+
+    model = RefGraphNet()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    criterion = nn.BCEWithLogitsLoss()
+    rng = np.random.default_rng(seed)
+
+    best_val, patience_ctr = float("inf"), 0
+    for _ in range(epochs or 15):
+        model.train()
+        for x, mem, edges, y in batches(train_g, True, rng):
+            opt.zero_grad()
+            loss = criterion(model(x, mem, edges, len(y)), y)
+            loss.backward()
+            opt.step()
+        model.eval()
+        val_losses = []
+        with torch.no_grad():
+            for x, mem, edges, y in batches(val_g, False, rng):
+                val_losses.append(
+                    criterion(model(x, mem, edges, len(y)), y).item()
+                )
+        val_loss = sum(val_losses) / len(val_losses)
+        if val_loss < best_val:
+            best_val, patience_ctr = val_loss, 0
+        else:
+            patience_ctr += 1
+        if patience_ctr >= 10:
+            break
+
+    model.eval()
+    correct, total = 0, 0
+    with torch.no_grad():
+        for x, mem, edges, y in batches(val_g, False, rng):
+            preds = (torch.sigmoid(model(x, mem, edges, len(y))) >= 0.5).float()
+            correct += int((preds == y).sum())
+            total += len(y)
+    return correct / max(total, 1)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--events", type=int, default=200, help="events per particle file")
@@ -148,7 +272,12 @@ def main() -> None:
     parser.add_argument(
         "--models",
         nargs="+",
-        default=["logistic_regression", "fully_connected_net", "deep_sets"],
+        default=[
+            "logistic_regression",
+            "fully_connected_net",
+            "deep_sets",
+            "graph_net",
+        ],
     )
     parser.add_argument("--keep", action="store_true", help="keep the work dir")
     args = parser.parse_args()
@@ -163,7 +292,13 @@ def main() -> None:
     for model in args.models:
         ours, ref = [], []
         for r in range(args.repeats):
-            ref.append(train_reference(model, data_dir, run_root, seed=r, epochs=args.epochs))
+            if model == "graph_net":
+                # the installed reference cannot train graph_net
+                # (torch_geometric absent) — use the reference-semantics
+                # torch oracle on the same bit-identical caches
+                ref.append(train_reference_graph(data_dir, seed=r, epochs=args.epochs))
+            else:
+                ref.append(train_reference(model, data_dir, run_root, seed=r, epochs=args.epochs))
             ours.append(train_ours(model, data_dir, run_root, seed=r, epochs=args.epochs))
             print(f"  {model} seed {r}: ref={ref[-1]:.4f} ours={ours[-1]:.4f}")
         results[model] = {

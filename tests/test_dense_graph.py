@@ -121,22 +121,78 @@ def test_dense_auto_falls_back_for_oversized_batches():
 
 
 def test_dense_rejects_max_aggregation():
-    """max doesn't factor through an adjacency contraction; GAT now runs
-    dense (its use of local_pooling is vacuous, like the reference's)."""
+    """max needs the in-row wire + out-row mirror (no adjacency
+    factorisation); without them the dense layout rejects it.  GAT runs
+    dense regardless (its use of local_pooling is vacuous, like the
+    reference's)."""
     graphs = _random_graphs(n_graphs=2, seed=2)
     dense = GraphLoader(graphs, batch_size=2, shuffle=False, layout="dense")
-    batch = next(iter(dense))
+    batch = next(iter(dense))  # no out rows
     model = GraphNet(
         input_dim=4, hidden_dim=8, output_dim=1, activation="tanh",
         local_pooling="max",
     )
     with pytest.raises(ValueError, match="dense graph layout"):
         model.init(jax.random.PRNGKey(0), batch, train=False)
+    # SAG keeps max on the flat layout even with the full wire
+    full = next(iter(GraphLoader(
+        graphs, batch_size=2, shuffle=False, layout="dense", emit_out_rows=True
+    )))
+    sag_max = GraphNet(
+        input_dim=4, hidden_dim=8, output_dim=1, activation="tanh",
+        local_pooling="max", sag_pool=True,
+    )
+    with pytest.raises(ValueError, match="dense graph layout"):
+        sag_max.init(jax.random.PRNGKey(0), full, train=False)
     gat_max = GraphNet(
         input_dim=4, hidden_dim=8, output_dim=1, activation="tanh",
         local_pooling="max", use_gat=True,
     )
     gat_max.init(jax.random.PRNGKey(0), batch, train=False)  # fine
+
+
+@pytest.mark.parametrize("use_weights", [False, True])
+def test_inrow_max_matches_flat(use_weights):
+    """Dense in-row max (ops/inrow_graph.inrow_max_aggregate) == flat
+    segment_max, logits and training updates."""
+    from point_cloud_classifier_tpu.models import ModelWrapper
+
+    graphs = _random_graphs(n_graphs=8, seed=13)
+    model = GraphNet(
+        input_dim=4, hidden_dim=16, output_dim=1, activation="tanh",
+        local_pooling="max", deepchem_style=True,
+    )
+    flat = GraphLoader(
+        graphs, batch_size=4, shuffle=False, layout="flat", use_weights=use_weights
+    )
+    dense = GraphLoader(
+        graphs, batch_size=4, shuffle=False, layout="dense",
+        use_weights=use_weights, emit_out_rows=True,
+    )
+    fb = next(iter(flat))
+    variables = model.init(jax.random.PRNGKey(0), fb, train=False)
+    for fbatch, dbatch in zip(flat, dense):
+        lf = model.apply(variables, fbatch, train=False)
+        ld = model.apply(variables, dbatch, train=False)
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(ld), rtol=1e-5, atol=1e-5
+        )
+
+    def run(layout, **kw):
+        loader = GraphLoader(
+            graphs, batch_size=4, shuffle=False, layout=layout,
+            use_weights=use_weights, **kw
+        )
+        w = ModelWrapper(model, learning_rate=1e-2, epochs=2, seed=0)
+        w.fit(loader)
+        return w
+
+    a = run("flat")
+    b = run("dense", emit_out_rows=True)
+    for pa, pb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), rtol=2e-4, atol=2e-5
+        )
 
 
 def test_use_weights_false_dense_adjacency_is_binary():
@@ -448,6 +504,69 @@ def test_dense_mean_matches_flat_on_multigraph(use_weights, adj_wire):
     assert np.asarray(db["in_deg"])[0, 1] == 3.0
     ld = np.asarray(model.apply(variables, db, train=False))
     np.testing.assert_allclose(lf, ld, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("deepchem_style", [False, True])
+def test_inrow_gat_matches_flat_logits(deepchem_style):
+    """In-row GAT (gather attention over ≤D incoming slots, no [B, M, M]
+    logit matrix) must equal the flat segment-softmax GAT exactly."""
+    import point_cloud_classifier_tpu.ops.inrow_graph as ig
+
+    graphs = _random_graphs(n_graphs=6, seed=11)
+    flat = GraphLoader(graphs, batch_size=3, shuffle=False, layout="flat")
+    dense = GraphLoader(
+        graphs, batch_size=3, shuffle=False, layout="dense", emit_out_rows=True
+    )
+    model = GraphNet(
+        input_dim=4, hidden_dim=16, output_dim=1, activation="tanh",
+        use_gat=True, gat_heads=4, deepchem_style=deepchem_style,
+    )
+    fb = next(iter(flat))
+    variables = model.init(jax.random.PRNGKey(0), fb, train=False)
+    calls = {"n": 0}
+    real = ig.inrow_gather
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    ig.inrow_gather = spy
+    try:
+        for fbatch, dbatch in zip(flat, dense):
+            assert "out_pos" in dbatch and "adj" not in dbatch
+            lf = model.apply(variables, fbatch, train=False)
+            ld = model.apply(variables, dbatch, train=False)
+            np.testing.assert_allclose(
+                np.asarray(lf), np.asarray(ld), rtol=1e-5, atol=1e-5
+            )
+    finally:
+        ig.inrow_gather = real
+    assert calls["n"] > 0, "in-row GAT path never engaged"
+
+
+def test_inrow_gat_training_matches_flat():
+    """Gradients through the scatter-free gather backward must match the
+    flat path's segment-op autodiff (one fit, parameter-level parity)."""
+    from point_cloud_classifier_tpu.models import ModelWrapper
+
+    graphs = _random_graphs(n_graphs=8, seed=12)
+
+    def run(layout, **kw):
+        loader = GraphLoader(graphs, batch_size=4, shuffle=False, layout=layout, **kw)
+        model = GraphNet(
+            input_dim=4, hidden_dim=16, output_dim=1, activation="relu",
+            use_gat=True, gat_heads=2, deepchem_style=True,
+        )
+        w = ModelWrapper(model, learning_rate=1e-2, epochs=2, seed=0)
+        w.fit(loader)
+        return w
+
+    a = run("flat")
+    b = run("dense", emit_out_rows=True)
+    for pa, pb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), rtol=2e-4, atol=2e-5
+        )
 
 
 def test_dense_mean_counts_zero_weight_edges_like_flat():

@@ -210,3 +210,85 @@ def test_model_fused_path_matches_xla_path(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(pa), np.asarray(pb), rtol=2e-4, atol=2e-5
         )
+
+
+# -- inrow_gather (the scatter-free per-edge gather behind in-row GAT) -----
+
+
+def _gather_wires(seed=5, n=6, bsz=3):
+    loader = GraphLoader(
+        _random_graphs(n, seed=seed),
+        batch_size=bsz,
+        shuffle=False,
+        layout="dense",
+        emit_out_rows=True,
+    )
+    batch = next(iter(loader))
+    assert "out_pos" in batch
+    return batch
+
+
+def test_out_pos_names_each_edges_inrow_slot():
+    """Wire contract: valid out slot (j, q) of graph b must satisfy
+    in_src[b, out_dst[j,q], out_pos[j,q]] == j with a live in-row weight."""
+    batch = _gather_wires()
+    in_src = np.asarray(batch["in_src"], dtype=np.int64)
+    in_w = np.asarray(batch["in_w"])
+    out_dst = np.asarray(batch["out_dst"], dtype=np.int64)
+    out_pos = np.asarray(batch["out_pos"], dtype=np.int64)
+    out_w = np.asarray(batch["out_w"])
+    b, m, q = out_dst.shape
+    checked = 0
+    for bb in range(b):
+        for j in range(m):
+            for s in range(q):
+                if out_w[bb, j, s] == 0:
+                    continue
+                i, pos = out_dst[bb, j, s], out_pos[bb, j, s]
+                assert in_src[bb, i, pos] == j
+                assert in_w[bb, i, pos] != 0
+                checked += 1
+    assert checked > 0
+
+
+def test_inrow_gather_forward_and_backward_match_autodiff():
+    from point_cloud_classifier_tpu.ops.inrow_graph import (
+        _inrow_gather_impl,
+        inrow_gather,
+    )
+
+    batch = _gather_wires()
+    in_src = jnp.asarray(batch["in_src"], jnp.int32)
+    in_w = jnp.asarray(batch["in_w"])
+    out_dst = jnp.asarray(batch["out_dst"], jnp.int32)
+    out_pos = jnp.asarray(batch["out_pos"], jnp.int32)
+    out_w = jnp.asarray(batch["out_w"])
+    b, m, d = in_src.shape
+    rng = np.random.default_rng(0)
+    values = jnp.asarray(rng.normal(size=(b, m, 5)).astype(np.float32))
+    # the usage contract: upstream cotangent vanishes on padding slots
+    cot = jnp.asarray(
+        rng.normal(size=(b, m, d, 5)).astype(np.float32)
+    ) * (in_w != 0)[..., None]
+
+    got = inrow_gather(values, in_src, out_dst, out_pos, out_w)
+    want = _inrow_gather_impl(values, in_src)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    g1 = jax.grad(
+        lambda v: jnp.sum(inrow_gather(v, in_src, out_dst, out_pos, out_w) * cot)
+    )(values)
+    g2 = jax.grad(lambda v: jnp.sum(_inrow_gather_impl(v, in_src) * cot))(values)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
+
+
+def test_inrow_gather_backward_without_out_wires_raises():
+    from point_cloud_classifier_tpu.ops.inrow_graph import inrow_gather
+
+    batch = _gather_wires()
+    in_src = jnp.asarray(batch["in_src"], jnp.int32)
+    values = jnp.zeros((*in_src.shape[:2], 3), jnp.float32)
+    with pytest.raises(ValueError, match="out-row mirror"):
+        jax.grad(
+            lambda v: jnp.sum(inrow_gather(v, in_src, None, None, None))
+        )(values)

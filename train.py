@@ -81,11 +81,26 @@ def get_dataloader(dataset_name: str, config: dict):
                 # degenerate configs on the flat layout
                 eligible = not ds_cfg.get("use_weights", True)
             else:
-                eligible = mdl.get("local_pooling", "add") in ("add", "mean")
+                pool = mdl.get("local_pooling", "add")
+                eligible = pool in ("add", "mean") or (
+                    # in-row max needs the out-row mirror and no SAG
+                    pool == "max" and not mdl.get("sag_pool", False)
+                )
             eligible = eligible and not mdl.get("knn_k", 0)
             ds_cfg["graph_layout"] = "auto" if eligible else "flat"
             if mdl.get("fused_inrow", False):
                 # the opt-in fused kernel's backward needs the out-row wire
+                ds_cfg.setdefault("emit_out_rows", True)
+            if (
+                eligible
+                and not mdl.get("sag_pool", False)
+                and (
+                    mdl.get("use_gat", False)
+                    or mdl.get("local_pooling", "add") == "max"
+                )
+            ):
+                # in-row GAT attention and in-row max ride gather backwards
+                # that need the out-row mirror (ops/inrow_graph.inrow_gather)
                 ds_cfg.setdefault("emit_out_rows", True)
         return Step2PointGraph(**ds_cfg)
     raise ValueError(f"Unknown dataset: {dataset_name}")
