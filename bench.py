@@ -441,9 +441,7 @@ def measure_graph_jax(
     from functools import partial as _partial
 
     mk = {
-        "dense": _partial(
-            _graph_batch_dense_inrow, out_rows=fused_inrow or use_gat
-        ),
+        "dense": _partial(_graph_batch_dense_inrow, out_rows=fused_inrow),
         "dense-scatter": _graph_batch_dense_wire,
         "dense-host": _graph_batch_dense,
         "flat": _graph_batch,

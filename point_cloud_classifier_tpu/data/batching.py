@@ -276,7 +276,15 @@ class GraphLoader:
         # edges — the lineage builder guarantees this) and supports
         # GraphConv add/mean (+SAG); GAT/max stay on the flat layout.
         # "auto" picks dense per batch when B·M² fits ``max_dense_bytes``,
-        # falling back to flat for batches with huge events.
+        # falling back to flat for batches with huge events.  NOTE: under
+        # dense/auto, duplicate directed edges are MERGED at init (weights
+        # summed, multiplicity counted); every wire — including the flat
+        # fallback — then carries one entry per unique edge, with the
+        # multiplicity standing in for the weight when use_weights=False.
+        # Exact for add/mean aggregation; a max aggregation over a
+        # MULTIGRAPH sees the merged (summed/multiplicity) weight instead
+        # of per-occurrence values (documented divergence — the lineage
+        # builder's graphs are simple, so this never bites real data).
         #
         # adj_wire picks HOW the dense adjacency reaches the device:
         # "device" (default) ships per-graph-padded nodes plus each node's

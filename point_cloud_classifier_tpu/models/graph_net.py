@@ -137,25 +137,21 @@ class GATConv(nn.Module):
         adj_mask: jnp.ndarray = None,
         in_src: jnp.ndarray = None,
         in_w: jnp.ndarray = None,
-        out_dst: jnp.ndarray = None,
-        out_pos: jnp.ndarray = None,
-        out_w: jnp.ndarray = None,
     ) -> jnp.ndarray:
         h, d = self.heads, self.features
         glorot = nn.initializers.glorot_uniform()
 
         if in_src is not None:
-            # IN-ROW attention (dense device wire, D = max in-degree ≤ 8):
-            # the [B, M, M] logit matrix never exists — scores and features
-            # gather over each node's D incoming slots (scatter-free
-            # backward via the out-row mirror, ops/inrow_graph.inrow_gather)
-            # and softmax runs over D+1 entries (the +1 is the self-loop,
-            # torch_geometric add_self_loops).  ~99.8% of the dense-path
-            # softmax work was on absent edges at lineage in-degrees.
-            from point_cloud_classifier_tpu.ops.inrow_graph import inrow_gather
+            # IN-ROW attention (dense device wire): the fused flash-style
+            # Pallas kernel (ops/gat_pallas.py) computes the masked row
+            # softmax and per-head aggregation tile-by-tile in VMEM — the
+            # [B, M, M] logit matrix never reaches HBM, forward or
+            # backward, and nothing gathers or scatters.  Self-loops
+            # (torch_geometric add_self_loops) are the mask diagonal.
+            # Off-TPU the dispatcher runs the XLA matrix oracle instead.
+            from point_cloud_classifier_tpu.ops.gat_pallas import gat_attention
 
             b, m, _ = x.shape
-            dd = in_src.shape[-1]
             xw = nn.Dense(h * d, use_bias=False, kernel_init=glorot)(x).reshape(
                 b, m, h, d
             )
@@ -163,32 +159,12 @@ class GATConv(nn.Module):
             att_dst = self.param("att_dst", glorot, (1, h, d))
             s_src = jnp.sum(xw * att_src, axis=-1).astype(jnp.float32)  # [B, M, H]
             s_dst = jnp.sum(xw * att_dst, axis=-1).astype(jnp.float32)
-            valid = (in_w != 0).astype(jnp.float32)  # padding slots carry w=0
-            s_src_n = inrow_gather(s_src, in_src, out_dst, out_pos, out_w)
-            e_edge = nn.leaky_relu(
-                s_dst[:, :, None, :] + s_src_n, negative_slope=self.negative_slope
+            out = gat_attention(
+                s_dst, s_src, in_src.astype(jnp.int32), in_w,
+                xw.reshape(b, m, h * d), slope=self.negative_slope,
             )
-            e_edge = jnp.where(valid[..., None] > 0, e_edge, -jnp.inf)
-            e_self = nn.leaky_relu(
-                s_dst + s_src, negative_slope=self.negative_slope
-            )[:, :, None, :]
-            e = jnp.concatenate([e_edge, e_self], axis=2)  # [B, M, D+1, H]
-            e = e - jax.lax.stop_gradient(jnp.max(e, axis=2, keepdims=True))
-            mask = jnp.concatenate(
-                [valid, jnp.ones((b, m, 1), jnp.float32)], axis=2
-            )
-            p = jnp.exp(e) * mask[..., None]
-            alpha = p / jnp.maximum(jnp.sum(p, axis=2, keepdims=True), 1e-16)
-            xw_flat = xw.reshape(b, m, h * d)
-            xw_n = inrow_gather(xw_flat, in_src, out_dst, out_pos, out_w).reshape(
-                b, m, dd, h, d
-            )
-            out32 = jnp.sum(
-                alpha[:, :, :dd, :, None] * xw_n.astype(jnp.float32), axis=2
-            ) + alpha[:, :, dd, :, None] * xw.astype(jnp.float32)
-            out = out32.astype(x.dtype).reshape(b, m, h * d)
             bias = self.param("bias", nn.initializers.zeros, (h * d,))
-            return out + bias
+            return out.astype(x.dtype) + bias
 
         if adj_mask is not None:
             b, m, _ = x.shape
@@ -516,17 +492,12 @@ class GraphNet(nn.Module):
                 "ordinary path instead",
                 stacklevel=2,
             )
-        # GAT over the in-row wire needs no adjacency at all: attention
-        # gathers over each node's ≤D incoming slots and the backward rides
-        # the out-row mirror (GATConv in-row branch).  Same-window A/B vs
-        # the [B, M, M] masked-softmax path below: see docs/kernels.md.
-        inrow_gat = (
-            self.use_gat
-            and not self.sag_pool
-            and "in_src" in batch
-            and "out_dst" in batch
-            and "out_pos" in batch
-        )
+        # GAT over the in-row wire needs no adjacency at all: the fused
+        # flash-style kernel (ops/gat_pallas.py) builds each mask tile in
+        # VMEM from the in-row lists and runs softmax + aggregation there,
+        # forward AND backward — no [B, M, M] in HBM, no gather/scatter,
+        # no out-row mirror needed.  See docs/kernels.md for the A/B.
+        inrow_gat = self.use_gat and not self.sag_pool and "in_src" in batch
         if fused:
             from point_cloud_classifier_tpu.ops.inrow_graph import inrow_aggregate
 
@@ -621,9 +592,6 @@ class GraphNet(nn.Module):
                         h,
                         in_src=batch["in_src"].astype(jnp.int32),
                         in_w=batch["in_w"],
-                        out_dst=batch["out_dst"].astype(jnp.int32),
-                        out_pos=batch["out_pos"].astype(jnp.int32),
-                        out_w=batch["out_w"],
                     )
                 return GATConv(self.hidden_dim // self.gat_heads, self.gat_heads)(
                     h, adj_mask=(adj != 0)

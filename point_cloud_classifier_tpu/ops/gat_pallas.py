@@ -1,0 +1,323 @@
+"""Fused flash-style GAT attention over the dense in-row wire.
+
+GATv1 attention on a batched padded graph (`models/graph_net.GATConv`
+semantics, torch_geometric parity: self-loops added, per-destination
+softmax, concat heads) with the `[B, M, M]` logit/probability matrices
+NEVER materialised in HBM.  The pre-kernel dense path paid ~4-6 f32
+passes over `[B, M, M]` per head per conv although the lineage wire
+bounds real in-degree at D ≤ 8 — ~99.8% of that softmax work was on
+absent edges and all of it round-tripped HBM.
+
+Kernel (grid `(B, M/T)`, everything in VMEM per step):
+
+1. adjacency mask tile ``A [T, M]`` from the in-row lists: D static
+   compare passes (the `ops/inrow_graph` trick) + the self-loop diagonal
+2. per head (static unroll): ``e = LeakyReLU(s_dst_tile + s_srcᵀ)``
+   masked by ``A``, row softmax in f32, then ``P @ xw_h`` on the MXU
+3. backward (same tiling) recomputes ``P`` flash-style and emits
+   ``dP = g_h @ xw_hᵀ``, the softmax/LeakyReLU backward, row/column
+   reductions for ``ds_dst``/``ds_src``, and ``Pᵀ @ g_h`` accumulated
+   into ``dxw`` across row tiles — no gather, no scatter anywhere.
+
+Layout notes: ``s_src`` rides TRANSPOSED (``[B, H, M]``) so each head's
+scores slice as a ``[1, M]`` row without a sublane↔lane transpose, and
+``ds_src`` accumulates in the same transposed layout (un-transposed by
+the wrapper).  Head slicing happens on loaded values with static python
+offsets — full-block ref reads only, plus the proven per-``d`` ``[T, 1]``
+column reads for the in-row lists.
+
+The in-row lists only GATE existence (``w != 0``) — GATv1 takes no edge
+weights (torch_geometric's GATConv asserts on them; the flat path ignores
+them) — so ``in_src``/``in_w`` carry no cotangent.
+
+Oracle / fallback: :func:`gat_attention_xla` (the masked `[B, M, M]`
+matrix formulation, autodiff'd) — used on CPU and for shapes the kernel
+doesn't tile; also the parity target for the kernel tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from point_cloud_classifier_tpu.ops.inrow_graph import inrow_adjacency_xla
+
+_SLOPE = 0.2  # torch_geometric GATConv default negative_slope
+
+
+def _adj_mask_xla(in_src, in_w, m):
+    """[B, M, M] bool adjacency-or-self-loop mask from the in-row lists."""
+    adj = inrow_adjacency_xla(in_src, (in_w != 0).astype(jnp.float32), m, jnp.float32)
+    return (adj > 0) | jnp.eye(m, dtype=bool)[None]
+
+
+def gat_attention_xla(s_dst, s_src, in_src, in_w, xw, slope: float = _SLOPE):
+    """Oracle: masked-matrix GATv1 attention (matches the flat segment
+    softmax on simple graphs — pinned by tests/test_dense_graph.py)."""
+    b, m, h = s_dst.shape
+    c = xw.shape[-1]
+    dh = c // h
+    mask = _adj_mask_xla(in_src, in_w, m)
+    xwr = xw.reshape(b, m, h, dh)
+    outs = []
+    for head in range(h):
+        e = jax.nn.leaky_relu(
+            s_dst[:, :, None, head].astype(jnp.float32)
+            + s_src[:, None, :, head].astype(jnp.float32),
+            negative_slope=slope,
+        )
+        e = jnp.where(mask, e, -jnp.inf)
+        e = e - jax.lax.stop_gradient(jnp.max(e, axis=2, keepdims=True))
+        p = jnp.exp(e) * mask
+        alpha = p / jnp.maximum(jnp.sum(p, axis=2, keepdims=True), 1e-16)
+        outs.append(
+            jnp.einsum(
+                "bij,bjd->bid",
+                alpha.astype(xw.dtype),
+                xwr[:, :, head],
+                preferred_element_type=jnp.float32,
+            )
+        )
+    return jnp.stack(outs, axis=2).reshape(b, m, c).astype(xw.dtype)
+
+
+def _mask_tile(src_ref, w_ref, t, m, d, row0):
+    """[T, M] f32 adjacency+self-loop mask for this row tile."""
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, m), 1)
+    mask = jnp.zeros((t, m), jnp.float32)
+    for dd in range(d):
+        src_col = src_ref[0, :, pl.ds(dd, 1)]  # [T, 1] i32
+        w_col = w_ref[0, :, pl.ds(dd, 1)].astype(jnp.float32)
+        mask = jnp.maximum(
+            mask, jnp.where((src_col == col_ids) & (w_col != 0.0), 1.0, 0.0)
+        )
+    row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (t, m), 0)
+    return jnp.maximum(mask, jnp.where(row_ids == col_ids, 1.0, 0.0))
+
+
+def _alpha_tile(sd, ssT, mask, head, slope):
+    """[T, M] f32 attention probabilities for one head on this tile."""
+    z = sd[:, head : head + 1] + ssT[head : head + 1, :]
+    e = jnp.where(z >= 0.0, z, slope * z)  # LeakyReLU
+    e = jnp.where(mask > 0, e, -jnp.inf)
+    # every row has its self-loop, so the row max is finite and
+    # exp(-inf - max) = 0 exactly — no post-exp mask multiply needed
+    p = jnp.exp(e - jnp.max(e, axis=1, keepdims=True))
+    return p / jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-16)
+
+
+def _make_fwd_kernel(t: int, m: int, d: int, h: int, dh: int, slope: float):
+    def kernel(sd_ref, ssT_ref, src_ref, w_ref, xw_ref, out_ref):
+        row0 = pl.program_id(1) * t
+        mask = _mask_tile(src_ref, w_ref, t, m, d, row0)
+        sd = sd_ref[0]  # [T, H] f32
+        ssT = ssT_ref[0]  # [H, M] f32
+        xw = xw_ref[0]  # [M, C]
+        outs = []
+        for head in range(h):
+            alpha = _alpha_tile(sd, ssT, mask, head, slope)
+            outs.append(
+                jax.lax.dot_general(
+                    alpha.astype(xw.dtype),
+                    xw[:, head * dh : (head + 1) * dh],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _make_bwd_kernel(t: int, m: int, d: int, h: int, dh: int, slope: float):
+    def kernel(
+        sd_ref, ssT_ref, src_ref, w_ref, xw_ref, g_ref,
+        dsd_ref, dssT_ref, dxw_ref,
+    ):
+        it = pl.program_id(1)
+        row0 = it * t
+
+        @pl.when(it == 0)
+        def _():
+            dssT_ref[0] = jnp.zeros_like(dssT_ref[0])
+            dxw_ref[0] = jnp.zeros_like(dxw_ref[0])
+
+        mask = _mask_tile(src_ref, w_ref, t, m, d, row0)
+        sd = sd_ref[0]
+        ssT = ssT_ref[0]
+        xw = xw_ref[0]
+        g = g_ref[0]  # [T, C]
+        dsd_cols, dss_rows, dxw_cols = [], [], []
+        for head in range(h):
+            alpha = _alpha_tile(sd, ssT, mask, head, slope)
+            xw_h = xw[:, head * dh : (head + 1) * dh].astype(jnp.float32)
+            g_h = g[:, head * dh : (head + 1) * dh].astype(jnp.float32)
+            # dP[i, j] = <g_i, xw_j>
+            dp = jax.lax.dot_general(
+                g_h, xw_h,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, M]
+            # softmax backward: dE = P * (dP - Σ_j P·dP); masked positions
+            # have alpha = 0, so the LeakyReLU backward below sees 0 there
+            de = alpha * (dp - jnp.sum(alpha * dp, axis=1, keepdims=True))
+            z = sd[:, head : head + 1] + ssT[head : head + 1, :]
+            dz = de * jnp.where(z >= 0.0, 1.0, slope)
+            dsd_cols.append(jnp.sum(dz, axis=1, keepdims=True))  # [T, 1]
+            dss_rows.append(jnp.sum(dz, axis=0, keepdims=True))  # [1, M]
+            # dxw_h += Pᵀ @ g_h
+            dxw_cols.append(
+                jax.lax.dot_general(
+                    alpha, g_h,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )  # [M, DH]
+        dsd_ref[0] = jnp.concatenate(dsd_cols, axis=1)
+        dssT_ref[0] = dssT_ref[0] + jnp.concatenate(dss_rows, axis=0)
+        dxw_ref[0] = dxw_ref[0] + jnp.concatenate(dxw_cols, axis=1)
+
+    return kernel
+
+
+def _tile_rows(m: int, c: int) -> int:
+    """Row tile so the live [T, M] f32 blocks (~6 temporaries) plus the
+    resident [M, C] blocks fit a ~10 MB VMEM budget; 0 → fall back."""
+    resident = m * c * 4 * 4  # xw, g, dxw (+slack), f32 upper bound
+    remaining = (10 << 20) - resident
+    budget = remaining // (24 * m) if remaining > 0 else 0
+    if budget < 8:
+        return 0
+    t = 8
+    while t * 2 <= min(budget, m, 256):
+        t *= 2
+    return t
+
+
+def _shapes_ok(s_dst, xw, interpret: bool) -> int:
+    b, m, h = s_dst.shape
+    c = xw.shape[-1]
+    if h < 1 or c % h != 0 or (m & (m - 1)) != 0:
+        return 0
+    if jax.default_backend() != "tpu" and not interpret:
+        return 0
+    t = _tile_rows(m, c)
+    if t == 0 or m % t != 0:
+        return 0
+    return t
+
+
+def _specs(t, m, d, h, c):
+    return [
+        pl.BlockSpec((1, t, h), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, m), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m, c), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+def _fwd_impl(s_dst, s_src, in_src, in_w, xw, slope: float, interpret: bool):
+    b, m, h = s_dst.shape
+    c = xw.shape[-1]
+    d = in_src.shape[-1]
+    t = _shapes_ok(s_dst, xw, interpret)
+    assert t, "caller must route un-tileable shapes to gat_attention_xla"
+    kernel = _make_fwd_kernel(t, m, d, h, c // h, slope)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, m // t),
+        in_specs=_specs(t, m, d, h, c),
+        out_specs=pl.BlockSpec(
+            (1, t, c), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, m, c), xw.dtype),
+        interpret=interpret,
+    )(
+        s_dst.astype(jnp.float32),
+        jnp.swapaxes(s_src.astype(jnp.float32), 1, 2),
+        in_src.astype(jnp.int32),
+        # f32: the fp16 wire dtype is not a mosaic type; only != 0 matters
+        in_w.astype(jnp.float32),
+        xw,
+    )
+
+
+def _bwd_impl(s_dst, s_src, in_src, in_w, xw, g, slope: float, interpret: bool):
+    b, m, h = s_dst.shape
+    c = xw.shape[-1]
+    d = in_src.shape[-1]
+    t = _shapes_ok(s_dst, xw, interpret)
+    assert t
+    kernel = _make_bwd_kernel(t, m, d, h, c // h, slope)
+    dsd, dssT, dxw = pl.pallas_call(
+        kernel,
+        grid=(b, m // t),
+        in_specs=_specs(t, m, d, h, c)
+        + [pl.BlockSpec((1, t, c), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((1, t, h), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, m), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, c), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, m, h), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, m), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        s_dst.astype(jnp.float32),
+        jnp.swapaxes(s_src.astype(jnp.float32), 1, 2),
+        in_src.astype(jnp.int32),
+        in_w.astype(jnp.float32),
+        xw,
+        g.astype(xw.dtype),
+    )
+    return dsd, jnp.swapaxes(dssT, 1, 2), dxw.astype(xw.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def gat_attention_fused(s_dst, s_src, in_src, in_w, xw, slope: float = _SLOPE,
+                        interpret: bool = False):
+    """Flash-GAT attention: `[B, M, C]` head-concat attention output.
+
+    Pallas on TPU (interpret elsewhere); differentiable wrt the score
+    vectors and `xw` (the wire arrays only gate edge existence).
+    """
+    return _fwd_impl(s_dst, s_src, in_src, in_w, xw, slope, interpret)
+
+
+def _vjp_fwd(s_dst, s_src, in_src, in_w, xw, slope, interpret):
+    out = _fwd_impl(s_dst, s_src, in_src, in_w, xw, slope, interpret)
+    return out, (s_dst, s_src, in_src, in_w, xw)
+
+
+def _vjp_bwd(slope, interpret, residuals, g):
+    s_dst, s_src, in_src, in_w, xw = residuals
+    dsd, dss, dxw = _bwd_impl(s_dst, s_src, in_src, in_w, xw, g, slope, interpret)
+    zero_i = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return (
+        dsd.astype(s_dst.dtype),
+        dss.astype(s_src.dtype),
+        zero_i(in_src),
+        jnp.zeros_like(in_w),
+        dxw,
+    )
+
+
+gat_attention_fused.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def gat_attention(s_dst, s_src, in_src, in_w, xw, slope: float = _SLOPE,
+                  interpret: bool = False):
+    """Dispatch: fused flash kernel when tileable on this backend, else the
+    XLA matrix oracle (autodiff)."""
+    if _shapes_ok(s_dst, xw, interpret):
+        return gat_attention_fused(s_dst, s_src, in_src, in_w, xw, slope, interpret)
+    return gat_attention_xla(s_dst, s_src, in_src, in_w, xw, slope)

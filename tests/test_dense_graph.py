@@ -508,15 +508,13 @@ def test_dense_mean_matches_flat_on_multigraph(use_weights, adj_wire):
 
 @pytest.mark.parametrize("deepchem_style", [False, True])
 def test_inrow_gat_matches_flat_logits(deepchem_style):
-    """In-row GAT (gather attention over ≤D incoming slots, no [B, M, M]
+    """In-row GAT (flash-attention over the in-row wire, no [B, M, M]
     logit matrix) must equal the flat segment-softmax GAT exactly."""
-    import point_cloud_classifier_tpu.ops.inrow_graph as ig
+    import point_cloud_classifier_tpu.ops.gat_pallas as gp
 
     graphs = _random_graphs(n_graphs=6, seed=11)
     flat = GraphLoader(graphs, batch_size=3, shuffle=False, layout="flat")
-    dense = GraphLoader(
-        graphs, batch_size=3, shuffle=False, layout="dense", emit_out_rows=True
-    )
+    dense = GraphLoader(graphs, batch_size=3, shuffle=False, layout="dense")
     model = GraphNet(
         input_dim=4, hidden_dim=16, output_dim=1, activation="tanh",
         use_gat=True, gat_heads=4, deepchem_style=deepchem_style,
@@ -524,29 +522,29 @@ def test_inrow_gat_matches_flat_logits(deepchem_style):
     fb = next(iter(flat))
     variables = model.init(jax.random.PRNGKey(0), fb, train=False)
     calls = {"n": 0}
-    real = ig.inrow_gather
+    real = gp.gat_attention
 
     def spy(*a, **k):
         calls["n"] += 1
         return real(*a, **k)
 
-    ig.inrow_gather = spy
+    gp.gat_attention = spy
     try:
         for fbatch, dbatch in zip(flat, dense):
-            assert "out_pos" in dbatch and "adj" not in dbatch
+            assert "in_src" in dbatch and "adj" not in dbatch
             lf = model.apply(variables, fbatch, train=False)
             ld = model.apply(variables, dbatch, train=False)
             np.testing.assert_allclose(
                 np.asarray(lf), np.asarray(ld), rtol=1e-5, atol=1e-5
             )
     finally:
-        ig.inrow_gather = real
+        gp.gat_attention = real
     assert calls["n"] > 0, "in-row GAT path never engaged"
 
 
 def test_inrow_gat_training_matches_flat():
-    """Gradients through the scatter-free gather backward must match the
-    flat path's segment-op autodiff (one fit, parameter-level parity)."""
+    """Gradients through the in-row attention must match the flat path's
+    segment-op autodiff (one fit, parameter-level parity)."""
     from point_cloud_classifier_tpu.models import ModelWrapper
 
     graphs = _random_graphs(n_graphs=8, seed=12)
@@ -562,7 +560,7 @@ def test_inrow_gat_training_matches_flat():
         return w
 
     a = run("flat")
-    b = run("dense", emit_out_rows=True)
+    b = run("dense")
     for pa, pb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
         np.testing.assert_allclose(
             np.asarray(pa), np.asarray(pb), rtol=2e-4, atol=2e-5

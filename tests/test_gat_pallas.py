@@ -1,0 +1,84 @@
+"""Fused flash-GAT attention kernel (ops/gat_pallas.py) vs the XLA oracle.
+
+Kernel runs in Pallas interpreter mode on CPU; the oracle
+(`gat_attention_xla`, the masked [B, M, M] matrix formulation) is itself
+pinned against the flat segment-softmax GAT by tests/test_dense_graph.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from point_cloud_classifier_tpu.ops.gat_pallas import (
+    gat_attention,
+    gat_attention_fused,
+    gat_attention_xla,
+)
+
+
+def _inputs(seed=0, b=3, m=64, d=4, h=4, dh=8, frac=0.5):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.normal(size=(b, m, h)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(b, m, h)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, m, size=(b, m, d)).astype(np.int32)),
+        jnp.asarray(
+            (rng.random((b, m, d)) * (rng.random((b, m, d)) < frac)).astype(
+                np.float32
+            )
+        ),
+        jnp.asarray(rng.normal(size=(b, m, h * dh)).astype(np.float32)),
+    )
+
+
+@pytest.mark.parametrize("slope", [0.2, 0.01])
+def test_kernel_forward_matches_oracle(slope):
+    s_dst, s_src, in_src, in_w, xw = _inputs()
+    want = gat_attention_xla(s_dst, s_src, in_src, in_w, xw, slope)
+    got = gat_attention_fused(s_dst, s_src, in_src, in_w, xw, slope, True)
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(got), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_kernel_gradients_match_oracle():
+    s_dst, s_src, in_src, in_w, xw = _inputs(seed=1)
+    rng = np.random.default_rng(9)
+    cot = jnp.asarray(rng.normal(size=xw.shape).astype(np.float32))
+
+    def loss(fn, *extra):
+        return lambda sd, ss, x: jnp.sum(
+            fn(sd, ss, in_src, in_w, x, *extra) * cot
+        )
+
+    g1 = jax.grad(loss(gat_attention_fused, 0.2, True), argnums=(0, 1, 2))(
+        s_dst, s_src, xw
+    )
+    g2 = jax.grad(loss(gat_attention_xla, 0.2), argnums=(0, 1, 2))(
+        s_dst, s_src, xw
+    )
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_isolated_nodes_attend_to_self_only():
+    """A node with no incoming edges must softmax entirely onto its
+    self-loop (torch_geometric add_self_loops semantics)."""
+    s_dst, s_src, in_src, in_w, xw = _inputs(seed=2, frac=0.0)  # all padding
+    got = gat_attention_fused(s_dst, s_src, in_src, in_w, xw, 0.2, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(xw), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_dispatch_falls_back_for_untileable_shapes():
+    # m=48 is not a power of two → the dispatcher must use the oracle
+    s_dst, s_src, in_src, in_w, xw = _inputs(m=48)
+    want = gat_attention_xla(s_dst, s_src, in_src, in_w, xw)
+    got = gat_attention(s_dst, s_src, in_src, in_w, xw)
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(got), rtol=1e-6, atol=1e-6
+    )

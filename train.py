@@ -93,14 +93,13 @@ def get_dataloader(dataset_name: str, config: dict):
                 ds_cfg.setdefault("emit_out_rows", True)
             if (
                 eligible
+                and not mdl.get("use_gat", False)
                 and not mdl.get("sag_pool", False)
-                and (
-                    mdl.get("use_gat", False)
-                    or mdl.get("local_pooling", "add") == "max"
-                )
+                and mdl.get("local_pooling", "add") == "max"
             ):
-                # in-row GAT attention and in-row max ride gather backwards
-                # that need the out-row mirror (ops/inrow_graph.inrow_gather)
+                # in-row max rides a gather backward that needs the out-row
+                # mirror (ops/inrow_graph.inrow_gather); in-row GAT does
+                # not — its fused kernel rebuilds mask tiles in VMEM
                 ds_cfg.setdefault("emit_out_rows", True)
         return Step2PointGraph(**ds_cfg)
     raise ValueError(f"Unknown dataset: {dataset_name}")
