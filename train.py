@@ -81,25 +81,16 @@ def get_dataloader(dataset_name: str, config: dict):
                 # degenerate configs on the flat layout
                 eligible = not ds_cfg.get("use_weights", True)
             else:
-                pool = mdl.get("local_pooling", "add")
-                eligible = pool in ("add", "mean") or (
-                    # in-row max needs the out-row mirror and no SAG
-                    pool == "max" and not mdl.get("sag_pool", False)
-                )
+                # max stays flat BY DEFAULT: the dense in-row max exists
+                # (inrow_max_aggregate, exact flat parity) but its gather
+                # backward measured 0.6x the flat segment_max on TPU
+                # (10.2k vs 16.8k graphs/sec same-window) — layout
+                # portability, not a training default
+                eligible = mdl.get("local_pooling", "add") in ("add", "mean")
             eligible = eligible and not mdl.get("knn_k", 0)
             ds_cfg["graph_layout"] = "auto" if eligible else "flat"
             if mdl.get("fused_inrow", False):
                 # the opt-in fused kernel's backward needs the out-row wire
-                ds_cfg.setdefault("emit_out_rows", True)
-            if (
-                eligible
-                and not mdl.get("use_gat", False)
-                and not mdl.get("sag_pool", False)
-                and mdl.get("local_pooling", "add") == "max"
-            ):
-                # in-row max rides a gather backward that needs the out-row
-                # mirror (ops/inrow_graph.inrow_gather); in-row GAT does
-                # not — its fused kernel rebuilds mask tiles in VMEM
                 ds_cfg.setdefault("emit_out_rows", True)
         return Step2PointGraph(**ds_cfg)
     raise ValueError(f"Unknown dataset: {dataset_name}")
