@@ -1,0 +1,113 @@
+"""One-session measurement campaign for BASELINE.md (VERDICT r1 item 2).
+
+Runs every headline benchmark back-to-back in ONE tunnel window so the
+numbers are mutually comparable, gating on a smoke measurement first
+(healthy window = smoke ≥ 100k clouds/sec; a degraded tunnel inflates
+device dispatch ~4× and makes absolute numbers meaningless).
+
+Usage:  python scripts/measure_campaign.py [--min-smoke 100000] [--iters 30]
+Prints one JSON blob with every measurement plus the window health, and a
+markdown table ready for BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--min-smoke", type=float, default=100_000)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--force", action="store_true", help="measure even if degraded")
+    args = ap.parse_args()
+
+    results = {"timestamp": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())}
+
+    # 0) window health gate (stream smoke, tiny shapes)
+    smoke = bench.measure_jax(
+        64, 4096, 6, iters=20, warmup=5, dtype="bfloat16", pipeline="stream"
+    )
+    results["smoke_clouds_per_sec"] = round(smoke, 1)
+    healthy = smoke >= args.min_smoke
+    results["window"] = "healthy" if healthy else "DEGRADED"
+    print(f"smoke: {smoke:,.0f} clouds/sec -> {results['window']}", flush=True)
+    if not healthy and not args.force:
+        print(json.dumps(results))
+        print("window degraded; rerun when smoke >= "
+              f"{args.min_smoke:,.0f} (or pass --force)")
+        return
+
+    it, wu = args.iters, 5
+    B, P = 256, 65536
+    E = 131072
+
+    def record(key, fn, *a, **k):
+        t0 = time.time()
+        v = fn(*a, **k)
+        results[key] = round(v, 1)
+        print(f"{key}: {v:,.1f}  ({time.time()-t0:.0f}s)", flush=True)
+
+    # 1) deep_sets flagship: resident (the bench default) and stream
+    record("deep_sets_resident", bench.measure_jax,
+           B, P, 6, iters=it, warmup=wu, dtype="bfloat16",
+           pipeline="resident", fuse=16)
+    record("deep_sets_stream", bench.measure_jax,
+           B, P, 6, iters=it, warmup=wu, dtype="bfloat16", pipeline="stream")
+
+    # 2) graph_net: dense in-row (default) and flat
+    record("graph_net_dense_inrow", bench.measure_graph_jax,
+           B, P, E, iters=it, warmup=wu, dtype="bfloat16",
+           pipeline="resident", fuse=16, layout="dense")
+    record("graph_net_flat", bench.measure_graph_jax,
+           B, P, E, iters=it, warmup=wu, dtype="bfloat16",
+           pipeline="resident", fuse=16, layout="flat")
+
+    # 3) GAT: fused flash kernel vs the matrix formulation
+    record("gat_flash_kernel", bench.measure_graph_jax,
+           B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
+           pipeline="resident", fuse=4, layout="dense", use_gat=True)
+    import point_cloud_classifier_tpu.models.wrapper as mw
+    import point_cloud_classifier_tpu.ops.gat_pallas as gp
+
+    shapes_ok = gp._shapes_ok
+    gp._shapes_ok = lambda *a, **k: 0
+    mw._STEP_CACHE.clear()
+    try:
+        record("gat_matrix", bench.measure_graph_jax,
+               B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
+               pipeline="resident", fuse=4, layout="dense", use_gat=True)
+    finally:
+        gp._shapes_ok = shapes_ok
+        mw._STEP_CACHE.clear()
+
+    # 4) p50 inference latency
+    record("infer_p50_ms", bench.measure_infer_latency,
+           B, P, 6, iters=50, warmup=10, dtype="bfloat16")
+
+    # 5) mesh variant (all visible devices over the data axis; fuse=1 —
+    # fit() shards batches itself and fusion stacks them first)
+    record("deep_sets_mesh", bench.measure_jax,
+           B, P, 6, iters=it, warmup=wu, dtype="bfloat16",
+           pipeline="stream", use_mesh=True)
+
+    print(json.dumps(results))
+
+    # markdown helper
+    print("\n| metric | value |")
+    print("|---|---|")
+    for k, v in results.items():
+        print(f"| {k} | {v} |")
+
+
+if __name__ == "__main__":
+    main()

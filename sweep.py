@@ -195,10 +195,40 @@ def run_search(
                 f.write(f"{hp_config}\n")
                 f.write("-" * 80 + "\n\n")
 
-        gc.collect()
+        _release_run_memory(i)
         save_leaderboard(top_runs=top_runs, save_dir=search_dir)
 
     return top_runs
+
+
+def _release_run_memory(run_index: int, every: int = 8) -> None:
+    """Between-runs memory hygiene — the TPU-native analogue of the
+    reference's ``gc.collect()`` + ``torch.cuda.empty_cache()``
+    (`sweep.py:64-66`).
+
+    Every sampled architecture compiles fresh jit programs (train step,
+    fused step, eval step, init — times every batch-shape bucket), and
+    both XLA's executable cache and the module-level step caches retain
+    them all; a long search accumulates until LLVM itself cannot allocate
+    (observed: a 100-run graph_net soak died at run ~59 with "LLVM
+    compilation error: Cannot allocate memory" then SIGSEGV).  Dropping
+    the caches every few runs bounds the footprint; same-architecture
+    re-runs inside the window still share programs.
+    """
+    gc.collect()
+    if (run_index + 1) % every:
+        return
+    import jax
+
+    from point_cloud_classifier_tpu.models import wrapper as _wrapper
+
+    from point_cloud_classifier_tpu.parallel import vmap_sweep as _vs
+
+    _wrapper._STEP_CACHE.clear()
+    _wrapper._INIT_CACHE.clear()
+    _vs._FN_CACHE.clear()
+    jax.clear_caches()
+    gc.collect()
 
 
 def run_search_vmapped(
@@ -336,6 +366,9 @@ def run_search_vmapped(
             logger.log_metric("accuracy/val", round(va, 6))
             logger.log_metric("parameters", n_params)
             update_leaderboard(top_runs=top_runs, version_dir=version_dir)
+        # vmapped programs are arm-count × larger than single runs, so clear
+        # compiled-executable caches more aggressively than the sequential loop
+        _release_run_memory(g_i, every=4)
         save_leaderboard(top_runs=top_runs, save_dir=search_dir)
 
     return top_runs
