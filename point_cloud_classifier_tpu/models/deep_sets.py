@@ -16,14 +16,19 @@ reduction over the static ``[P_pad, H]`` layout.  φ parameters are declared
 flat so the same weights drive two implementations of the hot path:
 
 - the XLA path (``ops/fused_phi.phi_forward_xla`` + segment ops) — always
-  correct, used on CPU / for max pooling / with layer-norm, and the faster
-  path at narrow widths where XLA's epilogue fusion already keeps the MXU
-  busy
-- the fused Pallas kernel (``ops/fused_phi.phi_pool``) — φ matmul chain and
-  segment-sum pooling in one kernel, per-point activations never touch HBM
-  (SURVEY §3.3's #1 fusion target); auto-selected on TPU at φ width ≥ 512
-  where the saved activation traffic wins (measured 1.44× at 512, growing
-  with width)
+  correct, used on CPU / for max pooling / with layer-norm, and the
+  measured-fastest TRAINING path at the shipped widths (whole-step A/B:
+  256: 1.01 vs 1.04 ms/step fused; 512: 2.31 vs 2.39 — the fused
+  backward's in-tile recompute is 4/3 the FLOPs, which eats its saved HBM
+  traffic)
+- the fused Pallas kernel (``ops/fused_phi.phi_pool``, fwd + bwd kernels)
+  — φ matmul chain and segment-sum pooling in one kernel, per-point
+  activations never touch HBM (SURVEY §3.3's #1 fusion target).  ``auto``
+  selects it on TPU for EVAL/INFERENCE at φ width ≥ 512, where
+  forward-only has no recompute penalty and the activation-traffic saving
+  is pure win (1.44× op-level at 512, growing with width); training under
+  ``auto`` stays on XLA until the fused pair measurably wins whole-step
+  (``fused_phi="on"`` forces it for A/B work)
 """
 
 from __future__ import annotations
@@ -98,9 +103,10 @@ class DeepSets(nn.Module):
     pooling: str = "sum"
     compute_dtype: str = "float32"  # "bfloat16" runs the MXU chain in bf16
     # (params and pooling reductions stay f32)
-    fused_phi: str = "auto"  # "auto": Pallas kernel on TPU when the φ width
-    # makes it win (≥512 — see _use_pallas), XLA elsewhere; "on": always
-    # Pallas (interpreted off-TPU); "off": always XLA
+    fused_phi: str = "auto"  # "auto": Pallas kernel on TPU where measured
+    # to win — eval/infer at φ width ≥512 (forward-only, no recompute
+    # penalty); XLA elsewhere incl. all training (see _use_pallas);
+    # "on": always Pallas (interpreted off-TPU); "off": always XLA
     factored_cols: Sequence[int] = ()  # wire contract with the loader's
     # factor_event_cols: per-event-constant feature columns arrive as
     # "event_feats" [B+1, C] and are re-gathered by segment id on device
@@ -130,15 +136,24 @@ class DeepSets(nn.Module):
         params.append((wf, bf))
         return tuple(spec), tuple(params)
 
-    def _use_pallas(self) -> bool:
+    def _use_pallas(self, train: bool = True) -> bool:
         if self.fused_phi == "off" or self.layer_norm or self.pooling == "max":
             return False
         if self.fused_phi == "on":
             return True
-        # measured crossover (same-window A/B on v5e, P=65536): at width
-        # 256 XLA's epilogue-fused chain edges out the kernel (0.74 vs
-        # 0.84 ms), at 512 the kernel wins 1.44× and the gap grows with
-        # width as the saved per-point activation HBM traffic dominates
+        # "auto" is measurement-driven (whole-train-step A/B on v5e,
+        # P=65536, fuse 16 — docs/kernels.md):
+        # - TRAINING: XLA everywhere.  The fused fwd+bwd pair ties at best
+        #   (256: 1.04 vs 1.01 ms/step; 512: 2.39 vs 2.31) — the backward
+        #   kernel's in-tile recompute is 4/3 the FLOPs of XLA's
+        #   save-residuals autodiff.  (Round 1 routed width ≥512 to the
+        #   kernel from an op-level A/B; whole-step that was a regression:
+        #   the then-XLA-replay backward re-paid the forward, 2.65 vs 2.31.)
+        # - EVAL/INFER: the forward kernel at width ≥512 — no backward, so
+        #   no recompute penalty; saved [P,H] activation round-trips win
+        #   1.44× op-level at 512, growing with width.
+        if train:
+            return False
         widest = max(self.phi_layers) if self.phi_layers else 0
         return jax.default_backend() == "tpu" and widest >= 512
 
@@ -184,7 +199,7 @@ class DeepSets(nn.Module):
             counts = segment_count(seg, num_segments)[:num_events]
         safe = jnp.maximum(counts, 1.0).reshape(-1, 1)
 
-        if self._use_pallas():
+        if self._use_pallas(train):
             interpret = jax.default_backend() != "tpu"
             total = phi_pool(
                 points, seg, spec, params, self.activation, num_segments, interpret

@@ -16,9 +16,25 @@ target.  This module provides:
   * pooling is a tile-local one-hot matmul ``one_hotᵀ @ h`` accumulated
     into a ``[S_pad, H]`` f32 output block — an MXU contraction instead of
     the VPU scatter-add XLA emits for ``segment_sum``
-- :func:`phi_pool` — custom-VJP wrapper: Pallas forward, backward by
-  replaying the XLA implementation under ``jax.vjp`` (rematerialized, so no
-  per-point residuals are saved)
+- :func:`phi_pool_bwd_pallas` — the fused BACKWARD: one ``pallas_call``
+  that re-runs the φ chain tile-by-tile in VMEM (``jax.vjp`` over the
+  tile function, so the math matches the forward bit-for-bit), gathers the
+  pooled cotangent through the same one-hot contraction, accumulates
+  ``d_params`` in f32 VMEM across tiles and streams ``d_points`` tiles
+  out.  With it, neither forward nor backward ever writes a per-point
+  ``[P, H]`` activation to HBM — the train step's φ portion becomes
+  MXU-bound instead of HBM-bound (the XLA chain moves ~600 MB/step of
+  activations at the flagship shape; the fused pair moves ~3 MB).
+  Measured status (whole-train-step A/B, v5e, P=65536, fuse 16): the
+  fused pair currently TIES the XLA path at width 256 (1.04 vs 1.01
+  ms/step) and at 512 (2.39 vs 2.31) — the backward's in-tile recompute
+  costs 4/3 the FLOPs, which eats the saved HBM traffic at these widths;
+  kernels run ~67 TFLOPS effective vs the 4x headroom to bf16 peak, so
+  tuning continues (docs/kernels.md)
+- :func:`phi_pool` — custom-VJP wrapper: Pallas forward; backward via
+  :func:`phi_pool_bwd_pallas` when the shapes tile (else an XLA replay
+  under ``jax.vjp`` — rematerialized, so no per-point residuals are saved
+  either way)
 
 φ layer spec: a tuple of ``("plain" | "residual", has_ln)`` entries plus a
 final un-activated linear, matching the reference φ structure
@@ -205,6 +221,161 @@ def phi_pool_pallas(
     return pooled[:num_segments]
 
 
+# -- Pallas backward kernel ---------------------------------------------------
+
+
+def _make_bwd_kernel(spec: Spec, activation: str, s_pad: int, n_weight_refs: int):
+    act = _act(activation)
+
+    def kernel(seg_ref, x_ref, g_ref, *rest):
+        w_refs = rest[:n_weight_refs]
+        d_x_ref = rest[n_weight_refs]
+        d_w_refs = rest[n_weight_refs + 1 :]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for r in d_w_refs:
+                r[:] = jnp.zeros_like(r)
+
+        x = x_ref[:]
+        seg_tile = seg_ref[:]  # [T, 1] int32
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
+        one_hot = (seg_tile == slot_ids).astype(x.dtype)
+
+        def tile_fn(x, *flat_w):
+            # EXACTLY the forward kernel's math (same casts, same
+            # preferred_element_type), so vjp differentiates the real
+            # forward semantics rather than an approximation of them
+            h = x
+            r = 0
+            for kind, _ in spec:
+                w, b = flat_w[r], flat_w[r + 1]
+                r += 2
+                out = (
+                    jnp.dot(h, w, preferred_element_type=jnp.float32).astype(
+                        h.dtype
+                    )
+                    + b
+                )
+                h = h + act(out) if kind == "residual" else act(out)
+            wf, bf = flat_w[r], flat_w[r + 1]
+            return (
+                jnp.dot(h, wf, preferred_element_type=jnp.float32).astype(h.dtype)
+                + bf
+            )
+
+        # gather the pooled cotangent per point OUTSIDE the vjp, as a bf16
+        # one-hot contraction: d_h[p] = g[seg[p]].  Differentiating through
+        # the pooling dot instead makes its transpose a mixed bf16xf32 MXU
+        # dot (the f32 passes cost ~4x); the explicit bf16 gather matches
+        # the XLA replay's g[seg].astype(bf16) semantics up to one rounding
+        d_h = jnp.dot(
+            one_hot, g_ref[:].astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+
+        flat_w = tuple(r[:] for r in w_refs)
+        _, vjp = jax.vjp(tile_fn, x, *flat_w)
+        grads = vjp(d_h)
+        d_x_ref[:] = grads[0]
+        for ref, dw in zip(d_w_refs, grads[1:]):
+            ref[:] += dw.astype(jnp.float32)
+
+    return kernel
+
+
+def phi_pool_bwd_pallas(
+    points,
+    seg,
+    g,
+    spec: Spec,
+    params: Sequence,
+    activation: str,
+    num_segments: int,
+    tile: int | None = None,
+    interpret: bool = False,
+):
+    """Fused backward: (d_points, flat d_params) with no [P, H] HBM traffic.
+
+    Returns ``None`` when the shapes don't tile (caller falls back to the
+    XLA replay).  ``g`` is the f32 cotangent of the pooled ``[S, H]`` sums.
+    """
+    assert all(not has_ln for _, has_ln in spec), "LN specs use the XLA path"
+    p, f = points.shape
+    h_dim = params[-1][0].shape[-1]
+    if tile is None:
+        # the backward's live set is ~4x the forward's (vjp residuals for
+        # every chain layer stay in VMEM), so budget two notches tighter
+        # (measured: tile 2048 x width 256 hits the 16 MB scoped-vmem stack
+        # limit at 17.6 MB; 1024 x 256 fits)
+        widest = max([h_dim] + [w[0].shape[-1] for w in params[:-1]])
+        budget = (1 << 18) // max(widest, 1)
+        tile = 128
+        while tile * 2 <= min(budget, 2048):
+            tile *= 2
+    t = None
+    cand = min(tile, p)
+    while cand >= 128:
+        if p % cand == 0 and (cand & (cand - 1)) == 0:
+            t = cand
+            break
+        cand //= 2
+    if t is None and p < 128 and (p & (p - 1)) == 0:
+        t = p
+    if t is None:
+        return None
+    s_pad = _round_up(num_segments, 8)
+    if g.shape[0] != s_pad:
+        g = jnp.pad(g, ((0, s_pad - g.shape[0]), (0, 0)))
+
+    dtype = points.dtype
+    flat = []
+    for layer in params:
+        flat.append(layer[0].astype(dtype))
+        flat.append(layer[1].astype(dtype).reshape(1, -1))
+
+    kernel = _make_bwd_kernel(spec, activation, s_pad, len(flat))
+    grid = (p // t,)
+    weight_specs = [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for w in flat
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((p, f), dtype)] + [
+        jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat
+    ]
+    out_specs = [pl.BlockSpec((t, f), lambda i: (i, 0), memory_space=pltpu.VMEM)] + [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for w in flat
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_pad, h_dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            *weight_specs,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(seg.astype(jnp.int32).reshape(-1, 1), points, g.astype(jnp.float32), *flat)
+    return outs[0], outs[1:]
+
+
+def _reassemble_param_grads(params: Sequence, flat_grads):
+    """Flat (d_w, d_b) pairs -> the params pytree structure (None for LN)."""
+    out, i = [], 0
+    for layer in params:
+        d_w = flat_grads[i].astype(layer[0].dtype)
+        d_b = flat_grads[i + 1].reshape(-1).astype(layer[1].dtype)
+        i += 2
+        if len(layer) == 4:
+            out.append((d_w, d_b, None, None))
+        else:
+            out.append((d_w, d_b))
+    return tuple(out)
+
+
 # -- custom-VJP wrapper -------------------------------------------------------
 
 
@@ -224,13 +395,20 @@ def _phi_pool_fwd(points, seg, spec, params, activation, num_segments, interpret
 
 def _phi_pool_bwd(spec, activation, num_segments, interpret, residuals, g):
     points, seg, params = residuals
+    d_seg = np.zeros(seg.shape, dtype=jax.dtypes.float0)
+
+    fused = phi_pool_bwd_pallas(
+        points, seg, g, spec, params, activation, num_segments, interpret=interpret
+    )
+    if fused is not None:
+        d_points, flat_grads = fused
+        return d_points, d_seg, _reassemble_param_grads(params, flat_grads)
 
     def f(pts, prm):
         return phi_pool_xla(pts, seg, spec, prm, activation, num_segments)
 
     _, vjp = jax.vjp(f, points, params)
     d_points, d_params = vjp(g)
-    d_seg = np.zeros(seg.shape, dtype=jax.dtypes.float0)
     return d_points, d_seg, d_params
 
 

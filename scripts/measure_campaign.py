@@ -1,9 +1,17 @@
 """One-session measurement campaign for BASELINE.md (VERDICT r1 item 2).
 
 Runs every headline benchmark back-to-back in ONE tunnel window so the
-numbers are mutually comparable, gating on a smoke measurement first
-(healthy window = smoke ≥ 100k clouds/sec; a degraded tunnel inflates
-device dispatch ~4× and makes absolute numbers meaningless).
+numbers are mutually comparable.  Two measurement classes:
+
+- DEVICE-RESIDENT (deep_sets resident, graph_net layouts, GAT kernels):
+  batches pinned in HBM + 16-step fusion -> one host dispatch per 16
+  steps, so these track the machine, not the tunnel.  Measured in every
+  window.  (Observed: resident flagship 253k clouds/sec in a window whose
+  stream smoke managed 21k.)
+- TUNNEL-BOUND (stream pipeline, infer p50, mesh stream variant): include
+  real H2D transfers / per-step dispatch; only meaningful when the smoke
+  probe says the window is healthy (>= --min-smoke).  Skipped in degraded
+  windows unless --force.
 
 Usage:  python scripts/measure_campaign.py [--min-smoke 100000] [--iters 30]
 Prints one JSON blob with every measurement plus the window health, and a
@@ -28,12 +36,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--min-smoke", type=float, default=100_000)
     ap.add_argument("--iters", type=int, default=30)
-    ap.add_argument("--force", action="store_true", help="measure even if degraded")
+    ap.add_argument(
+        "--force", action="store_true", help="measure tunnel-bound rows even if degraded"
+    )
     args = ap.parse_args()
 
     results = {"timestamp": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())}
 
-    # 0) window health gate (stream smoke, tiny shapes)
+    # 0) window health probe (stream smoke, tiny shapes — measures the TUNNEL)
     smoke = bench.measure_jax(
         64, 4096, 6, iters=20, warmup=5, dtype="bfloat16", pipeline="stream"
     )
@@ -41,11 +51,6 @@ def main() -> None:
     healthy = smoke >= args.min_smoke
     results["window"] = "healthy" if healthy else "DEGRADED"
     print(f"smoke: {smoke:,.0f} clouds/sec -> {results['window']}", flush=True)
-    if not healthy and not args.force:
-        print(json.dumps(results))
-        print("window degraded; rerun when smoke >= "
-              f"{args.min_smoke:,.0f} (or pass --force)")
-        return
 
     it, wu = args.iters, 5
     B, P = 256, 65536
@@ -57,12 +62,12 @@ def main() -> None:
         results[key] = round(v, 1)
         print(f"{key}: {v:,.1f}  ({time.time()-t0:.0f}s)", flush=True)
 
-    # 1) deep_sets flagship: resident (the bench default) and stream
+    # ---- device-resident rows (valid in any window) ----
+
+    # 1) deep_sets flagship, resident (the bench default)
     record("deep_sets_resident", bench.measure_jax,
            B, P, 6, iters=it, warmup=wu, dtype="bfloat16",
            pipeline="resident", fuse=16)
-    record("deep_sets_stream", bench.measure_jax,
-           B, P, 6, iters=it, warmup=wu, dtype="bfloat16", pipeline="stream")
 
     # 2) graph_net: dense in-row (default) and flat
     record("graph_net_dense_inrow", bench.measure_graph_jax,
@@ -90,15 +95,21 @@ def main() -> None:
         gp._shapes_ok = shapes_ok
         mw._STEP_CACHE.clear()
 
-    # 4) p50 inference latency
-    record("infer_p50_ms", bench.measure_infer_latency,
-           B, P, 6, iters=50, warmup=10, dtype="bfloat16")
-
-    # 5) mesh variant (all visible devices over the data axis; fuse=1 —
-    # fit() shards batches itself and fusion stacks them first)
-    record("deep_sets_mesh", bench.measure_jax,
-           B, P, 6, iters=it, warmup=wu, dtype="bfloat16",
-           pipeline="stream", use_mesh=True)
+    # ---- tunnel-bound rows (healthy windows only) ----
+    if healthy or args.force:
+        record("deep_sets_stream", bench.measure_jax,
+               B, P, 6, iters=it, warmup=wu, dtype="bfloat16", pipeline="stream")
+        record("infer_p50_ms", bench.measure_infer_latency,
+               B, P, 6, iters=50, warmup=10, dtype="bfloat16")
+        # mesh variant (all visible devices over the data axis; fuse=1 —
+        # fit() shards batches itself and fusion stacks them first)
+        record("deep_sets_mesh", bench.measure_jax,
+               B, P, 6, iters=it, warmup=wu, dtype="bfloat16",
+               pipeline="stream", use_mesh=True)
+    else:
+        print("window degraded: skipping stream / latency / mesh rows "
+              f"(rerun when smoke >= {args.min_smoke:,.0f}, or pass --force)",
+              flush=True)
 
     print(json.dumps(results))
 

@@ -131,14 +131,21 @@ def test_auto_pallas_gating_by_width_and_backend():
             residual_block=True, pooling="mean", **kw,
         )
 
-    assert not mk(1024)._use_pallas()  # cpu backend: XLA
+    assert not mk(1024)._use_pallas(train=False)  # cpu backend: XLA
     with patch("jax.default_backend", return_value="tpu"):
-        assert not mk(256)._use_pallas()  # narrow: XLA wins (docs/kernels.md)
-        assert mk(512)._use_pallas()
-        assert mk(1024)._use_pallas()
-        assert not mk(1024, layer_norm=True)._use_pallas()
-        assert mk(256, fused_phi="on")._use_pallas()
-        assert not mk(1024, fused_phi="off")._use_pallas()
+        # training under "auto": XLA at every width — the fused fwd+bwd
+        # pair ties at best whole-step (docs/kernels.md)
+        assert not mk(256)._use_pallas(train=True)
+        assert not mk(512)._use_pallas(train=True)
+        assert not mk(1024)._use_pallas(train=True)
+        # eval/infer under "auto": forward kernel from width 512 up
+        assert not mk(256)._use_pallas(train=False)
+        assert mk(512)._use_pallas(train=False)
+        assert mk(1024)._use_pallas(train=False)
+        assert not mk(1024, layer_norm=True)._use_pallas(train=False)
+        # explicit modes override the measurement policy in both phases
+        assert mk(256, fused_phi="on")._use_pallas(train=True)
+        assert not mk(1024, fused_phi="off")._use_pallas(train=False)
 
 
 def test_pallas_adaptive_tile_wide_phi_parity():
@@ -171,3 +178,98 @@ def test_pallas_adaptive_tile_wide_phi_parity():
     want = phi_pool_xla(pts, seg, spec, params, "gelu", bsz + 1)
     got = phi_pool_pallas(pts, seg, spec, params, "gelu", bsz + 1, interpret=True)
     np.testing.assert_allclose(np.asarray(want), np.asarray(got), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_backward_kernel_used_and_matches(monkeypatch):
+    """The custom VJP routes to the Pallas backward kernel (spy-gated so a
+    silent XLA fallback can't pass) and its grads match the XLA replay."""
+    import point_cloud_classifier_tpu.ops.fused_phi as fp
+
+    spec = (("plain", False), ("residual", False))
+    pts, seg, s = _inputs(p=128)  # pow2 rows: backward kernel eligible
+    params = _make_params(jax.random.PRNGKey(3), spec, 6, 32)
+
+    calls = []
+    real = fp.phi_pool_bwd_pallas
+
+    def spy(*a, **k):
+        out = real(*a, **k)
+        calls.append(out is not None)
+        return out
+
+    monkeypatch.setattr(fp, "phi_pool_bwd_pallas", spy)
+
+    def loss_fused(pts, params):
+        return jnp.sum(fp.phi_pool(pts, seg, spec, params, "gelu", s, True) ** 2)
+
+    def loss_xla(pts, params):
+        return jnp.sum(fp.phi_pool_xla(pts, seg, spec, params, "gelu", s) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(pts, params)
+    g2 = jax.grad(loss_xla, argnums=(0, 1))(pts, params)
+    assert calls == [True], "Pallas backward kernel was not used"
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_fused_backward_falls_back_on_untileable_rows():
+    """Non-pow2 row counts can't tile: backward must take the XLA replay
+    (returns None) and still produce correct grads through phi_pool."""
+    import point_cloud_classifier_tpu.ops.fused_phi as fp
+
+    spec = (("plain", False),)
+    pts, seg, s = _inputs(p=96)  # 96 = 3*32: not a pow2, not tileable
+    params = _make_params(jax.random.PRNGKey(4), spec, 6, 32)
+    assert (
+        fp.phi_pool_bwd_pallas(
+            pts, seg, jnp.zeros((s, 32)), spec, params, "gelu", s, interpret=True
+        )
+        is None
+    )
+
+    def loss_fused(pts, params):
+        return jnp.sum(fp.phi_pool(pts, seg, spec, params, "gelu", s, True) ** 2)
+
+    def loss_xla(pts, params):
+        return jnp.sum(fp.phi_pool_xla(pts, seg, spec, params, "gelu", s) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(pts, params)
+    g2 = jax.grad(loss_xla, argnums=(0, 1))(pts, params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_fused_backward_bf16_param_grads_close():
+    """bf16 compute: per-tile f32 accumulation of d_params stays within
+    bf16 rounding of the XLA replay's whole-array contraction."""
+    import point_cloud_classifier_tpu.ops.fused_phi as fp
+
+    spec = (("plain", False), ("residual", False))
+    rng = np.random.default_rng(5)
+    p, f, bsz = 256, 6, 5
+    pts = jnp.asarray(rng.normal(size=(p, f)), jnp.bfloat16)
+    seg = jnp.sort(jnp.asarray(rng.integers(0, bsz + 1, size=(p,)), jnp.int32))
+    params = _make_params(jax.random.PRNGKey(6), spec, 6, 32)
+
+    # LINEAR loss with a fixed weighting: both paths then see the exact
+    # same cotangent, isolating the backward (a nonlinear loss would feed
+    # the two paths different cotangents through the bf16 forward delta)
+    c = jnp.asarray(rng.normal(size=(bsz, 32)), jnp.float32)
+
+    def loss(fn):
+        def inner(pts, params):
+            if fn == "fused":
+                out = fp.phi_pool(pts, seg, spec, params, "gelu", bsz + 1, True)
+            else:
+                out = fp.phi_pool_xla(pts, seg, spec, params, "gelu", bsz + 1)
+            return jnp.sum(out[:bsz] * c)
+
+        return inner
+
+    g1 = jax.grad(loss("fused"), argnums=(0, 1))(pts, params)
+    g2 = jax.grad(loss("xla"), argnums=(0, 1))(pts, params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        a64 = np.asarray(a, np.float64)
+        b64 = np.asarray(b, np.float64)
+        rel = np.linalg.norm(a64 - b64) / (np.linalg.norm(b64) + 1e-8)
+        assert rel < 1e-2, rel
