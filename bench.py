@@ -779,16 +779,28 @@ def main(argv=None) -> None:
         # their fused stack at 4 to bound the resident HBM footprint (the
         # device-wire 'dense' layout ships only edge lists — full fusion)
         if args.pipeline == "resident" and not args.mesh:
-            args.fuse = (
-                4
-                if (args.model == "graph_net" and args.graph_layout == "dense-host")
-                else 16
-            )
+            # deep fuse so the headline tracks the DEVICE even when the
+            # tunnel inflates per-dispatch cost (measured in one degraded
+            # window, deep_sets: fuse 16 -> 2.81 ms/step, 64 -> 1.40,
+            # 256 -> 1.03 = the healthy-window device truth).  deep_sets
+            # batches are ~0.7 MB on the wire, so 256 of them sit fine in
+            # HBM; graph in-row batches are ~4 MB -> fuse 64; host-wire
+            # dense graph batches carry a [B, M, M] adjacency (~134 MB
+            # each at the flagship shape) -> fuse 4
+            if args.model == "graph_net":
+                args.fuse = 4 if args.graph_layout == "dense-host" else 64
+            else:
+                args.fuse = 256
         else:
             args.fuse = 1
 
     if args.smoke:
         b, p, iters, warmup = 32, 2048, 5, 2
+        # --smoke is the TUNNEL-health probe (CLAUDE.md: >=100k clouds/sec
+        # = healthy window): force per-step H2D + per-step dispatch so it
+        # measures the transport, not the device (the deep-fuse resident
+        # default reports ~device truth even in degraded windows)
+        args.pipeline, args.fuse = "stream", 1
     else:
         # resident windows hold several fused dispatches so the per-window
         # device sync (up to ~0.5 s on a degraded tunnel) is amortized

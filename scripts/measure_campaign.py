@@ -58,16 +58,27 @@ def main() -> None:
 
     def record(key, fn, *a, **k):
         t0 = time.time()
-        v = fn(*a, **k)
+        try:
+            v = fn(*a, **k)
+        except Exception as e:  # transient remote-compile/tunnel errors
+            results[key] = f"FAILED: {str(e)[:120]}"
+            print(f"{key}: FAILED ({str(e)[:120]})", flush=True)
+            return
         results[key] = round(v, 1)
         print(f"{key}: {v:,.1f}  ({time.time()-t0:.0f}s)", flush=True)
 
     # ---- device-resident rows (valid in any window) ----
 
-    # 1) deep_sets flagship, resident (the bench default)
+    # 1) deep_sets flagship, resident (the bench default), plus deeper
+    # fuse to expose dispatch inflation: one dispatch per 256 steps makes
+    # the number ~pure device time even when the tunnel quadruples
+    # per-dispatch cost (fuse16 ~= fuse256 <=> window dispatch is healthy)
     record("deep_sets_resident", bench.measure_jax,
            B, P, 6, iters=it, warmup=wu, dtype="bfloat16",
            pipeline="resident", fuse=16)
+    record("deep_sets_resident_f256", bench.measure_jax,
+           B, P, 6, iters=it, warmup=wu, dtype="bfloat16",
+           pipeline="resident", fuse=256)
 
     # 2) graph_net: dense in-row (default) and flat
     record("graph_net_dense_inrow", bench.measure_graph_jax,
