@@ -86,13 +86,13 @@ def gat_attention_xla(s_dst, s_src, in_src, in_w, xw, slope: float = _SLOPE):
     return jnp.stack(outs, axis=2).reshape(b, m, c).astype(xw.dtype)
 
 
-def _mask_tile(src_ref, w_ref, t, m, d, row0):
+def _mask_tile(src_ref, w_ref, t, m, d, row0, gi=0):
     """[T, M] f32 adjacency+self-loop mask for this row tile."""
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, m), 1)
     mask = jnp.zeros((t, m), jnp.float32)
     for dd in range(d):
-        src_col = src_ref[0, :, pl.ds(dd, 1)]  # [T, 1] i32
-        w_col = w_ref[0, :, pl.ds(dd, 1)].astype(jnp.float32)
+        src_col = src_ref[gi, :, pl.ds(dd, 1)]  # [T, 1] i32
+        w_col = w_ref[gi, :, pl.ds(dd, 1)].astype(jnp.float32)
         mask = jnp.maximum(
             mask, jnp.where((src_col == col_ids) & (w_col != 0.0), 1.0, 0.0)
         )
@@ -111,30 +111,38 @@ def _alpha_tile(sd, ssT, mask, head, slope):
     return p / jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-16)
 
 
-def _make_fwd_kernel(t: int, m: int, d: int, h: int, dh: int, slope: float):
+def _make_fwd_kernel(
+    t: int, m: int, d: int, h: int, dh: int, slope: float, g_batch: int
+):
     def kernel(sd_ref, ssT_ref, src_ref, w_ref, xw_ref, out_ref):
         row0 = pl.program_id(1) * t
-        mask = _mask_tile(src_ref, w_ref, t, m, d, row0)
-        sd = sd_ref[0]  # [T, H] f32
-        ssT = ssT_ref[0]  # [H, M] f32
-        xw = xw_ref[0]  # [M, C]
-        outs = []
-        for head in range(h):
-            alpha = _alpha_tile(sd, ssT, mask, head, slope)
-            outs.append(
-                jax.lax.dot_general(
-                    alpha.astype(xw.dtype),
-                    xw[:, head * dh : (head + 1) * dh],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+        # G graphs per grid step (static unroll): a per-graph grid paid a
+        # fixed ~10 us of step overhead x B x convs x directions, which
+        # DOMINATED the step at B=256/M=256 (docs/kernels.md)
+        for gi in range(g_batch):
+            mask = _mask_tile(src_ref, w_ref, t, m, d, row0, gi)
+            sd = sd_ref[gi]  # [T, H] f32
+            ssT = ssT_ref[gi]  # [H, M] f32
+            xw = xw_ref[gi]  # [M, C]
+            outs = []
+            for head in range(h):
+                alpha = _alpha_tile(sd, ssT, mask, head, slope)
+                outs.append(
+                    jax.lax.dot_general(
+                        alpha.astype(xw.dtype),
+                        xw[:, head * dh : (head + 1) * dh],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
                 )
-            )
-        out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
+            out_ref[gi] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
 
     return kernel
 
 
-def _make_bwd_kernel(t: int, m: int, d: int, h: int, dh: int, slope: float):
+def _make_bwd_kernel(
+    t: int, m: int, d: int, h: int, dh: int, slope: float, g_batch: int
+):
     def kernel(
         sd_ref, ssT_ref, src_ref, w_ref, xw_ref, g_ref,
         dsd_ref, dssT_ref, dxw_ref,
@@ -144,43 +152,45 @@ def _make_bwd_kernel(t: int, m: int, d: int, h: int, dh: int, slope: float):
 
         @pl.when(it == 0)
         def _():
-            dssT_ref[0] = jnp.zeros_like(dssT_ref[0])
-            dxw_ref[0] = jnp.zeros_like(dxw_ref[0])
+            dssT_ref[:] = jnp.zeros_like(dssT_ref)
+            dxw_ref[:] = jnp.zeros_like(dxw_ref)
 
-        mask = _mask_tile(src_ref, w_ref, t, m, d, row0)
-        sd = sd_ref[0]
-        ssT = ssT_ref[0]
-        xw = xw_ref[0]
-        g = g_ref[0]  # [T, C]
-        dsd_cols, dss_rows, dxw_cols = [], [], []
-        for head in range(h):
-            alpha = _alpha_tile(sd, ssT, mask, head, slope)
-            xw_h = xw[:, head * dh : (head + 1) * dh].astype(jnp.float32)
-            g_h = g[:, head * dh : (head + 1) * dh].astype(jnp.float32)
-            # dP[i, j] = <g_i, xw_j>
-            dp = jax.lax.dot_general(
-                g_h, xw_h,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [T, M]
-            # softmax backward: dE = P * (dP - Σ_j P·dP); masked positions
-            # have alpha = 0, so the LeakyReLU backward below sees 0 there
-            de = alpha * (dp - jnp.sum(alpha * dp, axis=1, keepdims=True))
-            z = sd[:, head : head + 1] + ssT[head : head + 1, :]
-            dz = de * jnp.where(z >= 0.0, 1.0, slope)
-            dsd_cols.append(jnp.sum(dz, axis=1, keepdims=True))  # [T, 1]
-            dss_rows.append(jnp.sum(dz, axis=0, keepdims=True))  # [1, M]
-            # dxw_h += Pᵀ @ g_h
-            dxw_cols.append(
-                jax.lax.dot_general(
-                    alpha, g_h,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
+        for gi in range(g_batch):
+            mask = _mask_tile(src_ref, w_ref, t, m, d, row0, gi)
+            sd = sd_ref[gi]
+            ssT = ssT_ref[gi]
+            xw = xw_ref[gi]
+            g = g_ref[gi]  # [T, C]
+            dsd_cols, dss_rows, dxw_cols = [], [], []
+            for head in range(h):
+                alpha = _alpha_tile(sd, ssT, mask, head, slope)
+                xw_h = xw[:, head * dh : (head + 1) * dh].astype(jnp.float32)
+                g_h = g[:, head * dh : (head + 1) * dh].astype(jnp.float32)
+                # dP[i, j] = <g_i, xw_j>
+                dp = jax.lax.dot_general(
+                    g_h, xw_h,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
-            )  # [M, DH]
-        dsd_ref[0] = jnp.concatenate(dsd_cols, axis=1)
-        dssT_ref[0] = dssT_ref[0] + jnp.concatenate(dss_rows, axis=0)
-        dxw_ref[0] = dxw_ref[0] + jnp.concatenate(dxw_cols, axis=1)
+                )  # [T, M]
+                # softmax backward: dE = P * (dP - Σ_j P·dP); masked
+                # positions have alpha = 0, so the LeakyReLU backward
+                # below sees 0 there
+                de = alpha * (dp - jnp.sum(alpha * dp, axis=1, keepdims=True))
+                z = sd[:, head : head + 1] + ssT[head : head + 1, :]
+                dz = de * jnp.where(z >= 0.0, 1.0, slope)
+                dsd_cols.append(jnp.sum(dz, axis=1, keepdims=True))  # [T, 1]
+                dss_rows.append(jnp.sum(dz, axis=0, keepdims=True))  # [1, M]
+                # dxw_h += Pᵀ @ g_h
+                dxw_cols.append(
+                    jax.lax.dot_general(
+                        alpha, g_h,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )  # [M, DH]
+            dsd_ref[gi] = jnp.concatenate(dsd_cols, axis=1)
+            dssT_ref[gi] = dssT_ref[gi] + jnp.concatenate(dss_rows, axis=0)
+            dxw_ref[gi] = dxw_ref[gi] + jnp.concatenate(dxw_cols, axis=1)
 
     return kernel
 
@@ -212,13 +222,32 @@ def _shapes_ok(s_dst, xw, interpret: bool) -> int:
     return t
 
 
-def _specs(t, m, d, h, c):
+def _graphs_per_step(b: int, m: int, c: int, t: int) -> int:
+    """Graphs handled per grid step (static in-kernel unroll).
+
+    A per-graph grid pays a fixed per-step cost ~10 us; at B=256 that is
+    ~1280 grid steps per train step across convs and directions, which
+    dominated the measured GAT step (~13.6 ms of the 15.6 ms total —
+    docs/kernels.md).  Batch G graphs per step, bounded by a ~6 MB VMEM
+    allowance for the G-resident blocks (xw/g/dxw at ~m*c*16 bytes per
+    graph) and capped at 8 to bound trace size; G must divide B.
+    """
+    if t != m:
+        return 1  # multi-row-tile shapes keep the simple per-graph grid
+    allowance = (6 << 20) // max(m * c * 16, 1)
+    g = 1
+    while g * 2 <= min(8, allowance) and b % (g * 2) == 0:
+        g *= 2
+    return g
+
+
+def _specs(t, m, d, h, c, gb):
     return [
-        pl.BlockSpec((1, t, h), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, h, m), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, t, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, t, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, m, c), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, t, h), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, h, m), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, t, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, t, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, m, c), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
     ]
 
 
@@ -228,13 +257,14 @@ def _fwd_impl(s_dst, s_src, in_src, in_w, xw, slope: float, interpret: bool):
     d = in_src.shape[-1]
     t = _shapes_ok(s_dst, xw, interpret)
     assert t, "caller must route un-tileable shapes to gat_attention_xla"
-    kernel = _make_fwd_kernel(t, m, d, h, c // h, slope)
+    gb = _graphs_per_step(b, m, c, t)
+    kernel = _make_fwd_kernel(t, m, d, h, c // h, slope, gb)
     return pl.pallas_call(
         kernel,
-        grid=(b, m // t),
-        in_specs=_specs(t, m, d, h, c),
+        grid=(b // gb, m // t),
+        in_specs=_specs(t, m, d, h, c, gb),
         out_specs=pl.BlockSpec(
-            (1, t, c), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM
+            (gb, t, c), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, m, c), xw.dtype),
         interpret=interpret,
@@ -254,16 +284,17 @@ def _bwd_impl(s_dst, s_src, in_src, in_w, xw, g, slope: float, interpret: bool):
     d = in_src.shape[-1]
     t = _shapes_ok(s_dst, xw, interpret)
     assert t
-    kernel = _make_bwd_kernel(t, m, d, h, c // h, slope)
+    gb = _graphs_per_step(b, m, c, t)
+    kernel = _make_bwd_kernel(t, m, d, h, c // h, slope, gb)
     dsd, dssT, dxw = pl.pallas_call(
         kernel,
-        grid=(b, m // t),
-        in_specs=_specs(t, m, d, h, c)
-        + [pl.BlockSpec((1, t, c), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM)],
+        grid=(b // gb, m // t),
+        in_specs=_specs(t, m, d, h, c, gb)
+        + [pl.BlockSpec((gb, t, c), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((1, t, h), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, m), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, c), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, t, h), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, h, m), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, m, c), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, m, h), jnp.float32),

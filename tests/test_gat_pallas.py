@@ -64,6 +64,39 @@ def test_kernel_gradients_match_oracle():
         )
 
 
+def test_graph_batched_grid_matches_oracle():
+    """b=8, m=64 routes through the G-graphs-per-grid-step unroll
+    (_graphs_per_step returns 8 when t == m and 8 | b) — both directions."""
+    from point_cloud_classifier_tpu.ops.gat_pallas import _graphs_per_step
+
+    s_dst, s_src, in_src, in_w, xw = _inputs(seed=3, b=8)
+    assert _graphs_per_step(8, 64, xw.shape[-1], 64) > 1
+    want = gat_attention_xla(s_dst, s_src, in_src, in_w, xw)
+    got = gat_attention_fused(s_dst, s_src, in_src, in_w, xw, 0.2, True)
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(got), rtol=1e-5, atol=1e-5
+    )
+
+    rng = np.random.default_rng(11)
+    cot = jnp.asarray(rng.normal(size=xw.shape).astype(np.float32))
+
+    def loss(fn, *extra):
+        return lambda sd, ss, x: jnp.sum(
+            fn(sd, ss, in_src, in_w, x, *extra) * cot
+        )
+
+    g1 = jax.grad(loss(gat_attention_fused, 0.2, True), argnums=(0, 1, 2))(
+        s_dst, s_src, xw
+    )
+    g2 = jax.grad(loss(gat_attention_xla, 0.2), argnums=(0, 1, 2))(
+        s_dst, s_src, xw
+    )
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_isolated_nodes_attend_to_self_only():
     """A node with no incoming edges must softmax entirely onto its
     self-loop (torch_geometric add_self_loops semantics)."""
