@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -77,6 +78,7 @@ def measure_jax(
     use_mesh: bool = False,
     fuse: int = 1,
     pipeline: str = "resident",
+    phi: str = "auto",
 ) -> float:
     import jax
 
@@ -93,12 +95,15 @@ def measure_jax(
         phi_layers=PHI,
         rho_layers=RHO,
         output_dim=1,
-        activation="gelu",
+        # PCC_BENCH_ACT: diagnostic override to isolate activation cost in
+        # kernel A/Bs (the flagship config is gelu)
+        activation=os.environ.get("PCC_BENCH_ACT", "gelu"),
         layer_norm=False,  # configs/deep_sets.yaml; also enables the fused kernel
         residual_block=True,
         pooling="mean",
         compute_dtype=dtype,
         factored_cols=(1,) if dtype == "bfloat16" else (),
+        fused_phi=phi,  # "on" forces the Pallas pair for kernel A/B work
     )
     wrapper = ModelWrapper(
         model, learning_rate=1e-3, epochs=1, optimizer="adamw", mesh=mesh,
@@ -764,6 +769,14 @@ def main(argv=None) -> None:
         "flat edge lists",
     )
     parser.add_argument(
+        "--phi",
+        default="auto",
+        choices=["auto", "on", "off"],
+        help="deep_sets phi path: 'on' forces the fused Pallas fwd+bwd "
+        "pair, 'off' forces XLA, 'auto' is the shipped policy "
+        "(models/deep_sets._use_pallas) — for same-window kernel A/B",
+    )
+    parser.add_argument(
         "--pipeline",
         default="resident",
         choices=["resident", "stream"],
@@ -881,6 +894,7 @@ def main(argv=None) -> None:
         use_mesh=args.mesh,
         fuse=args.fuse,
         pipeline=args.pipeline,
+        phi=args.phi,
     )
     vs = (
         round(cps / REFERENCE_CPU_CLOUDS_PER_SEC, 2)

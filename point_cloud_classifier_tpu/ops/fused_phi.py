@@ -44,6 +44,7 @@ layer-norm (the shipped configs; LN specs fall back to XLA).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Sequence, Tuple
 
@@ -56,14 +57,23 @@ from jax.experimental.pallas import tpu as pltpu
 Spec = Tuple[Tuple[str, bool], ...]
 
 
+def _env_int(name: str, default: int) -> int:
+    """Tuning overrides (PCC_PHI_TILE / _TILE_BWD / _SPLIT / _SPLIT_BWD)
+    for same-window whole-step A/B experiments; defaults are the shipped,
+    measured policy."""
+    try:
+        return int(os.environ.get(name, ""))
+    except ValueError:
+        return default
+
+
 def _act(name: str):
-    table = {
-        "relu": jax.nn.relu,
-        "gelu": jax.nn.gelu,
-        "silu": jax.nn.silu,
-        "tanh": jnp.tanh,
-    }
-    return table[name]
+    # "gelu" resolves to the polynomial fast_gelu (ops/activations.py)
+    # unless PCC_FAST_GELU=0 — the tanh chain alone cost a third of the
+    # flagship train step (see the activations module docstring)
+    from point_cloud_classifier_tpu.ops.activations import resolve_activation
+
+    return resolve_activation(name)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -113,18 +123,12 @@ def phi_pool_xla(points, seg, spec: Spec, params: Sequence, activation: str, num
 # -- Pallas kernel -----------------------------------------------------------
 
 
-def _make_kernel(spec: Spec, activation: str, s_pad: int, n_weight_refs: int):
+def _make_kernel(
+    spec: Spec, activation: str, s_pad: int, n_weight_refs: int, split: int = 1
+):
     act = _act(activation)
 
-    def kernel(seg_ref, x_ref, *rest):
-        out_ref = rest[n_weight_refs]
-        w_refs = rest[:n_weight_refs]
-
-        @pl.when(pl.program_id(0) == 0)
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
-
-        h = x_ref[:]
+    def chain(h, w_refs):
         r = 0
         for kind, _ in spec:
             w = w_refs[r][:]
@@ -137,18 +141,42 @@ def _make_kernel(spec: Spec, activation: str, s_pad: int, n_weight_refs: int):
             h = h + act(out) if kind == "residual" else act(out)
         wf = w_refs[r][:]
         bf = w_refs[r + 1][:]
-        h = jnp.dot(h, wf, preferred_element_type=jnp.float32).astype(h.dtype) + bf
+        return jnp.dot(h, wf, preferred_element_type=jnp.float32).astype(
+            h.dtype
+        ) + bf
 
-        # tile-local one-hot [T, S_pad] — pooling as an MXU contraction
+    def kernel(seg_ref, x_ref, *rest):
+        out_ref = rest[n_weight_refs]
+        w_refs = rest[:n_weight_refs]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        # `split` independent row sub-chains (static unroll): the chain's
+        # matmul→act→matmul dependency serializes MXU and VPU; interleaved
+        # sub-chains give the Mosaic scheduler concurrent MXU work for one
+        # chunk while another is in its activation
+        x = x_ref[:]
         seg_tile = seg_ref[:]  # [T, 1] int32
         slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
-        one_hot = (seg_tile == slot_ids).astype(h.dtype)
-        out_ref[:] += jax.lax.dot_general(
-            one_hot,
-            h,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        t = x.shape[0]
+        ts = t // split
+        acc = None
+        for s in range(split):
+            h = chain(x[s * ts : (s + 1) * ts], w_refs)
+            one_hot = (seg_tile[s * ts : (s + 1) * ts] == slot_ids).astype(
+                h.dtype
+            )
+            # tile-local one-hot [TS, S_pad] — pooling as an MXU contraction
+            contrib = jax.lax.dot_general(
+                one_hot,
+                h,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = contrib if acc is None else acc + contrib
+        out_ref[:] += acc
 
     return kernel
 
@@ -177,6 +205,7 @@ def phi_pool_pallas(
         tile = 128
         while tile * 2 <= min(budget, 4096):
             tile *= 2
+        tile = _env_int("PCC_PHI_TILE", tile)
     # Mosaic wants power-of-two row tiles here (mult-of-8-but-not-128 tiles
     # compile but miscompute on the accumulation path); buffers from
     # non-pow2 bucket ladders fall back to the XLA implementation
@@ -200,7 +229,10 @@ def phi_pool_pallas(
         flat.append(layer[0].astype(dtype))
         flat.append(layer[1].astype(dtype).reshape(1, -1))
 
-    kernel = _make_kernel(spec, activation, s_pad, len(flat))
+    split = _env_int("PCC_PHI_SPLIT", 1)
+    if split < 1 or t % split or (t // split) % 8:
+        split = 1
+    kernel = _make_kernel(spec, activation, s_pad, len(flat), split)
     grid = (p // t,)
     weight_specs = [
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -224,7 +256,9 @@ def phi_pool_pallas(
 # -- Pallas backward kernel ---------------------------------------------------
 
 
-def _make_bwd_kernel(spec: Spec, activation: str, s_pad: int, n_weight_refs: int):
+def _make_bwd_kernel(
+    spec: Spec, activation: str, s_pad: int, n_weight_refs: int, split: int = 1
+):
     act = _act(activation)
 
     def kernel(seg_ref, x_ref, g_ref, *rest):
@@ -240,7 +274,6 @@ def _make_bwd_kernel(spec: Spec, activation: str, s_pad: int, n_weight_refs: int
         x = x_ref[:]
         seg_tile = seg_ref[:]  # [T, 1] int32
         slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
-        one_hot = (seg_tile == slot_ids).astype(x.dtype)
 
         def tile_fn(x, *flat_w):
             # EXACTLY the forward kernel's math (same casts, same
@@ -264,21 +297,38 @@ def _make_bwd_kernel(spec: Spec, activation: str, s_pad: int, n_weight_refs: int
                 + bf
             )
 
-        # gather the pooled cotangent per point OUTSIDE the vjp, as a bf16
-        # one-hot contraction: d_h[p] = g[seg[p]].  Differentiating through
-        # the pooling dot instead makes its transpose a mixed bf16xf32 MXU
-        # dot (the f32 passes cost ~4x); the explicit bf16 gather matches
-        # the XLA replay's g[seg].astype(bf16) semantics up to one rounding
-        d_h = jnp.dot(
-            one_hot, g_ref[:].astype(x.dtype), preferred_element_type=jnp.float32
-        ).astype(x.dtype)
-
+        # `split` independent row sub-chunks (static unroll) — same ILP
+        # rationale as the forward, and each chunk's vjp residual live set
+        # shrinks by `split`, which is what lets the backward run tiles
+        # past the single-vjp scoped-vmem limit
         flat_w = tuple(r[:] for r in w_refs)
-        _, vjp = jax.vjp(tile_fn, x, *flat_w)
-        grads = vjp(d_h)
-        d_x_ref[:] = grads[0]
-        for ref, dw in zip(d_w_refs, grads[1:]):
-            ref[:] += dw.astype(jnp.float32)
+        g_bf = g_ref[:].astype(x.dtype)
+        t = x.shape[0]
+        ts = t // split
+        dw_acc = None
+        for s in range(split):
+            sl = slice(s * ts, (s + 1) * ts)
+            one_hot = (seg_tile[sl] == slot_ids).astype(x.dtype)
+            # gather the pooled cotangent per point OUTSIDE the vjp, as a
+            # bf16 one-hot contraction: d_h[p] = g[seg[p]].  Differentiating
+            # through the pooling dot instead makes its transpose a mixed
+            # bf16xf32 MXU dot (the f32 passes cost ~4x); the explicit bf16
+            # gather matches the XLA replay's g[seg].astype(bf16) semantics
+            # up to one rounding
+            d_h = jnp.dot(
+                one_hot, g_bf, preferred_element_type=jnp.float32
+            ).astype(x.dtype)
+            _, vjp = jax.vjp(tile_fn, x[sl], *flat_w)
+            grads = vjp(d_h)
+            d_x_ref[sl] = grads[0]
+            dws = tuple(dw.astype(jnp.float32) for dw in grads[1:])
+            dw_acc = (
+                dws
+                if dw_acc is None
+                else tuple(a + d for a, d in zip(dw_acc, dws))
+            )
+        for ref, dw in zip(d_w_refs, dw_acc):
+            ref[:] += dw
 
     return kernel
 
@@ -312,6 +362,7 @@ def phi_pool_bwd_pallas(
         tile = 128
         while tile * 2 <= min(budget, 2048):
             tile *= 2
+        tile = _env_int("PCC_PHI_TILE_BWD", tile)
     t = None
     cand = min(tile, p)
     while cand >= 128:
@@ -333,7 +384,10 @@ def phi_pool_bwd_pallas(
         flat.append(layer[0].astype(dtype))
         flat.append(layer[1].astype(dtype).reshape(1, -1))
 
-    kernel = _make_bwd_kernel(spec, activation, s_pad, len(flat))
+    split = _env_int("PCC_PHI_SPLIT_BWD", 1)
+    if split < 1 or t % split or (t // split) % 8:
+        split = 1
+    kernel = _make_bwd_kernel(spec, activation, s_pad, len(flat), split)
     grid = (p // t,)
     weight_specs = [
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)

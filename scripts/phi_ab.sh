@@ -1,0 +1,23 @@
+#!/bin/bash
+# Same-window whole-step A/B series for the fused phi+pool kernel pair
+# (ops/fused_phi.py).  Device-truth method: resident pipeline + step
+# fusion, so results hold in degraded tunnel windows (BASELINE.md
+# methodology).  Usage: bash scripts/phi_ab.sh [iters]
+set -u
+IT=${1:-20}
+run () {
+  local label="$1"; shift
+  local out
+  out=$(timeout 590 "$@" python bench.py --phi on --iters "$IT" 2>/dev/null | tail -1)
+  echo "$label: $out"
+}
+echo "== baseline (XLA phi) =="
+out=$(timeout 590 python bench.py --phi off --iters "$IT" 2>/dev/null | tail -1)
+echo "xla: $out"
+echo "== fused pair =="
+run "fused-default" env
+run "fused-split2" env PCC_PHI_SPLIT=2 PCC_PHI_SPLIT_BWD=2
+run "fused-split4" env PCC_PHI_SPLIT=4 PCC_PHI_SPLIT_BWD=4
+run "fused-bwd-t2048-s2" env PCC_PHI_TILE_BWD=2048 PCC_PHI_SPLIT_BWD=2
+run "fused-bwd-t4096-s4" env PCC_PHI_TILE_BWD=4096 PCC_PHI_SPLIT_BWD=4
+run "fused-fwd-t8192-s2" env PCC_PHI_TILE=8192 PCC_PHI_SPLIT=2

@@ -1,0 +1,87 @@
+"""fast_gelu (ops/activations.py) vs jax.nn.gelu — the bounds the module
+docstring promises, plus resolver policy."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from point_cloud_classifier_tpu.ops.activations import (
+    fast_gelu,
+    quick_gelu,
+    resolve_activation,
+)
+
+XS = np.concatenate(
+    [
+        np.linspace(-30.0, 30.0, 120001),
+        np.linspace(-4.1, 4.1, 50001),  # dense around the clamp boundary
+    ]
+).astype(np.float32)
+
+
+def test_value_bound():
+    got = np.asarray(fast_gelu(jnp.asarray(XS)))
+    want = np.asarray(jax.nn.gelu(jnp.asarray(XS)))
+    assert np.max(np.abs(got - want)) < 8e-4
+
+
+def test_exact_tails():
+    xs = jnp.asarray(np.array([4.5, 10.0, 100.0, 1e6], dtype=np.float32))
+    np.testing.assert_array_equal(np.asarray(fast_gelu(xs)), np.asarray(xs))
+    np.testing.assert_array_equal(
+        np.asarray(fast_gelu(-xs)), np.zeros_like(np.asarray(xs))
+    )
+
+
+def test_grad_bound():
+    d_fast = jax.vmap(jax.grad(fast_gelu))(jnp.asarray(XS))
+    d_ref = jax.vmap(jax.grad(jax.nn.gelu))(jnp.asarray(XS))
+    assert np.max(np.abs(np.asarray(d_fast) - np.asarray(d_ref))) < 2.5e-2
+
+
+def test_bf16_quantization_level():
+    """After casting to the bf16 compute dtype, the approximation is at
+    quantization level: <= 2 ulp from bf16-cast jax.nn.gelu."""
+    xs = jnp.asarray(XS)
+    got = np.asarray(fast_gelu(xs).astype(jnp.bfloat16), dtype=np.float32)
+    want = np.asarray(
+        jax.nn.gelu(xs).astype(jnp.bfloat16), dtype=np.float32
+    )
+    denom = np.maximum(np.abs(want), 4e-2)
+    assert np.max(np.abs(got - want) / denom) < 2e-2  # ~2 bf16 ulp
+
+
+def test_dtype_preserved():
+    for dt in (jnp.float32, jnp.bfloat16, jnp.float16):
+        out = fast_gelu(jnp.ones((4,), dt))
+        assert out.dtype == dt
+
+
+def test_quick_gelu_bounds():
+    """QuickGELU is the coarse sigmoid form: bounded deviation from the
+    tanh form, monotone tails, exact limits."""
+    xs = jnp.asarray(XS)
+    got = np.asarray(quick_gelu(xs))
+    want = np.asarray(jax.nn.gelu(xs))
+    assert np.max(np.abs(got - want)) < 2.5e-2
+    # tails converge to x / 0
+    big = jnp.asarray(np.array([20.0, 50.0], dtype=np.float32))
+    np.testing.assert_allclose(np.asarray(quick_gelu(big)), np.asarray(big))
+    np.testing.assert_allclose(
+        np.asarray(quick_gelu(-big)), np.zeros(2), atol=1e-6
+    )
+    assert quick_gelu(jnp.ones((2,), jnp.bfloat16)).dtype == jnp.bfloat16
+
+
+def test_resolver_policy(monkeypatch):
+    assert resolve_activation("gelu") is quick_gelu  # PCC_GELU default
+    monkeypatch.setenv("PCC_GELU", "exact")
+    assert resolve_activation("gelu") is jax.nn.gelu
+    monkeypatch.setenv("PCC_GELU", "poly")
+    assert resolve_activation("gelu") is fast_gelu
+    assert resolve_activation("relu") is jax.nn.relu
+    with pytest.raises(KeyError):
+        resolve_activation("swishish")
