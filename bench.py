@@ -771,10 +771,12 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--phi",
         default="auto",
-        choices=["auto", "on", "off"],
+        choices=["auto", "on", "off", "tail"],
         help="deep_sets phi path: 'on' forces the fused Pallas fwd+bwd "
-        "pair, 'off' forces XLA, 'auto' is the shipped policy "
-        "(models/deep_sets._use_pallas) — for same-window kernel A/B",
+        "pair, 'off' forces XLA, 'tail' fuses only the final linear + "
+        "pooling (closed-form backward, no recompute), 'auto' is the "
+        "shipped policy (models/deep_sets._use_pallas) — for same-window "
+        "kernel A/B",
     )
     parser.add_argument(
         "--pipeline",

@@ -47,7 +47,11 @@ from point_cloud_classifier_tpu.models.common import (
     activation_fn,
     resolve_dtype,
 )
-from point_cloud_classifier_tpu.ops.fused_phi import phi_forward_xla, phi_pool
+from point_cloud_classifier_tpu.ops.fused_phi import (
+    phi_forward_xla,
+    phi_hidden_xla,
+    phi_pool,
+)
 from point_cloud_classifier_tpu.ops.segment import (
     counts_to_segment_ids,
     segment_count,
@@ -107,7 +111,14 @@ class DeepSets(nn.Module):
     fused_phi: str = "auto"  # "auto": Pallas kernel on TPU where measured
     # to win — eval/infer at φ width ≥512 (forward-only, no recompute
     # penalty); XLA elsewhere incl. all training (see _use_pallas);
-    # "on": always Pallas (interpreted off-TPU); "off": always XLA
+    # "on": always Pallas (interpreted off-TPU); "off": always XLA;
+    # "tail": hidden φ layers on XLA (save-residuals autodiff) + the final
+    # linear AND pooling in the Pallas kernel pair (empty spec — affine, so
+    # the backward is closed-form with ZERO recompute).  Measured a 1.3%
+    # whole-step REGRESSION at the flagship shape (318.0k vs 322.1k
+    # clouds/sec, same window): the XLA path's segment_sum is already a
+    # one-hot MXU contraction, so there were no h3 scatter round-trips to
+    # save — kept opt-in (docs/kernels.md tuning table)
     factored_cols: Sequence[int] = ()  # wire contract with the loader's
     # factor_event_cols: per-event-constant feature columns arrive as
     # "event_feats" [B+1, C] and are re-gathered by segment id on device
@@ -158,6 +169,15 @@ class DeepSets(nn.Module):
         widest = max(self.phi_layers) if self.phi_layers else 0
         return jax.default_backend() == "tpu" and widest >= 512
 
+    def _phi_mode(self, train: bool = True) -> str:
+        """'pallas' (full fusion) | 'tail' (XLA hidden chain + fused
+        final-linear+pool) | 'xla'."""
+        if self._use_pallas(train):
+            return "pallas"
+        if self.fused_phi == "tail" and self.pooling in ("sum", "mean"):
+            return "tail"
+        return "xla"
+
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = True) -> jnp.ndarray:
         points = batch["points"].astype(resolve_dtype(self.compute_dtype))
@@ -200,11 +220,24 @@ class DeepSets(nn.Module):
             counts = segment_count(seg, num_segments)[:num_events]
         safe = jnp.maximum(counts, 1.0).reshape(-1, 1)
 
-        if self._use_pallas(train):
+        mode = self._phi_mode(train)
+        if mode in ("pallas", "tail"):
             interpret = jax.default_backend() != "tpu"
-            total = phi_pool(
-                points, seg, spec, params, self.activation, num_segments, interpret
-            )[:num_events]
+            if mode == "tail":
+                # hidden chain on XLA (fastest measured training form at
+                # the shipped widths), then final linear + pooling in one
+                # kernel pair: h3 and its cotangent never touch HBM, and
+                # the affine tail's backward has no recompute at all
+                h = phi_hidden_xla(points, spec, params[:-1], self.activation)
+                total = phi_pool(
+                    h, seg, (), (params[-1],), self.activation, num_segments,
+                    interpret,
+                )[:num_events]
+            else:
+                total = phi_pool(
+                    points, seg, spec, params, self.activation, num_segments,
+                    interpret,
+                )[:num_events]
             if self.pooling == "sum":
                 pooled = total / jnp.sqrt(safe)
             elif self.pooling == "mean":

@@ -101,15 +101,23 @@ def _apply_layer(h, kind, has_ln, w, b, ln_scale, ln_bias, act):
 
 def phi_forward_xla(points, spec: Spec, params: Sequence, activation: str):
     """Per-point features ``[P, H]`` through the φ chain (XLA)."""
-    act = _act(activation)
-    h = points
-    for (kind, has_ln), layer in zip(spec, params[:-1]):
-        w, b, ln_scale, ln_bias = layer
-        h = _apply_layer(h, kind, has_ln, w, b, ln_scale, ln_bias, act)
+    h = phi_hidden_xla(points, spec, params[:-1], activation)
     wf, bf = params[-1][0], params[-1][1]
     return jnp.dot(
         h, wf.astype(h.dtype), preferred_element_type=jnp.float32
     ).astype(h.dtype) + bf.astype(h.dtype)
+
+
+def phi_hidden_xla(points, spec: Spec, params: Sequence, activation: str):
+    """The φ chain WITHOUT the final un-activated linear (``len(params) ==
+    len(spec)``) — the XLA half of the tail-fused split (`phi_pool` with an
+    empty spec fuses the final linear + pooling)."""
+    act = _act(activation)
+    h = points
+    for (kind, has_ln), layer in zip(spec, params):
+        w, b, ln_scale, ln_bias = layer
+        h = _apply_layer(h, kind, has_ln, w, b, ln_scale, ln_bias, act)
+    return h
 
 
 def phi_pool_xla(points, seg, spec: Spec, params: Sequence, activation: str, num_segments: int):
@@ -318,10 +326,35 @@ def _make_bwd_kernel(
             d_h = jnp.dot(
                 one_hot, g_bf, preferred_element_type=jnp.float32
             ).astype(x.dtype)
-            _, vjp = jax.vjp(tile_fn, x[sl], *flat_w)
-            grads = vjp(d_h)
-            d_x_ref[sl] = grads[0]
-            dws = tuple(dw.astype(jnp.float32) for dw in grads[1:])
+            if not spec:
+                # tail-fused case (final linear + pool only): the layer is
+                # affine, so its grads are closed-form — NO forward
+                # recompute (jax.vjp would re-run the matmul just to reach
+                # the same three products)
+                wf = flat_w[0]
+                xs = x[sl]
+                d_xs = jax.lax.dot_general(
+                    d_h,
+                    wf,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+                d_wf = jax.lax.dot_general(
+                    xs,
+                    d_h,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                d_bf = jnp.sum(
+                    d_h.astype(jnp.float32), axis=0, keepdims=True
+                )
+                d_x_ref[sl] = d_xs
+                dws = (d_wf, d_bf)
+            else:
+                _, vjp = jax.vjp(tile_fn, x[sl], *flat_w)
+                grads = vjp(d_h)
+                d_x_ref[sl] = grads[0]
+                dws = tuple(dw.astype(jnp.float32) for dw in grads[1:])
             dw_acc = (
                 dws
                 if dw_acc is None
@@ -356,11 +389,13 @@ def phi_pool_bwd_pallas(
         # the backward's live set is ~4x the forward's (vjp residuals for
         # every chain layer stay in VMEM), so budget two notches tighter
         # (measured: tile 2048 x width 256 hits the 16 MB scoped-vmem stack
-        # limit at 17.6 MB; 1024 x 256 fits)
+        # limit at 17.6 MB; 1024 x 256 fits).  The tail-fused empty spec
+        # has NO vjp residuals (closed-form affine grads) — forward budget
         widest = max([h_dim] + [w[0].shape[-1] for w in params[:-1]])
-        budget = (1 << 18) // max(widest, 1)
+        shift, cap = (20, 4096) if not spec else (18, 2048)
+        budget = (1 << shift) // max(widest, 1)
         tile = 128
-        while tile * 2 <= min(budget, 2048):
+        while tile * 2 <= min(budget, cap):
             tile *= 2
         tile = _env_int("PCC_PHI_TILE_BWD", tile)
     t = None

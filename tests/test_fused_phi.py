@@ -273,3 +273,112 @@ def test_fused_backward_bf16_param_grads_close():
         b64 = np.asarray(b, np.float64)
         rel = np.linalg.norm(a64 - b64) / (np.linalg.norm(b64) + 1e-8)
         assert rel < 1e-2, rel
+
+
+def test_tail_empty_spec_backward_kernel_used_and_matches(monkeypatch):
+    """Tail fusion (empty spec = final linear + pool): the closed-form
+    backward kernel is used (spy-gated) and matches XLA grads exactly."""
+    import point_cloud_classifier_tpu.ops.fused_phi as fp
+
+    rng = np.random.default_rng(7)
+    p, k, h, bsz = 128, 32, 32, 5
+    pts = jnp.asarray(rng.normal(size=(p, k)).astype(np.float32))
+    seg = jnp.sort(jnp.asarray(rng.integers(0, bsz + 1, size=(p,)), jnp.int32))
+    params = (
+        (
+            jnp.asarray(rng.normal(size=(k, h)).astype(np.float32) * 0.3),
+            jnp.asarray(rng.normal(size=(h,)).astype(np.float32) * 0.1),
+        ),
+    )
+    s = bsz + 1
+
+    calls = []
+    real = fp.phi_pool_bwd_pallas
+
+    def spy(*a, **kw):
+        out = real(*a, **kw)
+        calls.append(out is not None)
+        return out
+
+    monkeypatch.setattr(fp, "phi_pool_bwd_pallas", spy)
+
+    def loss_fused(pts, params):
+        return jnp.sum(fp.phi_pool(pts, seg, (), params, "gelu", s, True) ** 2)
+
+    def loss_xla(pts, params):
+        return jnp.sum(fp.phi_pool_xla(pts, seg, (), params, "gelu", s) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(pts, params)
+    g2 = jax.grad(loss_xla, argnums=(0, 1))(pts, params)
+    assert calls == [True], "closed-form backward kernel was not used"
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_deepsets_tail_matches_off():
+    """fused_phi='tail' (XLA hidden chain + fused final-linear+pool) is
+    forward- and gradient-equivalent to the pure XLA path."""
+    from point_cloud_classifier_tpu.models import DeepSets
+
+    from tests.test_parallel import _pointcloud_batch
+
+    batch = _pointcloud_batch()
+    mk = lambda mode: DeepSets(  # noqa: E731
+        input_dim=6,
+        phi_layers=[32, 32],
+        rho_layers=[32],
+        output_dim=1,
+        activation="gelu",
+        layer_norm=False,
+        residual_block=True,
+        pooling="mean",
+        fused_phi=mode,
+    )
+    off = mk("off")
+    variables = off.init(jax.random.PRNGKey(0), batch, train=False)
+    out_off = off.apply(variables, batch, train=True)
+    out_tail = mk("tail").apply(variables, batch, train=True)
+    np.testing.assert_allclose(
+        np.asarray(out_off), np.asarray(out_tail), rtol=1e-4, atol=1e-4
+    )
+
+    def loss(model):
+        def f(v):
+            return jnp.sum(model.apply(v, batch, train=True) ** 2)
+
+        return jax.value_and_grad(f)(variables)
+
+    v_off, g_off = loss(off)
+    v_tail, g_tail = loss(mk("tail"))
+    np.testing.assert_allclose(float(v_off), float(v_tail), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(g_off), jax.tree.leaves(g_tail)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_phi_mode_routing():
+    from unittest.mock import patch
+
+    from point_cloud_classifier_tpu.models.deep_sets import DeepSets
+
+    def mk(**kw):
+        kw.setdefault("fused_phi", "auto")
+        kw.setdefault("pooling", "mean")
+        return DeepSets(
+            input_dim=6, phi_layers=[256, 256], rho_layers=[64],
+            output_dim=1, activation="gelu", layer_norm=False,
+            residual_block=True, **kw,
+        )
+
+    assert mk(fused_phi="tail")._phi_mode(train=True) == "tail"
+    assert mk(fused_phi="tail", pooling="max")._phi_mode(train=True) == "xla"
+    assert mk(fused_phi="off")._phi_mode(train=True) == "xla"
+    assert mk(fused_phi="on")._phi_mode(train=True) == "pallas"
+    with patch("jax.default_backend", return_value="tpu"):
+        # eval at width >= 512 under "tail" still prefers the full forward
+        # kernel (strictly less HBM traffic, no backward to pay for)
+        m = DeepSets(
+            input_dim=6, phi_layers=[512, 512], rho_layers=[64],
+            output_dim=1, activation="gelu", layer_norm=False,
+            residual_block=True, pooling="mean", fused_phi="tail",
+        )
+        assert m._phi_mode(train=False) == "pallas"
