@@ -152,29 +152,41 @@ class GATConv(nn.Module):
             from point_cloud_classifier_tpu.ops.gat_pallas import gat_attention
 
             b, m, _ = x.shape
-            xw = nn.Dense(h * d, use_bias=False, kernel_init=glorot)(x).reshape(
-                b, m, h, d
-            )
+            xw = nn.Dense(
+                h * d, use_bias=False, kernel_init=glorot, dtype=x.dtype
+            )(x).reshape(b, m, h, d)
             att_src = self.param("att_src", glorot, (1, h, d))
             att_dst = self.param("att_dst", glorot, (1, h, d))
-            s_src = jnp.sum(xw * att_src, axis=-1).astype(jnp.float32)  # [B, M, H]
-            s_dst = jnp.sum(xw * att_dst, axis=-1).astype(jnp.float32)
+            # product at the activation dtype (an f32 att_* would promote a
+            # [B, M, H, dh] f32 temporary), summed with f32 accumulation
+            s_src = jnp.sum(
+                xw * att_src.astype(x.dtype), axis=-1, dtype=jnp.float32
+            )  # [B, M, H]
+            s_dst = jnp.sum(
+                xw * att_dst.astype(x.dtype), axis=-1, dtype=jnp.float32
+            )
             out = gat_attention(
                 s_dst, s_src, in_src.astype(jnp.int32), in_w,
                 xw.reshape(b, m, h * d), slope=self.negative_slope,
             )
             bias = self.param("bias", nn.initializers.zeros, (h * d,))
-            return out.astype(x.dtype) + bias
+            return out.astype(x.dtype) + bias.astype(x.dtype)
 
         if adj_mask is not None:
             b, m, _ = x.shape
-            xw = nn.Dense(h * d, use_bias=False, kernel_init=glorot)(x).reshape(
-                b, m, h, d
-            )
+            xw = nn.Dense(
+                h * d, use_bias=False, kernel_init=glorot, dtype=x.dtype
+            )(x).reshape(b, m, h, d)
             att_src = self.param("att_src", glorot, (1, h, d))
             att_dst = self.param("att_dst", glorot, (1, h, d))
-            s_src = jnp.sum(xw * att_src, axis=-1).astype(jnp.float32)  # [B, M, H]
-            s_dst = jnp.sum(xw * att_dst, axis=-1).astype(jnp.float32)
+            # product at the activation dtype (an f32 att_* would promote a
+            # [B, M, H, dh] f32 temporary), summed with f32 accumulation
+            s_src = jnp.sum(
+                xw * att_src.astype(x.dtype), axis=-1, dtype=jnp.float32
+            )  # [B, M, H]
+            s_dst = jnp.sum(
+                xw * att_dst.astype(x.dtype), axis=-1, dtype=jnp.float32
+            )
             # self-loops on every node (torch_geometric add_self_loops)
             mask = (adj_mask > 0) | jnp.eye(m, dtype=bool)[None]
             outs = []
@@ -197,14 +209,18 @@ class GATConv(nn.Module):
                 )
             out = jnp.stack(outs, axis=2).reshape(b, m, h * d)
             bias = self.param("bias", nn.initializers.zeros, (h * d,))
-            return out + bias
+            return out + bias.astype(out.dtype)
 
         n = x.shape[0]
-        xw = nn.Dense(h * d, use_bias=False, kernel_init=glorot)(x).reshape(n, h, d)
+        xw = nn.Dense(
+            h * d, use_bias=False, kernel_init=glorot, dtype=x.dtype
+        )(x).reshape(n, h, d)
         att_src = self.param("att_src", glorot, (1, h, d))
         att_dst = self.param("att_dst", glorot, (1, h, d))
-        alpha_src = jnp.sum(xw * att_src, axis=-1)  # [N, H]
-        alpha_dst = jnp.sum(xw * att_dst, axis=-1)
+        alpha_src = jnp.sum(
+            xw * att_src.astype(x.dtype), axis=-1, dtype=jnp.float32
+        )  # [N, H]
+        alpha_dst = jnp.sum(xw * att_dst.astype(x.dtype), axis=-1, dtype=jnp.float32)
 
         # self-loops on every node (torch_geometric default add_self_loops)
         loops = jnp.arange(n, dtype=src.dtype)

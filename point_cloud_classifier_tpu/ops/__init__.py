@@ -1,5 +1,6 @@
 from point_cloud_classifier_tpu.ops.fused_phi import (
     phi_forward_xla,
+    phi_hidden_xla,
     phi_pool,
     phi_pool_pallas,
     phi_pool_xla,
@@ -35,6 +36,7 @@ __all__ = [
     "phi_pool_pallas",
     "phi_pool_xla",
     "phi_forward_xla",
+    "phi_hidden_xla",
     "knn_edges",
     "knn_adjacency",
     "knn_aggregate",

@@ -164,8 +164,11 @@ def _make_bwd_kernel(
             dsd_cols, dss_rows, dxw_cols = [], [], []
             for head in range(h):
                 alpha = _alpha_tile(sd, ssT, mask, head, slope)
-                xw_h = xw[:, head * dh : (head + 1) * dh].astype(jnp.float32)
-                g_h = g[:, head * dh : (head + 1) * dh].astype(jnp.float32)
+                # dots run at the wire dtype (bf16 feeds the MXU at full
+                # rate; f32 inputs — the tests' oracle dtype — stay f32)
+                # with f32 accumulation
+                xw_h = xw[:, head * dh : (head + 1) * dh]
+                g_h = g[:, head * dh : (head + 1) * dh]
                 # dP[i, j] = <g_i, xw_j>
                 dp = jax.lax.dot_general(
                     g_h, xw_h,
@@ -180,10 +183,11 @@ def _make_bwd_kernel(
                 dz = de * jnp.where(z >= 0.0, 1.0, slope)
                 dsd_cols.append(jnp.sum(dz, axis=1, keepdims=True))  # [T, 1]
                 dss_rows.append(jnp.sum(dz, axis=0, keepdims=True))  # [1, M]
-                # dxw_h += Pᵀ @ g_h
+                # dxw_h += Pᵀ @ g_h (alpha cast to the wire dtype, same as
+                # the forward's aggregation dot)
                 dxw_cols.append(
                     jax.lax.dot_general(
-                        alpha, g_h,
+                        alpha.astype(g_h.dtype), g_h,
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
