@@ -201,14 +201,20 @@ def _make_bwd_kernel(
 
 def _tile_rows(m: int, c: int) -> int:
     """Row tile so the live [T, M] f32 blocks (~6 temporaries) plus the
-    resident [M, C] blocks fit a ~10 MB VMEM budget; 0 → fall back."""
+    resident [M, C] blocks fit a ~10 MB VMEM budget; 0 → fall back.
+
+    Prefer covering the whole graph in one tile (t == m): that is what
+    enables the G-graphs-per-grid-step unroll, and the measured fixed
+    per-grid-step cost (~3-6 us) dominates the kernel at production
+    shapes (M=512: t capped at 256 forced a 512-step grid per conv —
+    raising the cap to 512 cut the grid 8x, see docs/kernels.md)."""
     resident = m * c * 4 * 4  # xw, g, dxw (+slack), f32 upper bound
     remaining = (10 << 20) - resident
     budget = remaining // (24 * m) if remaining > 0 else 0
     if budget < 8:
         return 0
     t = 8
-    while t * 2 <= min(budget, m, 256):
+    while t * 2 <= min(budget, m, 512):
         t *= 2
     return t
 
