@@ -18,9 +18,11 @@ flat so the same weights drive two implementations of the hot path:
 - the XLA path (``ops/fused_phi.phi_forward_xla`` + segment ops) — always
   correct, used on CPU / for max pooling / with layer-norm, and the
   measured-fastest TRAINING path at the shipped widths (whole-step A/B:
-  256: 1.01 vs 1.04 ms/step fused; 512: 2.31 vs 2.39 — the fused
-  backward's in-tile recompute is 4/3 the FLOPs, which eats its saved HBM
-  traffic)
+  256: 1.01 vs 1.04 ms/step fused with exact-tanh gelu; with the
+  QuickGELU + explicit-exp sigmoid defaults the gap WIDENED to 377.2k
+  vs 282.6k clouds/sec — the fused backward's in-tile recompute is 4/3
+  the FLOPs and now recomputes less-expensive activations, while the
+  XLA path banked the same activation savings directly)
 - the fused Pallas kernel (``ops/fused_phi.phi_pool``, fwd + bwd kernels)
   — φ matmul chain and segment-sum pooling in one kernel, per-point
   activations never touch HBM (SURVEY §3.3's #1 fusion target).  ``auto``

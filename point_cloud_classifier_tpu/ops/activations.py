@@ -29,6 +29,17 @@ Two replacement strategies, both measured whole-step same-window:
    reference itself uses exact-erf GELU, so every framework form here
    is an approximation; the parity metric is the contract, not ulps).
 
+Round-2 addendum: HOW the sigmoid is written matters as much as which
+activation.  ``jax.nn.sigmoid``/``lax.logistic`` (a) is outright broken
+under Mosaic at bf16 (its lowering emits an f32-constant
+``vector.broadcast`` into a bf16 vector, failing verification — the
+fused φ kernel crashed on TPU) and (b) its XLA TPU lowering costs ~18%
+of the whole flagship step vs the explicit ``1/(1+exp(-x))`` form
+(same-window device-truth A/B: 319.5k vs 377.2k clouds/sec,
+``PCC_SIGMOID_FORM=logistic`` re-selects the old form for A/B).
+:func:`quick_gelu` and the ``silu`` table entry therefore write the
+sigmoid out explicitly.
+
 Policy: ``resolve_activation("gelu")`` follows ``PCC_GELU``:
 ``quick`` (default), ``exact`` (``jax.nn.gelu`` — the kill-switch), or
 ``poly``.  The resolver is shared by the φ chain, the Pallas kernels,
@@ -89,8 +100,15 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     """
     # evaluated in the input dtype like jax.nn.silu (an f32 upcast of the
     # sigmoid measured 261.4k vs silu's 312.4k — the cast chain costs real
-    # VPU time); sigmoid's internal exp is precision-managed by XLA
-    return x * jax.nn.sigmoid(1.702 * x)
+    # VPU time).  The sigmoid is written out as 1/(1+exp(-a)) instead of
+    # jax.nn.sigmoid/lax.logistic: Mosaic's logistic lowering is broken at
+    # bf16 (an f32-constant vector.broadcast fails verification,
+    # `(f32) -> vector<...xbf16>`), which crashed the fused phi kernel on
+    # TPU — the explicit form lowers cleanly in both Pallas and XLA
+    if os.environ.get("PCC_SIGMOID_FORM") == "logistic":
+        return x * jax.nn.sigmoid(1.702 * x)  # A/B: the old lax.logistic form
+    a = 1.702 * x
+    return x * (1.0 / (1.0 + jnp.exp(-a)))
 
 
 def gelu_variant() -> str:
@@ -115,7 +133,14 @@ def resolve_activation(name: str):
         }[gelu_variant()]
     table = {
         "relu": jax.nn.relu,
-        "silu": jax.nn.silu,
+        "silu": _silu,
         "tanh": jnp.tanh,
     }
     return table[name]
+
+
+def _silu(x: jnp.ndarray) -> jnp.ndarray:
+    """``x * sigmoid(x)`` with the sigmoid written out — same Mosaic
+    bf16 ``lax.logistic`` workaround as :func:`quick_gelu` (the fused φ
+    kernel supports silu configs)."""
+    return x * (1.0 / (1.0 + jnp.exp(-x)))
