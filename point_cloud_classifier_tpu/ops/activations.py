@@ -134,9 +134,18 @@ def resolve_activation(name: str):
     table = {
         "relu": jax.nn.relu,
         "silu": _silu,
-        "tanh": jnp.tanh,
+        "tanh": _tanh_exp if os.environ.get("PCC_TANH_FORM") == "exp" else jnp.tanh,
     }
     return table[name]
+
+
+def _tanh_exp(x: jnp.ndarray) -> jnp.ndarray:
+    """``tanh`` as ``2/(1+exp(-2x)) - 1`` — A/B knob (PCC_TANH_FORM=exp)
+    probing whether XLA's native tanh lowering carries the same TPU cost
+    premium the logistic lowering did (graph_net's convs run tanh over
+    [B, M, C] twice per step).  Exactly one transcendental; max abs value
+    error vs jnp.tanh is ~1 ulp of bf16 at the steep region."""
+    return 2.0 / (1.0 + jnp.exp(-2.0 * x)) - 1.0
 
 
 def _silu(x: jnp.ndarray) -> jnp.ndarray:

@@ -85,3 +85,41 @@ def test_resolver_policy(monkeypatch):
     assert resolve_activation("relu") is jax.nn.relu
     with pytest.raises(KeyError):
         resolve_activation("swishish")
+
+
+def test_silu_explicit_form_matches_jax():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from point_cloud_classifier_tpu.ops.activations import _silu
+
+    x = jnp.linspace(-8.0, 8.0, 257)
+    np.testing.assert_allclose(
+        np.asarray(_silu(x)), np.asarray(jax.nn.silu(x)), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_tanh_exp_form_matches_jnp(monkeypatch):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from point_cloud_classifier_tpu.ops.activations import (
+        _tanh_exp,
+        resolve_activation,
+    )
+
+    x = jnp.linspace(-6.0, 6.0, 257)
+    np.testing.assert_allclose(
+        np.asarray(_tanh_exp(x)), np.asarray(jnp.tanh(x)), rtol=1e-6, atol=1e-6
+    )
+    # grads too (the conv backward runs through it)
+    g1 = jax.grad(lambda v: jnp.sum(_tanh_exp(v) ** 2))(x)
+    g2 = jax.grad(lambda v: jnp.sum(jnp.tanh(v) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
+    # knob routing
+    monkeypatch.setenv("PCC_TANH_FORM", "exp")
+    assert resolve_activation("tanh") is _tanh_exp
+    monkeypatch.delenv("PCC_TANH_FORM")
+    assert resolve_activation("tanh") is jnp.tanh
