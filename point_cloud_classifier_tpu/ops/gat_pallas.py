@@ -13,7 +13,11 @@ Kernel (grid `(B, M/T)`, everything in VMEM per step):
 1. adjacency mask tile ``A [T, M]`` from the in-row lists: D static
    compare passes (the `ops/inrow_graph` trick) + the self-loop diagonal
 2. per head (static unroll): ``e = LeakyReLU(s_dst_tile + s_srcᵀ)``
-   masked by ``A``, row softmax in f32, then ``P @ xw_h`` on the MXU
+   masked by ``A``, row softmax in f32 (default: the FACTORED form — see
+   ``_alpha_tile`` — whose O(M²) work is one compare+select over rank-1
+   outer products instead of an exp pass + row-max reduction, with the
+   normalisation folded into the aggregation output), then ``P @ xw_h``
+   on the MXU
 3. backward (same tiling) recomputes ``P`` flash-style and emits
    ``dP = g_h @ xw_hᵀ``, the softmax/LeakyReLU backward, row/column
    reductions for ``ds_dst``/``ds_src``, and ``Pᵀ @ g_h`` accumulated
@@ -37,6 +41,7 @@ doesn't tile; also the parity target for the kernel tests.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -101,14 +106,61 @@ def _mask_tile(src_ref, w_ref, t, m, d, row0, gi=0):
 
 
 def _alpha_tile(sd, ssT, mask, head, slope):
-    """[T, M] f32 attention probabilities for one head on this tile."""
-    z = sd[:, head : head + 1] + ssT[head : head + 1, :]
-    e = jnp.where(z >= 0.0, z, slope * z)  # LeakyReLU
-    e = jnp.where(mask > 0, e, -jnp.inf)
-    # every row has its self-loop, so the row max is finite and
-    # exp(-inf - max) = 0 exactly — no post-exp mask multiply needed
-    p = jnp.exp(e - jnp.max(e, axis=1, keepdims=True))
-    return p / jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-16)
+    """[T, M] f32 attention probabilities for one head on this tile.
+
+    Default form ("factored"): GATv1's logit is LeakyReLU(s_i + t_j), a
+    piecewise-LINEAR function of a rank-1 matrix — so its exp factorises
+    per piece into per-NODE exponentials:
+
+        exp(e_ij - c_i) = cond_ij · u_i·b_j  +  (1-cond_ij) · v_i·b̂_j
+        u = exp(s + T - c),  v = exp(σ(s+T) - c),   (σ = slope)
+        b = exp(t - T),      b̂ = exp(σ(t - T)),     T = max_j t_j
+
+    with the per-row shift c_i = LeakyReLU(s_i + T) ≥ max_j e_ij (LeakyReLU
+    is monotone), so every factor above is ≤ 1 — overflow-free by
+    construction.  The O(M²) work drops from a transcendental exp pass plus
+    a row-max reduction to one compare + select over broadcast outer
+    products: the VPU cost that dominated the kernel (docs/kernels.md —
+    ~75% of the GAT step was these softmax passes).  Mathematically exact
+    (any per-row shift cancels); only float rounding differs from the
+    row-max form, which stays available as PCC_GAT_SOFTMAX=max.
+
+    Underflow caveat: T is the max over ALL M columns (the mask is not
+    applied — a masked per-row max is exactly the O(M²) reduction this
+    form removes), so a row whose own neighbours' t all sit ≳88 below T
+    (f32 exp range) flushes to alpha=0 where the row-max form would still
+    resolve ratios.  Bounds that keep this theoretical: padding columns
+    score EXACTLY 0 (zero-filled features through a bias-free Dense —
+    they never inflate T), and real scores are |s|,|t| ≲ O(10) for
+    BN-bounded inputs (conv1 sees loader-normalised features).  A model
+    whose score spread genuinely exceeds ~88 within one head should set
+    PCC_GAT_SOFTMAX=max.
+
+    Returns ``(p, rinv)`` — the UNNORMALISED probabilities and the
+    per-row reciprocal sum — so the forward can fold the normalisation
+    into the [T, dh] aggregation output (a ~M/dh-times smaller pass than
+    dividing the [T, M] block); ``alpha = p * rinv``."""
+    s = sd[:, head : head + 1]  # [T, 1]
+    t_row = ssT[head : head + 1, :]  # [1, M]
+    z = s + t_row  # [T, M]
+    # read at TRACE time like every other PCC_* knob (an import-time read
+    # made post-import setenv silently inert — code-review finding)
+    if os.environ.get("PCC_GAT_SOFTMAX", "factored") == "max":
+        e = jnp.where(z >= 0.0, z, slope * z)  # LeakyReLU
+        e = jnp.where(mask > 0, e, -jnp.inf)
+        # every row has its self-loop, so the row max is finite and
+        # exp(-inf - max) = 0 exactly — no post-exp mask multiply needed
+        p = jnp.exp(e - jnp.max(e, axis=1, keepdims=True))
+    else:
+        t_max = jnp.max(t_row)
+        s_t = s + t_max  # [T, 1]
+        c = jnp.where(s_t >= 0.0, s_t, slope * s_t)  # LeakyReLU(s_i + T)
+        u = jnp.exp(s_t - c)
+        v = jnp.exp(slope * s_t - c)
+        b = jnp.exp(t_row - t_max)
+        bh = jnp.exp(slope * (t_row - t_max))
+        p = mask * jnp.where(z >= 0.0, u * b, v * bh)
+    return p, 1.0 / jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-16)
 
 
 def _make_fwd_kernel(
@@ -126,14 +178,17 @@ def _make_fwd_kernel(
             xw = xw_ref[gi]  # [M, C]
             outs = []
             for head in range(h):
-                alpha = _alpha_tile(sd, ssT, mask, head, slope)
+                p, rinv = _alpha_tile(sd, ssT, mask, head, slope)
+                # normalisation folded into the [T, dh] dot output — the
+                # [T, M] divide was a full softmax-sized VPU pass per head
                 outs.append(
                     jax.lax.dot_general(
-                        alpha.astype(xw.dtype),
+                        p.astype(xw.dtype),
                         xw[:, head * dh : (head + 1) * dh],
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
+                    * rinv
                 )
             out_ref[gi] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
 
@@ -163,7 +218,8 @@ def _make_bwd_kernel(
             g = g_ref[gi]  # [T, C]
             dsd_cols, dss_rows, dxw_cols = [], [], []
             for head in range(h):
-                alpha = _alpha_tile(sd, ssT, mask, head, slope)
+                p, rinv = _alpha_tile(sd, ssT, mask, head, slope)
+                alpha = p * rinv  # the backward uses alpha elementwise
                 # dots run at the wire dtype (bf16 feeds the MXU at full
                 # rate; f32 inputs — the tests' oracle dtype — stay f32)
                 # with f32 accumulation
