@@ -278,12 +278,15 @@ class GraphLoader:
         # "auto" picks dense per batch when B·M² fits ``max_dense_bytes``,
         # falling back to flat for batches with huge events.  NOTE: under
         # dense/auto, duplicate directed edges are MERGED at init (weights
-        # summed, multiplicity counted); every wire — including the flat
-        # fallback — then carries one entry per unique edge, with the
-        # multiplicity standing in for the weight when use_weights=False.
-        # Exact for add/mean aggregation; a max aggregation over a
-        # MULTIGRAPH sees the merged (summed/multiplicity) weight instead
-        # of per-occurrence values (documented divergence — the lineage
+        # summed, multiplicity counted); every wire then carries one entry
+        # per unique edge.  Per-occurrence parity with the pure-flat layout
+        # is preserved: dense mean divides by the exact in-degree
+        # (``in_deg``) and the flat FALLBACK ships edge_w = merged_w/mult
+        # with edge_mask = multiplicity (see self.flat_fallback_w), which
+        # keeps sums, mean denominators, unweighted max, GAT softmax and
+        # SAG score convs exact.  Remaining documented divergence: a
+        # WEIGHTED max over a multigraph sees one mean-weighted value per
+        # unique edge instead of per-occurrence values (the lineage
         # builder's graphs are simple, so this never bites real data).
         #
         # adj_wire picks HOW the dense adjacency reaches the device:
@@ -489,6 +492,23 @@ class GraphLoader:
         self.mult_wire = (
             self.edge_mult.astype(np.float16) if self.half else self.edge_mult
         )
+        # flat-FALLBACK wires over a merged MULTIGRAPH store (None in the
+        # common simple-graph case and for pure layout="flat"): the model's
+        # flat path weights messages by edge_w*edge_mask, counts mean
+        # denominators as Σ edge_mask, and GAT-softmaxes with exp*edge_mask
+        # — so shipping edge_w = merged_w / mult (1.0 unweighted) and
+        # edge_mask = mult restores PER-OCCURRENCE semantics (sum, mean
+        # denominator, unweighted max, GAT, SAG score conv) over the
+        # merged store.  Before this, a fallback batch divided means by
+        # the UNIQUE-edge count (code-review finding: auto-layout runs
+        # mixed two mean semantics across batches of one epoch).
+        self.flat_fallback_w = None
+        if layout in ("dense", "auto") and bool((self.edge_mult > 1).any()):
+            self.flat_fallback_w = np.ascontiguousarray(
+                (self.weights / self.edge_mult).astype(self.weights_wire.dtype)
+                if use_weights
+                else np.ones_like(self.mult_wire)
+            )
         if layout in ("dense", "auto") and emit_out_rows:
             self.weights_o_wire = (
                 self.weights_o.astype(np.float16) if self.half else self.weights_o
@@ -847,13 +867,15 @@ class GraphLoader:
             ymask = np.zeros((b,), dtype=np.float32)
             seg_counts = np.zeros((b + 1,), dtype=np.int32)
 
-            # use_weights=False ships each edge's MULTIPLICITY, not 1.0:
-            # under layout dense/auto the init-time merge collapsed duplicate
-            # directed edges, so a flat fill of 1.0 would count a duplicated
-            # edge once where the pure-flat scatter-add counts each
-            # occurrence.  mult_wire is all-ones when nothing was merged
-            # (layout="flat"), so this is the identity there.
+            # merged multigraph stores swap in the per-occurrence fallback
+            # wires (edge_w = mean weight, edge_mask = multiplicity — see
+            # the init comment at self.flat_fallback_w); everything else
+            # ships weights (or 1.0 via the all-ones mult_wire) with a
+            # 1.0 mask fill
             wire_w = self.weights_wire if self.use_weights else self.mult_wire
+            mask_w = None
+            if self.flat_fallback_w is not None:
+                wire_w, mask_w = self.flat_fallback_w, self.mult_wire
             if not pack_graph_flat_native(
                 self.feats,
                 self.node_offsets,
@@ -895,6 +917,14 @@ class GraphLoader:
                     node_cursor += n_i
                     edge_cursor += e_i
                 seg_counts[b] = n_pad - node_cursor  # padding nodes → segment B
+            if mask_w is not None:
+                # multiplicities over the live range (same contiguous
+                # idx-order layout the packers write); padding stays 0
+                cur = 0
+                for g_i in idx:
+                    elo, ehi = self.edge_offsets[g_i], self.edge_offsets[g_i + 1]
+                    edge_mask[cur : cur + (ehi - elo)] = mask_w[elo:ehi]
+                    cur += ehi - elo
             yb[:k, 0] = self.labels[idx]
             ymask[:k] = 1.0
             batch = {

@@ -23,7 +23,7 @@ from flax import linen as nn
 def activation_fn(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     if name not in ("relu", "gelu", "silu", "tanh"):
         raise ValueError(f"Unknown activation: {name}")
-    # "gelu" resolves to the polynomial fast_gelu unless PCC_FAST_GELU=0
+    # "gelu" resolves to quick_gelu unless PCC_GELU=exact|poly
     # (ops/activations.py) — keeps the MLP stacks consistent with the φ
     # kernels, which share the same resolver
     from point_cloud_classifier_tpu.ops.activations import resolve_activation

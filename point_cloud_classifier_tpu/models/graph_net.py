@@ -82,8 +82,13 @@ class GraphConv(nn.Module):
             # mask with -inf, NOT finfo.min: the isfinite guard below must
             # catch nodes whose incoming edges are ALL masked (padded
             # self-loops, SAG-dropped neighbours), else they'd get ~-3.4e38
-            # activations that overflow downstream into NaN batch stats
-            masked = jnp.where(edge_valid[:, None] > 0, msg, -jnp.inf)
+            # activations that overflow downstream into NaN batch stats.
+            # edge_valid GATES here instead of multiplying: on the merged
+            # flat-fallback wire it carries the occurrence count (a SUM
+            # weight, meaningless under max) — max takes each edge's value
+            # x * edge_w once, exactly like the pure-flat per-occurrence max
+            msg_v = (x[src] * edge_w[:, None]).astype(jnp.float32)
+            masked = jnp.where(edge_valid[:, None] > 0, msg_v, -jnp.inf)
             agg = jax.ops.segment_max(masked, dst, num_segments=n)
             agg = jnp.where(jnp.isfinite(agg), agg, 0.0)
         else:

@@ -108,7 +108,7 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     if os.environ.get("PCC_SIGMOID_FORM") == "logistic":
         return x * jax.nn.sigmoid(1.702 * x)  # A/B: the old lax.logistic form
     a = 1.702 * x
-    return x * (1.0 / (1.0 + jnp.exp(-a)))
+    return x * _sigmoid_exp(a)
 
 
 def gelu_variant() -> str:
@@ -139,17 +139,37 @@ def resolve_activation(name: str):
     return table[name]
 
 
+def _sigmoid_exp(a: jnp.ndarray) -> jnp.ndarray:
+    """``1/(1+exp(-a))`` with the exp argument floored at -60.
+
+    The naive form's autodiff VJP is NaN once ``exp(-a)`` overflows
+    (f32: a ≤ ~-88; through QuickGELU's 1.702 factor a single
+    pre-activation ≤ ~-52 silently NaN'd the whole gradient tree —
+    ``jax.nn.sigmoid``'s stable lowering returns 0 there).  Flooring
+    ``a`` at -60 keeps ``exp(-a)`` ≤ 1.2e26 (finite in bf16 and f32, so
+    no inf·0 anywhere in the VJP) at the cost of ONE extra VPU max op;
+    below the floor the true sigmoid and its gradient are ≤ 9e-27 ≈ 0,
+    which is exactly what the clamped branch yields.  The floor constant
+    follows the input dtype — Mosaic rejects f32 constants broadcast
+    into bf16 vectors (the lax.logistic bug this module works around).
+
+    tests/test_activations.py pins finite grads at the overflow points."""
+    return 1.0 / (1.0 + jnp.exp(-jnp.maximum(a, -60.0)))
+
+
 def _tanh_exp(x: jnp.ndarray) -> jnp.ndarray:
     """``tanh`` as ``2/(1+exp(-2x)) - 1`` — A/B knob (PCC_TANH_FORM=exp)
     probing whether XLA's native tanh lowering carries the same TPU cost
     premium the logistic lowering did (graph_net's convs run tanh over
     [B, M, C] twice per step).  Exactly one transcendental; max abs value
-    error vs jnp.tanh is ~1 ulp of bf16 at the steep region."""
-    return 2.0 / (1.0 + jnp.exp(-2.0 * x)) - 1.0
+    error vs jnp.tanh is ~1 ulp of bf16 at the steep region.  Shares
+    :func:`_sigmoid_exp`'s overflow floor (naive form: NaN grad at
+    x ≤ ~-44)."""
+    return 2.0 * _sigmoid_exp(2.0 * x) - 1.0
 
 
 def _silu(x: jnp.ndarray) -> jnp.ndarray:
     """``x * sigmoid(x)`` with the sigmoid written out — same Mosaic
     bf16 ``lax.logistic`` workaround as :func:`quick_gelu` (the fused φ
     kernel supports silu configs)."""
-    return x * (1.0 / (1.0 + jnp.exp(-x)))
+    return x * _sigmoid_exp(x)

@@ -68,9 +68,9 @@ def _env_int(name: str, default: int) -> int:
 
 
 def _act(name: str):
-    # "gelu" resolves to the polynomial fast_gelu (ops/activations.py)
-    # unless PCC_FAST_GELU=0 — the tanh chain alone cost a third of the
-    # flagship train step (see the activations module docstring)
+    # "gelu" resolves to quick_gelu unless PCC_GELU=exact|poly
+    # (ops/activations.py) — the exact-gelu tanh chain alone cost a third
+    # of the flagship train step (see the activations module docstring)
     from point_cloud_classifier_tpu.ops.activations import resolve_activation
 
     return resolve_activation(name)

@@ -1,0 +1,38 @@
+#!/bin/bash
+# One-window A/B queue (round 2, post-code-review): runs every pending
+# device measurement back-to-back so the ratios are same-window.  Each row
+# is one bench.py invocation (ONE JSON line) tagged with its arm name.
+# Usage: bash scripts/ab_session.sh [out_file]   (default /tmp/ab_results.txt)
+set -u
+cd "$(dirname "$0")/.."
+OUT="${1:-/tmp/ab_results.txt}"
+echo "=== ab_session $(date -u +%FT%TZ) ===" >> "$OUT"
+
+row() { # row <tag> [env=val ...] -- <bench args...>
+  local tag="$1"; shift
+  local envs=()
+  while [[ "$1" != "--" ]]; do envs+=("$1"); shift; done
+  shift
+  echo "--- $tag" | tee -a "$OUT"
+  timeout 420 env "${envs[@]}" python bench.py "$@" 2>/dev/null | tail -1 \
+    | sed "s/^/$tag /" | tee -a "$OUT"
+}
+
+# 0) window health (stream smoke — tunnel-bound by design)
+row smoke -- --smoke
+
+# 1) flagship headline: clamped explicit-exp sigmoid (new) vs pre-clamp
+#    would need a checkout — instead A/B vs lax.logistic to confirm the
+#    explicit form still wins WITH the -60 floor
+row deep_sets_clamped --
+row deep_sets_logistic PCC_SIGMOID_FORM=logistic --
+
+# 2) GAT: factored softmax (new default) vs row-max form
+row gat_factored -- --model graph_net --gat
+row gat_maxform PCC_GAT_SOFTMAX=max -- --model graph_net --gat
+
+# 3) graph_net default (tanh): native tanh vs explicit-exp form
+row graphnet_tanh_native -- --model graph_net
+row graphnet_tanh_exp PCC_TANH_FORM=exp -- --model graph_net
+
+echo "done -> $OUT"

@@ -123,3 +123,33 @@ def test_tanh_exp_form_matches_jnp(monkeypatch):
     assert resolve_activation("tanh") is _tanh_exp
     monkeypatch.delenv("PCC_TANH_FORM")
     assert resolve_activation("tanh") is jnp.tanh
+
+
+def test_explicit_exp_forms_grad_stable_at_overflow():
+    """The naive 1/(1+exp(-a)) VJP is NaN once exp(-a) overflows (inf·0);
+    the _sigmoid_exp floor must keep values AND grads finite and correct
+    far into the saturated tails, in f32 and bf16, matching the stable
+    jax.nn lowerings (code-review finding: quick_gelu is the flagship
+    default, so x ≤ ~-52 silently NaN'd whole training steps)."""
+    from point_cloud_classifier_tpu.ops.activations import (
+        _silu,
+        _tanh_exp,
+        quick_gelu,
+    )
+
+    for dtype in (jnp.float32, jnp.bfloat16):
+        xs = jnp.asarray([-1e4, -200.0, -55.0, -40.0, 0.0, 40.0, 1e4], dtype)
+        for ours, ref in (
+            (quick_gelu, lambda v: v * jax.nn.sigmoid(1.702 * v)),
+            (_silu, jax.nn.silu),
+            (_tanh_exp, jnp.tanh),
+        ):
+            val = ours(xs)
+            g = jax.grad(lambda v: jnp.sum(ours(v).astype(jnp.float32)))(xs)
+            assert bool(jnp.all(jnp.isfinite(val.astype(jnp.float32)))), (ours, dtype)
+            assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32)))), (ours, dtype)
+            gr = jax.grad(lambda v: jnp.sum(ref(v).astype(jnp.float32)))(xs)
+            np.testing.assert_allclose(
+                np.asarray(g, np.float32), np.asarray(gr, np.float32),
+                rtol=2e-2, atol=2e-2,
+            )
