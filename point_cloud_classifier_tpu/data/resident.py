@@ -55,13 +55,17 @@ class ResidentCache:
         mesh=None,
         budget_bytes: Optional[int] = None,
         shuffle_seed: Optional[int] = None,
+        epoch_offset: int = 0,
     ):
         self.loader = loader
         self.budget_bytes = (
             _default_budget_bytes() if budget_bytes is None else budget_bytes
         )
         self.shuffle_seed = shuffle_seed
-        self._epoch = 0
+        # epoch_offset seeds the shuffle counter for RESUMED training: a
+        # cache restarted at 0 would replay the batch orders the crashed
+        # run already consumed (the trainer passes its start epoch)
+        self._epoch = int(epoch_offset)
         self._cached: Optional[list] = None  # device batches once complete
         self._abandoned = False
         if mesh is not None:

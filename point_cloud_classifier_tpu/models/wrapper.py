@@ -88,6 +88,17 @@ def _warm_transfer_async() -> None:
     threading.Thread(target=warm, daemon=True).start()
 
 
+def _stack_host(rows) -> np.ndarray:
+    """Stack per-batch arrays into ONE host array via one transfer.
+
+    Device rows (resident/mesh pipelines) stack on device then cross once;
+    host rows stack in numpy directly — jnp.stack on numpy inputs would
+    round-trip them through the device for nothing."""
+    if isinstance(rows[0], np.ndarray):
+        return np.stack(rows)
+    return np.asarray(jnp.stack(rows))
+
+
 @jax.jit
 def _pack_leaves(leaves):
     """Flatten a list of same-dtype arrays into one device array.
@@ -430,6 +441,7 @@ class ModelWrapper:
 
         log = _ScalarLog(self.log_dir)
         t0 = time.time()
+        start_epoch = self.restore_state() if resume else 0
         if self.device_resident:
             from point_cloud_classifier_tpu.data.resident import ResidentCache
 
@@ -440,12 +452,18 @@ class ModelWrapper:
                 # loader's per-epoch reshuffle never runs again).  Batch
                 # COMPOSITION stays fixed after epoch one — the standard
                 # trade of cached input pipelines (data/resident.py).
+                # epoch_offset keeps RESUMED runs order-equivalent to an
+                # uninterrupted one: the cache's shuffle is keyed on its
+                # own epoch counter, so restarting it at 0 would replay
+                # the permutations the crashed run already consumed.
                 train_loader = ResidentCache(
-                    train_loader, mesh=self.mesh, shuffle_seed=self.seed
+                    train_loader,
+                    mesh=self.mesh,
+                    shuffle_seed=self.seed,
+                    epoch_offset=start_epoch,
                 )
             if val_loader is not None and not isinstance(val_loader, ResidentCache):
                 val_loader = ResidentCache(val_loader, mesh=self.mesh)
-        start_epoch = self.restore_state() if resume else 0
         # histogram-parity mode (reference `models/wrapper.py:79-84`): log
         # the last batch's logits histogram + per-parameter weight AND grad
         # histograms every epoch.  Forces single-batch dispatches (grads
@@ -458,6 +476,7 @@ class ModelWrapper:
         for epoch in range(start_epoch, self.epochs):
             batch_losses = []
             timer = StepTimer()
+            epoch_t0 = time.perf_counter()
             pending = []  # same-shape batches awaiting a fused dispatch
             last_aux = [None]  # (logits, grads) of the epoch's last batch
             shapes_seen = getattr(self, "_shapes_seen", set())
@@ -517,12 +536,21 @@ class ModelWrapper:
                     if self.fuse_steps <= 1 or hist_on:
                         flush()
                 flush()
+            if not batch_losses:
+                raise ValueError(
+                    "train loader produced no batches — empty dataset/split "
+                    "or an over-aggressive filter"
+                )
             # ONE device→host transfer per epoch: each individual float()
             # is a full host↔device round trip (hundreds of ms on remote
             # TPU transports); fused flushes contribute [K] loss rows
             epoch_loss = float(
                 jnp.mean(jnp.concatenate([jnp.atleast_1d(l) for l in batch_losses]))
             )
+            # measured AFTER the float() sync above, so it covers the
+            # device work of every dispatched step — the per-step timer
+            # only sees the async jit dispatch cost (see below)
+            epoch_wall = time.perf_counter() - epoch_t0
             if not np.isfinite(epoch_loss):
                 # failure detection: halt with state on disk instead of
                 # training on garbage; sweep drivers catch this and log it
@@ -538,13 +566,25 @@ class ModelWrapper:
             log.scalar("Loss/train", epoch_loss, epoch)
             perf = timer.summary()
             if perf["steps"]:
+                # throughput from the SYNCED epoch wall time: jit calls
+                # return at enqueue, so the dispatch-time sum would
+                # overstate throughput ~10x on short epochs (code-review
+                # finding).  p50 stays the dispatch-side percentile (its
+                # historical meaning); wall_ms_per_step is the honest
+                # amortized device+pipeline step cost
                 log.scalar(
                     "Throughput/steps_per_sec",
-                    perf["steps"] / max(perf["total_seconds"], 1e-9),
+                    perf["steps"] / max(epoch_wall, 1e-9),
                     epoch,
                 )
                 log.scalar("StepTime/p50_ms", perf["p50_ms"], epoch)
+                log.scalar(
+                    "StepTime/wall_ms_per_step",
+                    1e3 * epoch_wall / perf["steps"],
+                    epoch,
+                )
 
+            stop_early = False
             if val_loader is not None:
                 val_loss, val_acc = self._evaluate(val_loader)
                 log.scalar("Loss/val", val_loss, epoch)
@@ -562,10 +602,10 @@ class ModelWrapper:
                         f"Epoch {epoch+1}: No improvement "
                         f"({self.early_stop_counter}/{self.patience})"
                     )
-                if self.early_stop_counter >= self.patience:
-                    print("Early stopping triggered.")
-                    self.save_state(epoch, force=self.state_every > 0)
-                    break
+                # the break happens AFTER histogram logging below: the
+                # reference logs every EXECUTED epoch, including the one
+                # that triggers early stop (models/wrapper.py:79-84)
+                stop_early = self.early_stop_counter >= self.patience
             if hist_on and self.params is not None:
                 # reference naming: {name}_weight / {name}_grad per
                 # parameter, plus the last batch's raw "logits"
@@ -580,6 +620,10 @@ class ModelWrapper:
                     named.append(("logits", logits))
                     named.extend(_named(grads, "_grad"))
                 log.histograms(named, epoch)
+            if stop_early:
+                print("Early stopping triggered.")
+                self.save_state(epoch, force=self.state_every > 0)
+                break
             self.save_state(epoch)
         log.scalar("train_wall_seconds", time.time() - t0, 0)
         # bucket-explosion observability: each distinct batch shape is a
@@ -598,15 +642,20 @@ class ModelWrapper:
             loss, probs = self._eval_step(self.params, self.batch_stats, batch)
             results.append((loss, probs, batch["y"], batch["y_mask"]))
 
-        # batch ALL device→host conversions into two transfers (losses,
-        # probs) — per-batch float()/asarray() costs a round trip each
+        if not results:
+            raise ValueError("eval loader produced no batches")
+        # batch ALL device→host conversions into a few transfers — a
+        # per-batch float()/asarray() costs a round trip each.  y/y_mask
+        # are batched too: under resident/mesh pipelines they are DEVICE
+        # arrays, and the per-batch np.asarray reads here used to issue
+        # ~2 blocking transfers per val batch (code-review finding)
         losses = np.asarray(jnp.stack([r[0] for r in results]))
         probs_all = np.asarray(jnp.stack([r[1] for r in results]))
+        y_all = _stack_host([r[2] for r in results])
+        mask_all = _stack_host([r[3] for r in results]).astype(bool)
         correct, total = 0.0, 0.0
-        for (_, _, y, y_mask), probs in zip(results, probs_all):
+        for probs, y, mask in zip(probs_all, y_all, mask_all):
             preds = probs >= 0.5
-            mask = np.asarray(y_mask).astype(bool)
-            y = np.asarray(y)
             correct += float((preds[mask, 0] == (y[mask, 0] >= 0.5)).sum())
             total += float(mask.sum())
         return float(np.mean(losses)), correct / max(total, 1.0)
@@ -621,13 +670,17 @@ class ModelWrapper:
             _, probs = self._eval_step(self.params, self.batch_stats, batch)
             results.append((probs, batch["y"], batch["y_mask"]))
 
-        # one device→host transfer for all probabilities (see _evaluate)
+        if not results:
+            raise ValueError("predict loader produced no batches")
+        # batched device→host transfers for probs AND y/y_mask (see
+        # _evaluate — resident/mesh batches hold device arrays)
         probs_all = np.asarray(jnp.stack([r[0] for r in results]))
+        y_all = _stack_host([r[1] for r in results])
+        mask_all = _stack_host([r[2] for r in results]).astype(bool)
         y_true, y_out = [], []
-        for (_, y, y_mask), probs in zip(results, probs_all):
-            mask = np.asarray(y_mask).astype(bool)
+        for probs, y, mask in zip(probs_all, y_all, mask_all):
             probs = probs[mask]
-            y_true.append(np.asarray(y)[mask])
+            y_true.append(y[mask])
             y_out.append(probs if return_prob else (probs >= 0.5).astype(np.float32))
         return np.concatenate(y_true), np.concatenate(y_out)
 

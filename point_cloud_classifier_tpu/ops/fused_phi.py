@@ -131,27 +131,55 @@ def phi_pool_xla(points, seg, spec: Spec, params: Sequence, activation: str, num
 # -- Pallas kernel -----------------------------------------------------------
 
 
+def _chain_values(spec: Spec, act, h, flat_w):
+    """The in-kernel φ chain over LOADED values — the ONE definition both
+    the forward kernel and the backward's ``jax.vjp`` differentiate, so the
+    backward math is the forward's by construction (same casts, same
+    ``preferred_element_type``; a drifted duplicate would silently train on
+    a slightly-wrong gradient — code-review finding)."""
+    r = 0
+    for kind, _ in spec:
+        w, b = flat_w[r], flat_w[r + 1]
+        r += 2
+        out = (
+            jnp.dot(h, w, preferred_element_type=jnp.float32).astype(h.dtype)
+            + b
+        )
+        h = h + act(out) if kind == "residual" else act(out)
+    wf, bf = flat_w[r], flat_w[r + 1]
+    return jnp.dot(h, wf, preferred_element_type=jnp.float32).astype(
+        h.dtype
+    ) + bf
+
+
+def _pick_tile(tile: int, p: int):
+    """Largest pow-2 row tile ≤ ``tile`` dividing ``p`` (≥128, or a tiny
+    pow-2 whole buffer); None → caller falls back to XLA.  Mosaic wants
+    power-of-two row tiles here (mult-of-8-but-not-128 tiles compile but
+    miscompute on the accumulation path)."""
+    cand = min(tile, p)
+    while cand >= 128:
+        if p % cand == 0 and (cand & (cand - 1)) == 0:
+            return cand
+        cand //= 2
+    if p < 128 and (p & (p - 1)) == 0:
+        return p
+    return None
+
+
+def _flatten_params(params: Sequence, dtype):
+    """Flat (w, b) operand list, cast to the activation dtype."""
+    flat = []
+    for layer in params:
+        flat.append(layer[0].astype(dtype))
+        flat.append(layer[1].astype(dtype).reshape(1, -1))
+    return flat
+
+
 def _make_kernel(
     spec: Spec, activation: str, s_pad: int, n_weight_refs: int, split: int = 1
 ):
     act = _act(activation)
-
-    def chain(h, w_refs):
-        r = 0
-        for kind, _ in spec:
-            w = w_refs[r][:]
-            b = w_refs[r + 1][:]
-            r += 2
-            out = (
-                jnp.dot(h, w, preferred_element_type=jnp.float32).astype(h.dtype)
-                + b
-            )
-            h = h + act(out) if kind == "residual" else act(out)
-        wf = w_refs[r][:]
-        bf = w_refs[r + 1][:]
-        return jnp.dot(h, wf, preferred_element_type=jnp.float32).astype(
-            h.dtype
-        ) + bf
 
     def kernel(seg_ref, x_ref, *rest):
         out_ref = rest[n_weight_refs]
@@ -166,13 +194,14 @@ def _make_kernel(
         # sub-chains give the Mosaic scheduler concurrent MXU work for one
         # chunk while another is in its activation
         x = x_ref[:]
+        flat_w = tuple(r[:] for r in w_refs)
         seg_tile = seg_ref[:]  # [T, 1] int32
         slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
         t = x.shape[0]
         ts = t // split
         acc = None
         for s in range(split):
-            h = chain(x[s * ts : (s + 1) * ts], w_refs)
+            h = _chain_values(spec, act, x[s * ts : (s + 1) * ts], flat_w)
             one_hot = (seg_tile[s * ts : (s + 1) * ts] == slot_ids).astype(
                 h.dtype
             )
@@ -214,28 +243,13 @@ def phi_pool_pallas(
         while tile * 2 <= min(budget, 4096):
             tile *= 2
         tile = _env_int("PCC_PHI_TILE", tile)
-    # Mosaic wants power-of-two row tiles here (mult-of-8-but-not-128 tiles
-    # compile but miscompute on the accumulation path); buffers from
     # non-pow2 bucket ladders fall back to the XLA implementation
-    t = None
-    cand = min(tile, p)
-    while cand >= 128:
-        if p % cand == 0 and (cand & (cand - 1)) == 0:
-            t = cand
-            break
-        cand //= 2
-    if t is None and p < 128 and (p & (p - 1)) == 0:
-        t = p  # tiny pow2 buffers (tests) run single-tile
+    t = _pick_tile(tile, p)
     if t is None:
         return phi_pool_xla(points, seg, spec, params, activation, num_segments)
     s_pad = _round_up(num_segments, 8)
 
-    dtype = points.dtype
-    # flat weight operand list: (w, b) per layer, all cast to activation dtype
-    flat = []
-    for layer in params:
-        flat.append(layer[0].astype(dtype))
-        flat.append(layer[1].astype(dtype).reshape(1, -1))
+    flat = _flatten_params(params, points.dtype)
 
     split = _env_int("PCC_PHI_SPLIT", 1)
     if split < 1 or t % split or (t // split) % 8:
@@ -284,26 +298,9 @@ def _make_bwd_kernel(
         slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
 
         def tile_fn(x, *flat_w):
-            # EXACTLY the forward kernel's math (same casts, same
-            # preferred_element_type), so vjp differentiates the real
-            # forward semantics rather than an approximation of them
-            h = x
-            r = 0
-            for kind, _ in spec:
-                w, b = flat_w[r], flat_w[r + 1]
-                r += 2
-                out = (
-                    jnp.dot(h, w, preferred_element_type=jnp.float32).astype(
-                        h.dtype
-                    )
-                    + b
-                )
-                h = h + act(out) if kind == "residual" else act(out)
-            wf, bf = flat_w[r], flat_w[r + 1]
-            return (
-                jnp.dot(h, wf, preferred_element_type=jnp.float32).astype(h.dtype)
-                + bf
-            )
+            # the SHARED forward chain (one definition — _chain_values),
+            # so vjp differentiates the real forward semantics
+            return _chain_values(spec, act, x, flat_w)
 
         # `split` independent row sub-chunks (static unroll) — same ILP
         # rationale as the forward, and each chunk's vjp residual live set
@@ -398,15 +395,7 @@ def phi_pool_bwd_pallas(
         while tile * 2 <= min(budget, cap):
             tile *= 2
         tile = _env_int("PCC_PHI_TILE_BWD", tile)
-    t = None
-    cand = min(tile, p)
-    while cand >= 128:
-        if p % cand == 0 and (cand & (cand - 1)) == 0:
-            t = cand
-            break
-        cand //= 2
-    if t is None and p < 128 and (p & (p - 1)) == 0:
-        t = p
+    t = _pick_tile(tile, p)
     if t is None:
         return None
     s_pad = _round_up(num_segments, 8)
@@ -414,10 +403,7 @@ def phi_pool_bwd_pallas(
         g = jnp.pad(g, ((0, s_pad - g.shape[0]), (0, 0)))
 
     dtype = points.dtype
-    flat = []
-    for layer in params:
-        flat.append(layer[0].astype(dtype))
-        flat.append(layer[1].astype(dtype).reshape(1, -1))
+    flat = _flatten_params(params, dtype)
 
     split = _env_int("PCC_PHI_SPLIT_BWD", 1)
     if split < 1 or t % split or (t // split) % 8:

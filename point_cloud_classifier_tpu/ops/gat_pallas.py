@@ -142,10 +142,10 @@ def _alpha_tile(sd, ssT, mask, head, slope):
     dividing the [T, M] block); ``alpha = p * rinv``."""
     s = sd[:, head : head + 1]  # [T, 1]
     t_row = ssT[head : head + 1, :]  # [1, M]
-    z = s + t_row  # [T, M]
     # read at TRACE time like every other PCC_* knob (an import-time read
     # made post-import setenv silently inert — code-review finding)
     if os.environ.get("PCC_GAT_SOFTMAX", "factored") == "max":
+        z = s + t_row  # [T, M]
         e = jnp.where(z >= 0.0, z, slope * z)  # LeakyReLU
         e = jnp.where(mask > 0, e, -jnp.inf)
         # every row has its self-loop, so the row max is finite and
@@ -159,7 +159,10 @@ def _alpha_tile(sd, ssT, mask, head, slope):
         v = jnp.exp(slope * s_t - c)
         b = jnp.exp(t_row - t_max)
         bh = jnp.exp(slope * (t_row - t_max))
-        p = mask * jnp.where(z >= 0.0, u * b, v * bh)
+        # z >= 0 as s >= -t: the [1, M] negation is O(M), so the branch
+        # condition costs ONE [T, M] pass instead of add + compare
+        cond = s >= -t_row
+        p = mask * jnp.where(cond, u * b, v * bh)
     return p, 1.0 / jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-16)
 
 
@@ -235,8 +238,10 @@ def _make_bwd_kernel(
                 # positions have alpha = 0, so the LeakyReLU backward
                 # below sees 0 there
                 de = alpha * (dp - jnp.sum(alpha * dp, axis=1, keepdims=True))
-                z = sd[:, head : head + 1] + ssT[head : head + 1, :]
-                dz = de * jnp.where(z >= 0.0, 1.0, slope)
+                # LeakyReLU'(z) needs only sign(z): s_i >= -t_j costs one
+                # [T, M] compare (the [1, M] negation is O(M))
+                cond = sd[:, head : head + 1] >= -ssT[head : head + 1, :]
+                dz = de * jnp.where(cond, 1.0, slope)
                 dsd_cols.append(jnp.sum(dz, axis=1, keepdims=True))  # [T, 1]
                 dss_rows.append(jnp.sum(dz, axis=0, keepdims=True))  # [1, M]
                 # dxw_h += Pᵀ @ g_h (alpha cast to the wire dtype, same as

@@ -45,6 +45,25 @@ def test_cache_shuffles_batch_order_across_epochs():
     assert [a.tobytes() for a in e2] != [a.tobytes() for a in e3]  # ...new order
 
 
+def test_cache_epoch_offset_resumes_shuffle_sequence():
+    """A resumed run's cache (epoch_offset=N) must continue the shuffle
+    sequence where the crashed run left off, not replay epochs 1..N's
+    permutations (code-review finding; fit() passes its start epoch)."""
+    batches = [_tabular_batch(seed=s) for s in range(6)]
+    fresh = ResidentCache(batches, shuffle_seed=0)
+    orders = []
+    for _ in range(4):  # epochs 1-4 of an uninterrupted run
+        orders.append([np.asarray(b["x"]).tobytes() for b in fresh])
+    resumed = ResidentCache(batches, shuffle_seed=0, epoch_offset=2)
+    # the resumed cache's FIRST pass is its upload pass (loader order,
+    # like any first pass); from the next epoch on the permutations are
+    # keyed on the ABSOLUTE epoch, i.e. epoch 4 matches epoch 4
+    r3 = [np.asarray(b["x"]).tobytes() for b in resumed]
+    r4 = [np.asarray(b["x"]).tobytes() for b in resumed]
+    assert r3 == orders[0]  # upload pass streams in loader order
+    assert r4 == orders[3]  # continues the sequence, not a replay of e2
+
+
 def test_cache_budget_falls_back_to_streaming():
     src = CountingLoader([_tabular_batch(seed=s) for s in range(4)])
     cache = ResidentCache(src, budget_bytes=1)  # everything is over budget
