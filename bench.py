@@ -524,7 +524,10 @@ def measure_graph_jax(
     return best
 
 
-def measure_infer_latency(b: int, p: int, f: int, iters: int, warmup: int, dtype: str):
+def measure_infer_latency(
+    b: int, p: int, f: int, iters: int, warmup: int, dtype: str,
+    quant: str = "none",
+):
     """p50 single-batch inference latency (ms) for the flagship model."""
     import jax
 
@@ -542,6 +545,7 @@ def measure_infer_latency(b: int, p: int, f: int, iters: int, warmup: int, dtype
         pooling="mean",
         compute_dtype=dtype,
         factored_cols=(1,) if dtype == "bfloat16" else (),
+        quant=quant,  # "int8": φ matmuls on the s8 MXU path (ops/quant.py)
     )
     batch = _batch(b, p, f, half=(dtype == "bfloat16"))
     variables = model.init(jax.random.PRNGKey(0), batch, train=False)
@@ -779,6 +783,14 @@ def main(argv=None) -> None:
         "kernel A/B",
     )
     parser.add_argument(
+        "--quant",
+        default="none",
+        choices=["none", "int8"],
+        help="with --latency: run the φ chain on the int8 MXU path "
+        "(dynamic per-row activation × per-channel weight quantization, "
+        "ops/quant.py) — serving-path A/B vs the float forward",
+    )
+    parser.add_argument(
         "--pipeline",
         default="resident",
         choices=["resident", "stream"],
@@ -823,11 +835,14 @@ def main(argv=None) -> None:
         b, p, iters, warmup = B, P, args.iters or default_iters, WARMUP
 
     if args.latency:
-        s = measure_infer_latency(b, p, F, max(iters, 20), warmup, args.dtype)
+        s = measure_infer_latency(
+            b, p, F, max(iters, 20), warmup, args.dtype, quant=args.quant
+        )
         print(
             json.dumps(
                 {
-                    "metric": "deep_sets_infer_p50_latency",
+                    "metric": "deep_sets_infer_p50_latency"
+                    + ("_int8" if args.quant == "int8" else ""),
                     "value": round(s["p50_ms"], 4),
                     "unit": "ms",
                     "vs_baseline": None,

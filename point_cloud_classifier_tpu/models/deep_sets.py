@@ -124,6 +124,12 @@ class DeepSets(nn.Module):
     factored_cols: Sequence[int] = ()  # wire contract with the loader's
     # factor_event_cols: per-event-constant feature columns arrive as
     # "event_feats" [B+1, C] and are re-gathered by segment id on device
+    quant: str = "none"  # "int8": EVAL/INFER φ matmuls on the s8 MXU path
+    # (ops/quant.py — dynamic per-row activations × per-channel weights,
+    # s32 accumulate; v5e int8 peak is 2× bf16 and int8 activations halve
+    # the [P, H] HBM traffic).  Training always runs the float path;
+    # layer_norm falls back to float (LN rescales rows mid-chain).
+    # New TPU-native serving capability — the reference serves f32 torch.
 
     def _phi_spec_params(self):
         """Flat φ parameters (torch Linear init) + the layer spec."""
@@ -172,8 +178,10 @@ class DeepSets(nn.Module):
         return jax.default_backend() == "tpu" and widest >= 512
 
     def _phi_mode(self, train: bool = True) -> str:
-        """'pallas' (full fusion) | 'tail' (XLA hidden chain + fused
-        final-linear+pool) | 'xla'."""
+        """'int8' (quantized eval) | 'pallas' (full fusion) | 'tail' (XLA
+        hidden chain + fused final-linear+pool) | 'xla'."""
+        if not train and self.quant == "int8" and not self.layer_norm:
+            return "int8"
         if self._use_pallas(train):
             return "pallas"
         if self.fused_phi == "tail" and self.pooling in ("sum", "mean"):
@@ -249,9 +257,16 @@ class DeepSets(nn.Module):
         else:
             # φ over every point — one dense MXU chain; pooling reductions in
             # f32 (events span up to 10^4 points; bf16 accumulation drifts)
-            phi_fn = lambda pts, prm: phi_forward_xla(  # noqa: E731
-                pts, spec, prm, self.activation
-            )
+            if mode == "int8":
+                from point_cloud_classifier_tpu.ops.quant import phi_forward_int8
+
+                phi_fn = lambda pts, prm: phi_forward_int8(  # noqa: E731
+                    pts, spec, prm, self.activation
+                )
+            else:
+                phi_fn = lambda pts, prm: phi_forward_xla(  # noqa: E731
+                    pts, spec, prm, self.activation
+                )
             if os.environ.get("PCC_PHI_REMAT") == "1":
                 # experiment knob: rematerialize the chain in the backward
                 # instead of saving [P, H] residuals — the fused kernel's

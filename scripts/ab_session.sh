@@ -35,4 +35,15 @@ row gat_maxform PCC_GAT_SOFTMAX=max -- --model graph_net --gat
 row graphnet_tanh_native -- --model graph_net
 row graphnet_tanh_exp PCC_TANH_FORM=exp -- --model graph_net
 
+# 4) int8 serving path (ops/quant.py): same-window latency A/B vs the
+#    float forward — the claim is the s8 MXU (394 TOPS) + halved act
+#    traffic beat bf16 forward-only
+row latency_bf16 -- --latency
+row latency_int8 -- --latency --quant int8
+
+# 5) XLA remat of the phi chain during training (PCC_PHI_REMAT knob has
+#    never been device-A/B'd): trades saved [P,H] residual traffic for
+#    recompute, XLA-scheduled
+row deep_sets_remat PCC_PHI_REMAT=1 --
+
 echo "done -> $OUT"
