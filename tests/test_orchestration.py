@@ -203,6 +203,26 @@ def test_cli_infer(caches, tmp_path):
     assert y in ("0", "1") and 0.0 <= float(prob) <= 1.0
 
 
+def test_cli_infer_quant_int8(caches, tmp_path):
+    """--quant int8 serves a trained deep_sets run through the s8 MXU path
+    (ops/quant.py) with near-identical probabilities to the float path."""
+    log_root = str(tmp_path / "quant_log")
+    config = _base_config("deep_sets", caches, log_root, epochs=1)
+    run_dir = train_mod.train_model("deep_sets", "s2ppc", config, return_log_dir=True)
+    out_f = train_mod.infer(run_dir, split="val", output=str(tmp_path / "f.csv"))
+    out_q = train_mod.infer(
+        run_dir, split="val", output=str(tmp_path / "q.csv"), quant="int8"
+    )
+    probs_f = np.loadtxt(out_f, delimiter=",", skiprows=1, usecols=2)
+    probs_q = np.loadtxt(out_q, delimiter=",", skiprows=1, usecols=2)
+    np.testing.assert_allclose(probs_q, probs_f, atol=0.05)
+    # quant is eval-only plumbing: rejected for models without the path
+    with pytest.raises(ValueError):
+        train_mod._apply_quant(
+            {"model": {}}, "fully_connected_net", "int8"
+        )
+
+
 def test_graph_layout_eligibility_sees_model_config(caches):
     """get_dataloader must downgrade to the flat layout for max aggregation
     (and the vmapped sweep must pass the model section through — a max

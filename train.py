@@ -177,7 +177,26 @@ def train_model(
     return None
 
 
-def infer(model_dir: str, split: str = "test", output: str = None):
+def _apply_quant(config: dict, model_name: str, quant: str) -> None:
+    """Route eval/serving to the int8 MXU path (``ops/quant.py``).
+
+    f32 checkpoints load unchanged — weights are quantized inside the jit'd
+    eval step.  DeepSets-only (the one model whose forward is dominated by
+    the per-point matmul chain); layer_norm configs fall back to float
+    inside the model (``DeepSets._phi_mode``).
+    """
+    if quant in (None, "none"):
+        return
+    if model_name != "deep_sets":
+        raise ValueError(
+            f"--quant {quant} is only supported for deep_sets "
+            f"(got {model_name})"
+        )
+    config["model"]["quant"] = quant
+
+
+def infer(model_dir: str, split: str = "test", output: str = None,
+          quant: str = "none"):
     """Batch inference from a finished run dir → CSV of probabilities.
 
     A serving-shaped surface the reference lacks (its closest is
@@ -188,6 +207,7 @@ def infer(model_dir: str, split: str = "test", output: str = None):
     config = load_config(os.path.join(model_dir, "config.yaml"))
     model_name = config["meta"]["model_name"]
     dataset_name = config["meta"]["dataset_name"]
+    _apply_quant(config, model_name, quant)
 
     dataloader = get_dataloader(dataset_name=dataset_name, config=config)
     model = get_model(model_name=model_name, config=config, model_dir=model_dir)
@@ -209,7 +229,8 @@ def infer(model_dir: str, split: str = "test", output: str = None):
     return output
 
 
-def infer_raw(model_dir: str, input_path: str, output: str = None):
+def infer_raw(model_dir: str, input_path: str, output: str = None,
+              quant: str = "none"):
     """Serve predictions for a RAW shower HDF5 file (no labels, no cache).
 
     Runs the run's preprocessing pipeline on the input with the scalers
@@ -223,6 +244,7 @@ def infer_raw(model_dir: str, input_path: str, output: str = None):
     config = load_config(os.path.join(model_dir, "config.yaml"))
     model_name = config["meta"]["model_name"]
     dataset_name = config["meta"]["dataset_name"]
+    _apply_quant(config, model_name, quant)
 
     loader, event_ids = inference_loader(dataset_name, config, input_path)
     model = get_model(model_name=model_name, config=config, model_dir=model_dir)
@@ -264,13 +286,14 @@ def resume_training(model_dir: str):
     return model
 
 
-def evaluate_model(model_dir: str, save_dir: str):
+def evaluate_model(model_dir: str, save_dir: str, quant: str = "none"):
     """Reload a finished run and score all splits (reference `train.py:88-139`)."""
     config_path = os.path.join(model_dir, "config.yaml")
     config = load_config(config_path)
 
     model_name = config["meta"]["model_name"]
     dataset_name = config["meta"]["dataset_name"]
+    _apply_quant(config, model_name, quant)
 
     dataloader = get_dataloader(dataset_name=dataset_name, config=config)
     model = get_model(model_name=model_name, config=config, model_dir=model_dir)
@@ -333,9 +356,14 @@ def _build_parser() -> argparse.ArgumentParser:
         help="run the offline preprocessing pipeline before training",
     )
 
+    quant_help = (
+        "int8: score on the s8 MXU path (dynamic per-row activation × "
+        "per-channel weight quantization, ops/quant.py); deep_sets only"
+    )
     ep = sub.add_parser("evaluate", help="evaluate a finished run dir")
     ep.add_argument("model_dir")
     ep.add_argument("--save-dir", default=None, help="default: <model_dir>/eval")
+    ep.add_argument("--quant", default="none", choices=["none", "int8"], help=quant_help)
 
     rp = sub.add_parser("resume", help="resume an interrupted run dir")
     rp.add_argument("model_dir")
@@ -344,6 +372,7 @@ def _build_parser() -> argparse.ArgumentParser:
     ip.add_argument("model_dir")
     ip.add_argument("--split", default="test", choices=["train", "val", "test"])
     ip.add_argument("--output", default=None)
+    ip.add_argument("--quant", default="none", choices=["none", "int8"], help=quant_help)
 
     irp = sub.add_parser(
         "infer-raw", help="serve predictions for a raw shower HDF5 file"
@@ -351,6 +380,7 @@ def _build_parser() -> argparse.ArgumentParser:
     irp.add_argument("model_dir")
     irp.add_argument("--input", required=True, help="raw .h5 shower file")
     irp.add_argument("--output", default=None)
+    irp.add_argument("--quant", default="none", choices=["none", "int8"], help=quant_help)
 
     cp = sub.add_parser(
         "create-datasets", help="run offline preprocessing for all representations"
@@ -369,7 +399,7 @@ def main(argv=None) -> None:
     if args.command == "evaluate":
         save_dir = args.save_dir or os.path.join(args.model_dir, "eval")
         os.makedirs(save_dir, exist_ok=True)
-        evaluate_model(model_dir=args.model_dir, save_dir=save_dir)
+        evaluate_model(model_dir=args.model_dir, save_dir=save_dir, quant=args.quant)
         return
 
     if args.command == "resume":
@@ -377,11 +407,13 @@ def main(argv=None) -> None:
         return
 
     if args.command == "infer":
-        infer(model_dir=args.model_dir, split=args.split, output=args.output)
+        infer(model_dir=args.model_dir, split=args.split, output=args.output,
+              quant=args.quant)
         return
 
     if args.command == "infer-raw":
-        infer_raw(model_dir=args.model_dir, input_path=args.input, output=args.output)
+        infer_raw(model_dir=args.model_dir, input_path=args.input,
+                  output=args.output, quant=args.quant)
         return
 
     if args.command == "create-datasets":
