@@ -382,6 +382,19 @@ def _build_parser() -> argparse.ArgumentParser:
     irp.add_argument("--output", default=None)
     irp.add_argument("--quant", default="none", choices=["none", "int8"], help=quant_help)
 
+    xp = sub.add_parser(
+        "export",
+        help="export a finished run to self-contained StableHLO serving "
+        "artifacts (one per bucketed batch shape + manifest.json)",
+    )
+    xp.add_argument("model_dir")
+    xp.add_argument("--out-dir", default=None, help="default: <model_dir>/exported")
+    xp.add_argument("--quant", default="none", choices=["none", "int8"], help=quant_help)
+    xp.add_argument(
+        "--platforms", nargs="+", default=None,
+        help="target platforms (e.g. cpu tpu); default: current backend",
+    )
+
     cp = sub.add_parser(
         "create-datasets", help="run offline preprocessing for all representations"
     )
@@ -414,6 +427,18 @@ def main(argv=None) -> None:
     if args.command == "infer-raw":
         infer_raw(model_dir=args.model_dir, input_path=args.input,
                   output=args.output, quant=args.quant)
+        return
+
+    if args.command == "export":
+        from point_cloud_classifier_tpu.serving import export_run
+
+        out = export_run(
+            args.model_dir,
+            out_dir=args.out_dir,
+            quant=args.quant,
+            platforms=tuple(args.platforms) if args.platforms else None,
+        )
+        print(f"Exported serving artifacts to {out}")
         return
 
     if args.command == "create-datasets":
