@@ -1,0 +1,146 @@
+"""HTTP scoring endpoint — the online half of the serving story.
+
+The reference has no serving surface at all (its closest is an offline
+``evaluate`` over cached splits, `train.py:88-139`); this module serves a
+trained run over HTTP with the run's own preprocessing pipeline and the
+persisted dataset-creation scalers, so a production client POSTs the raw
+instrument file and gets per-event probabilities back:
+
+    python train.py serve log/version_0 --port 8000 [--quant int8]
+
+    POST /predict   body = raw shower HDF5 bytes → JSON predictions
+    GET  /health    → {"status": "ok", "model": ..., "quant": ...}
+
+Design notes:
+
+- one warm ``ModelWrapper`` per process: the jit'd eval program compiles on
+  the first request per batch shape and is cached after (static pow2
+  buckets keep the shape set small)
+- requests are scored under a lock — a single TPU executes one program at
+  a time anyway, so cross-request parallelism belongs at the replica
+  level, not in-process
+- stdlib ``http.server`` only (zero new dependencies), threaded accept
+  loop so health checks never queue behind a scoring request
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+MAX_BODY = 1 << 30  # refuse absurd uploads before buffering them
+
+
+class Scorer:
+    """Load a run dir once; score raw shower files thread-safely."""
+
+    def __init__(self, model_dir: str, quant: str = "none"):
+        from train import _apply_quant, get_model
+        from point_cloud_classifier_tpu.utils.config import load_config
+
+        self.config = load_config(os.path.join(model_dir, "config.yaml"))
+        self.model_name = self.config["meta"]["model_name"]
+        self.dataset_name = self.config["meta"]["dataset_name"]
+        self.quant = quant
+        _apply_quant(self.config, self.model_name, quant)
+        self.model = get_model(
+            model_name=self.model_name, config=self.config, model_dir=model_dir
+        )
+        self._lock = threading.Lock()
+
+    def score_bytes(self, data: bytes) -> list:
+        """Raw shower HDF5 bytes → [{event_id, probability, prediction}]."""
+        import numpy as np
+
+        from point_cloud_classifier_tpu.data.inference import inference_loader
+
+        with tempfile.NamedTemporaryFile(suffix=".h5", delete=False) as f:
+            f.write(data)
+            path = f.name
+        try:
+            loader, event_ids = inference_loader(
+                self.dataset_name, self.config, path
+            )
+            with self._lock:
+                _, probs = self.model.predict(loader, return_prob=True)
+        finally:
+            os.unlink(path)
+        probs = np.asarray(probs).reshape(-1)
+        return [
+            {
+                "event_id": int(ev),
+                "probability": float(p),
+                "prediction": int(p >= 0.5),
+            }
+            for ev, p in zip(event_ids, probs)
+        ]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    scorer: Scorer = None  # injected by make_server
+    quiet = True
+
+    def _json(self, code: int, payload) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802 (http.server API)
+        if self.path == "/health":
+            self._json(
+                200,
+                {
+                    "status": "ok",
+                    "model": self.scorer.model_name,
+                    "dataset": self.scorer.dataset_name,
+                    "quant": self.scorer.quant,
+                },
+            )
+        else:
+            self._json(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):  # noqa: N802
+        if self.path != "/predict":
+            self._json(404, {"error": f"unknown path {self.path}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            if not 0 < length <= MAX_BODY:
+                self._json(400, {"error": f"bad Content-Length {length}"})
+                return
+            data = self.rfile.read(length)
+            predictions = self.scorer.score_bytes(data)
+            self._json(200, {"predictions": predictions})
+        except Exception as exc:  # scoring errors → 400 with the message
+            self._json(400, {"error": f"{type(exc).__name__}: {exc}"})
+
+    def log_message(self, fmt, *args):
+        if not self.quiet:
+            super().log_message(fmt, *args)
+
+
+def make_server(
+    model_dir: str, host: str = "127.0.0.1", port: int = 8000,
+    quant: str = "none", quiet: bool = True,
+) -> ThreadingHTTPServer:
+    """Build (but don't start) the scoring server; ``.server_address`` has
+    the bound port (use port=0 for an ephemeral one)."""
+    scorer = Scorer(model_dir, quant=quant)
+    handler = type("Handler", (_Handler,), {"scorer": scorer, "quiet": quiet})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve(model_dir: str, host: str = "127.0.0.1", port: int = 8000,
+          quant: str = "none") -> None:
+    server = make_server(model_dir, host, port, quant=quant, quiet=False)
+    print(f"Serving {model_dir} on http://{host}:{server.server_address[1]}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()

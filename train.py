@@ -382,6 +382,16 @@ def _build_parser() -> argparse.ArgumentParser:
     irp.add_argument("--output", default=None)
     irp.add_argument("--quant", default="none", choices=["none", "int8"], help=quant_help)
 
+    sv = sub.add_parser(
+        "serve",
+        help="HTTP scoring endpoint: POST raw shower HDF5 bytes to "
+        "/predict, get per-event probabilities (GET /health)",
+    )
+    sv.add_argument("model_dir")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--quant", default="none", choices=["none", "int8"], help=quant_help)
+
     xp = sub.add_parser(
         "export",
         help="export a finished run to self-contained StableHLO serving "
@@ -427,6 +437,12 @@ def main(argv=None) -> None:
     if args.command == "infer-raw":
         infer_raw(model_dir=args.model_dir, input_path=args.input,
                   output=args.output, quant=args.quant)
+        return
+
+    if args.command == "serve":
+        from point_cloud_classifier_tpu.server import serve
+
+        serve(args.model_dir, host=args.host, port=args.port, quant=args.quant)
         return
 
     if args.command == "export":
