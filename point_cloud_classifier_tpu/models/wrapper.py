@@ -99,6 +99,11 @@ def _stack_host(rows) -> np.ndarray:
     return np.asarray(jnp.stack(rows))
 
 
+def _shape_key(batch):
+    """One bucketed batch shape = one compiled program = one fuse group."""
+    return tuple(sorted((k, np.shape(v), str(v.dtype)) for k, v in batch.items()))
+
+
 @jax.jit
 def _pack_leaves(leaves):
     """Flatten a list of same-dtype arrays into one device array.
@@ -214,6 +219,7 @@ class ModelWrapper:
         self.opt_state = None
         self._train_step = None
         self._eval_step = None
+        self._eval_step_fused = None
 
     # -- initialization ------------------------------------------------------
 
@@ -302,6 +308,7 @@ class ModelWrapper:
                 self._eval_step,
                 self._train_step_fused,
                 self._train_step_debug,
+                self._eval_step_fused,
             ) = _STEP_CACHE[key]
             return
         model, tx = self.model, self.tx
@@ -337,14 +344,30 @@ class ModelWrapper:
             _step_math_full
         )
 
-        @jax.jit
-        def eval_step(params, batch_stats, batch):
+        def _eval_math(params, batch_stats, batch):
             logits = model.apply(
                 {"params": params, "batch_stats": batch_stats}, batch, train=False
             )
             loss = masked_bce(logits, batch["y"], batch["y_mask"])
             probs = jax.nn.sigmoid(logits)
             return loss, probs
+
+        eval_step = jax.jit(_eval_math)
+
+        @jax.jit
+        def eval_step_fused(params, batch_stats, batches):
+            """K eval steps in one program: scan over stacked batches.
+
+            Params don't change between eval steps, so unlike the train
+            scan there is no carried state — the scan exists purely to
+            collapse K dispatches into one (decisive on high-latency
+            transports; see fuse_steps)."""
+
+            def body(carry, batch):
+                return carry, _eval_math(params, batch_stats, batch)
+
+            _, (losses, probs) = jax.lax.scan(body, None, batches)
+            return losses, probs
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_step_fused(params, batch_stats, opt_state, batches):
@@ -364,7 +387,11 @@ class ModelWrapper:
         self._eval_step = eval_step
         self._train_step_fused = train_step_fused
         self._train_step_debug = train_step_debug
-        _STEP_CACHE[key] = (train_step, eval_step, train_step_fused, train_step_debug)
+        self._eval_step_fused = eval_step_fused
+        _STEP_CACHE[key] = (
+            train_step, eval_step, train_step_fused, train_step_debug,
+            eval_step_fused,
+        )
 
     # -- full-state checkpoint / resume (reference has none: its resume
     # granularity is "retrain", SURVEY §5) --------------------------------
@@ -520,8 +547,7 @@ class ModelWrapper:
                 batch_losses.append(loss)
                 pending.clear()
 
-            def shape_key(b):
-                return tuple(sorted((k, v.shape, str(v.dtype)) for k, v in b.items()))
+            shape_key = _shape_key
 
             with maybe_trace(self.log_dir, force=False):
                 for batch in self._batches(train_loader):
@@ -632,27 +658,87 @@ class ModelWrapper:
         log.scalar("compile/distinct_batch_shapes", len(getattr(self, "_shapes_seen", ())), 0)
         log.close()
 
-    def _evaluate(self, loader: Iterable):
-        # dispatch every eval step first (async), convert to host once — a
-        # per-batch float()/np.asarray() here would sync the device each
-        # iteration and serialize the eval pipeline
-        results = []
+    def _eval_dispatch(self, loader: Iterable):
+        """Dispatch eval over the loader, scan-fusing same-shape runs.
+
+        Mirrors fit's step fusion for the no-gradient path: up to
+        ``fuse_steps`` consecutive same-shape batches stack into ONE
+        ``eval_step_fused`` dispatch (params don't change between eval
+        steps, so fusing never alters results).  Everything is dispatched
+        async before any conversion; returns ``(losses [N], probs list,
+        y list, y_mask list)`` — per-BATCH host arrays (lists, because
+        bucketed loaders emit mixed batch shapes).
+        """
+        chunks = []  # (loss(es), probs, ys_group, masks_group) device/host
+        flags = []  # fused? per chunk (kept out of the device_get pytree)
+        pending = []
+
+        def flush():
+            if not pending:
+                return
+            group_ys = [b["y"] for b in pending]
+            group_masks = [b["y_mask"] for b in pending]
+            if len(pending) == 1:
+                loss, probs = self._eval_step(
+                    self.params, self.batch_stats, pending[0]
+                )
+                chunks.append((loss, probs, group_ys, group_masks))
+                flags.append(False)
+            else:
+                if isinstance(next(iter(pending[0].values())), np.ndarray):
+                    stacked = {
+                        k: np.stack([b[k] for b in pending]) for k in pending[0]
+                    }
+                else:
+                    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *pending)
+                losses, probs = self._eval_step_fused(
+                    self.params, self.batch_stats, stacked
+                )
+                chunks.append((losses, probs, group_ys, group_masks))
+                flags.append(True)
+            pending.clear()
+
+        # under a mesh, stacked batches would need per-leaf [K, ...]
+        # shardings the fused program doesn't declare — same guard as the
+        # train-side fusion (bench.py measure_jax)
+        fuse = 1 if self.mesh is not None else self.fuse_steps
         for batch in self._batches(loader):
             self._ensure_initialized(batch)
-            loss, probs = self._eval_step(self.params, self.batch_stats, batch)
-            results.append((loss, probs, batch["y"], batch["y_mask"]))
-
-        if not results:
+            if self._eval_step is None:
+                # params were assigned directly (not via fit/load)
+                self._build_steps()
+            if pending and (
+                len(pending) >= fuse or _shape_key(pending[0]) != _shape_key(batch)
+            ):
+                flush()
+            pending.append(batch)
+            if fuse <= 1:
+                flush()
+        flush()
+        if not chunks:
             raise ValueError("eval loader produced no batches")
-        # batch ALL device→host conversions into a few transfers — a
+        # batch ALL device→host conversions into ONE transfer round — a
         # per-batch float()/asarray() costs a round trip each.  y/y_mask
-        # are batched too: under resident/mesh pipelines they are DEVICE
-        # arrays, and the per-batch np.asarray reads here used to issue
-        # ~2 blocking transfers per val batch (code-review finding)
-        losses = np.asarray(jnp.stack([r[0] for r in results]))
-        probs_all = np.asarray(jnp.stack([r[1] for r in results]))
-        y_all = _stack_host([r[2] for r in results])
-        mask_all = _stack_host([r[3] for r in results]).astype(bool)
+        # are included: under resident/mesh pipelines they are DEVICE
+        # arrays, and per-batch np.asarray reads used to issue ~2 blocking
+        # transfers per val batch (code-review finding).  device_get starts
+        # async copies for every leaf before gathering any of them; host
+        # numpy leaves pass through untouched.
+        chunks = jax.device_get(chunks)
+        losses, probs_all, y_all, mask_all = [], [], [], []
+        for (loss, probs, group_ys, group_masks), fused in zip(chunks, flags):
+            if fused:
+                losses.extend(np.asarray(loss).reshape(-1))
+                probs_all.extend(np.asarray(probs))  # [K, B, 1] -> K rows
+            else:
+                losses.append(float(loss))
+                probs_all.append(np.asarray(probs))
+            y_all.extend(np.asarray(y) for y in group_ys)
+            mask_all.extend(np.asarray(m).astype(bool) for m in group_masks)
+        return np.asarray(losses), probs_all, y_all, mask_all
+
+    def _evaluate(self, loader: Iterable):
+        losses, probs_all, y_all, mask_all = self._eval_dispatch(loader)
         correct, total = 0.0, 0.0
         for probs, y, mask in zip(probs_all, y_all, mask_all):
             preds = probs >= 0.5
@@ -663,20 +749,7 @@ class ModelWrapper:
     # -- inference ----------------------------------------------------------------
 
     def predict(self, data_loader: Iterable, return_prob: bool = False):
-        # same async-dispatch-then-convert pattern as _evaluate
-        results = []
-        for batch in self._batches(data_loader):
-            self._ensure_initialized(batch)
-            _, probs = self._eval_step(self.params, self.batch_stats, batch)
-            results.append((probs, batch["y"], batch["y_mask"]))
-
-        if not results:
-            raise ValueError("predict loader produced no batches")
-        # batched device→host transfers for probs AND y/y_mask (see
-        # _evaluate — resident/mesh batches hold device arrays)
-        probs_all = np.asarray(jnp.stack([r[0] for r in results]))
-        y_all = _stack_host([r[1] for r in results])
-        mask_all = _stack_host([r[2] for r in results]).astype(bool)
+        _, probs_all, y_all, mask_all = self._eval_dispatch(data_loader)
         y_true, y_out = [], []
         for probs, y, mask in zip(probs_all, y_all, mask_all):
             probs = probs[mask]

@@ -159,6 +159,35 @@ def test_fused_steps_mixed_shapes():
     np.testing.assert_allclose(run(1), run(3), rtol=1e-5, atol=1e-6)
 
 
+def test_fused_eval_matches_sequential():
+    """_eval_dispatch with fuse_steps=K == per-batch eval, incl. a shape
+    change mid-loader (forces a flush) and a trailing partial group."""
+    rng = np.random.default_rng(3)
+    small = {
+        "x": rng.normal(size=(16, 9)).astype(np.float32),
+        "y": rng.integers(0, 2, size=(16, 1)).astype(np.float32),
+        "y_mask": np.ones((16,), np.float32),
+    }
+    batches = [_tabular_batch(seed=s) for s in range(3)] + [small] + [
+        _tabular_batch(seed=s) for s in range(3, 8)
+    ]
+    train, _ = _loaders()
+    w1 = ModelWrapper(_model(), learning_rate=1e-2, epochs=1, seed=0)
+    w1.fit(train)
+    wk = ModelWrapper(_model(), learning_rate=1e-2, epochs=1, seed=0,
+                      fuse_steps=4)
+    wk.params, wk.batch_stats = w1.params, w1.batch_stats  # identical nets
+
+    loss1, acc1 = w1._evaluate(batches)
+    lossk, acck = wk._evaluate(batches)
+    np.testing.assert_allclose(lossk, loss1, rtol=1e-6)
+    assert acck == acc1
+    y1, p1 = w1.predict(batches, return_prob=True)
+    yk, pk = wk.predict(batches, return_prob=True)
+    np.testing.assert_array_equal(y1, yk)
+    np.testing.assert_allclose(pk, p1, rtol=1e-6, atol=1e-7)
+
+
 def test_nonfinite_loss_watchdog(tmp_path):
     """A NaN loss halts training with a clear error instead of continuing."""
     train, val = _loaders()
