@@ -188,6 +188,26 @@ def test_fused_eval_matches_sequential():
     np.testing.assert_allclose(pk, p1, rtol=1e-6, atol=1e-7)
 
 
+def test_fused_eval_device_batches():
+    """Fused eval over DEVICE-array batches (the resident-pipeline shape):
+    the jnp.stack branch of the flush + device_get of device y/y_mask."""
+    import jax.numpy as jnp
+
+    batches = [_tabular_batch(seed=s) for s in range(5)]
+    dev_batches = [{k: jnp.asarray(v) for k, v in b.items()} for b in batches]
+    train, _ = _loaders()
+    w1 = ModelWrapper(_model(), learning_rate=1e-2, epochs=1, seed=0)
+    w1.fit(train)
+    wk = ModelWrapper(_model(), learning_rate=1e-2, epochs=1, seed=0,
+                      fuse_steps=3)
+    wk.params, wk.batch_stats = w1.params, w1.batch_stats
+
+    loss1, acc1 = w1._evaluate(batches)
+    lossk, acck = wk._evaluate(dev_batches)
+    np.testing.assert_allclose(lossk, loss1, rtol=1e-6)
+    assert acck == acc1
+
+
 def test_nonfinite_loss_watchdog(tmp_path):
     """A NaN loss halts training with a clear error instead of continuing."""
     train, val = _loaders()
