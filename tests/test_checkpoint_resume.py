@@ -205,7 +205,11 @@ def test_fused_eval_device_batches():
     loss1, acc1 = w1._evaluate(batches)
     lossk, acck = wk._evaluate(dev_batches)
     np.testing.assert_allclose(lossk, loss1, rtol=1e-6)
-    assert acck == acc1
+    assert acck == pytest.approx(acc1)
+    y1, p1 = w1.predict(batches, return_prob=True)
+    yk, pk = wk.predict(dev_batches, return_prob=True)
+    np.testing.assert_array_equal(y1, yk)
+    np.testing.assert_allclose(pk, p1, rtol=1e-6, atol=1e-7)
 
 
 def test_nonfinite_loss_watchdog(tmp_path):
