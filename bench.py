@@ -834,6 +834,11 @@ def main(argv=None) -> None:
         default_iters = max(ITERS, 4 * args.fuse) if args.pipeline == "resident" else ITERS
         b, p, iters, warmup = B, P, args.iters or default_iters, WARMUP
 
+    if args.quant != "none" and not args.latency:
+        # silently running the float train step "with quant" would hand an
+        # A/B reader the wrong number — the int8 path is serving-only
+        raise SystemExit("--quant requires --latency (int8 is an inference path)")
+
     if args.latency:
         s = measure_infer_latency(
             b, p, F, max(iters, 20), warmup, args.dtype, quant=args.quant

@@ -174,8 +174,10 @@ class DeepSets(nn.Module):
         #   1.44× op-level at 512, growing with width.
         if train:
             return False
+        from point_cloud_classifier_tpu.ops.dispatch import use_tpu_kernels
+
         widest = max(self.phi_layers) if self.phi_layers else 0
-        return jax.default_backend() == "tpu" and widest >= 512
+        return use_tpu_kernels() and widest >= 512
 
     def _phi_mode(self, train: bool = True) -> str:
         """'int8' (quantized eval) | 'pallas' (full fusion) | 'tail' (XLA

@@ -350,7 +350,9 @@ class GraphNet(nn.Module):
                 # from bf16-rounded coordinates would silently change
                 # neighbour topology under mixed precision
                 pos3 = batch["nodes"][:, 1:4].astype(jnp.float32)
-                if jax.default_backend() == "tpu":
+                from point_cloud_classifier_tpu.ops.dispatch import use_tpu_kernels
+
+                if use_tpu_kernels():
                     from point_cloud_classifier_tpu.ops.knn_pallas import (
                         knn_aggregate_pallas,
                     )
@@ -500,8 +502,11 @@ class GraphNet(nn.Module):
             and "out_dst" in batch
             and not self.use_gat
             and not self.sag_pool
-            and jax.default_backend() == "tpu"
         )
+        if fused:
+            from point_cloud_classifier_tpu.ops.dispatch import use_tpu_kernels
+
+            fused = use_tpu_kernels()
         if self.fused_inrow and not fused:
             import warnings
 

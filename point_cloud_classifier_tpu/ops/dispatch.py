@@ -1,0 +1,43 @@
+"""Trace-time kernel dispatch policy: TPU Pallas kernels vs pure XLA.
+
+Model code gates its Pallas fast paths on :func:`use_tpu_kernels` instead
+of calling ``jax.default_backend()`` directly, so one switch can force the
+portable pure-StableHLO lowering everywhere.  The one consumer of that
+switch is deployment export (``serving.export_run``): a program traced on
+a TPU host with Pallas gates open would embed ``tpu_custom_call`` ops and
+could never serve on a CPU/GPU host, silently breaking the module's
+"artifacts are pure StableHLO" contract.
+
+The flag is a process-global, not a tracer value: kernel selection happens
+at TRACE time (Python control flow), so a context manager around the
+``jax.jit``/``jax.export`` call is exactly the right scope.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import jax
+
+_FORCE_XLA = False
+
+
+def use_tpu_kernels() -> bool:
+    """True when model code may route to Pallas TPU kernels."""
+    return jax.default_backend() == "tpu" and not _FORCE_XLA
+
+
+@contextmanager
+def force_xla():
+    """Within this context, every kernel gate picks the pure-XLA path.
+
+    Used by ``serving.export_run`` so exported artifacts contain no
+    ``tpu_custom_call`` ops regardless of the tracing host's backend.
+    """
+    global _FORCE_XLA
+    prev = _FORCE_XLA
+    _FORCE_XLA = True
+    try:
+        yield
+    finally:
+        _FORCE_XLA = prev

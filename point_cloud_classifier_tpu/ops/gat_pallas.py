@@ -285,7 +285,9 @@ def _shapes_ok(s_dst, xw, interpret: bool) -> int:
     c = xw.shape[-1]
     if h < 1 or c % h != 0 or (m & (m - 1)) != 0:
         return 0
-    if jax.default_backend() != "tpu" and not interpret:
+    from point_cloud_classifier_tpu.ops.dispatch import use_tpu_kernels
+
+    if not use_tpu_kernels() and not interpret:
         return 0
     t = _tile_rows(m, c)
     if t == 0 or m % t != 0:

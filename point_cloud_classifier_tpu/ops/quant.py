@@ -40,24 +40,28 @@ Spec = Tuple[Tuple[str, bool], ...]
 _QMAX = 127.0
 
 
-def quantize_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Symmetric per-row int8: ``x ≈ q · scale`` with ``scale: [P, 1]`` f32.
+def _quantize(x: jnp.ndarray, axis: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric abs-max int8 along ``axis``: ``x ≈ q · scale`` (scale f32).
 
-    All-zero rows (padding points) get the epsilon scale and quantize to 0.
+    One home for the clip/round/epsilon policy so the row and column
+    variants can't drift.  All-zero slices (padding) get the epsilon scale
+    and quantize to 0.
     """
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / _QMAX
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -_QMAX, _QMAX)
     return q.astype(jnp.int8), scale
 
 
+def quantize_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row int8 (activations): ``scale: [P, 1]`` f32."""
+    return _quantize(x, axis=-1)
+
+
 def quantize_cols(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Symmetric per-output-channel int8: ``w ≈ q · scale`` with
-    ``scale: [1, N]`` f32 (abs-max over the input axis)."""
-    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / _QMAX
-    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -_QMAX, _QMAX)
-    return q.astype(jnp.int8), scale
+    """Per-output-channel int8 (weights): ``scale: [1, N]`` f32 (abs-max
+    over the input axis)."""
+    return _quantize(w, axis=0)
 
 
 def int8_linear(

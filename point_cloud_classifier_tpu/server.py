@@ -38,18 +38,29 @@ class Scorer:
     """Load a run dir once; score raw shower files thread-safely."""
 
     def __init__(self, model_dir: str, quant: str = "none"):
-        from train import _apply_quant, get_model
+        from point_cloud_classifier_tpu.factory import apply_quant, get_model
         from point_cloud_classifier_tpu.utils.config import load_config
 
         self.config = load_config(os.path.join(model_dir, "config.yaml"))
         self.model_name = self.config["meta"]["model_name"]
         self.dataset_name = self.config["meta"]["dataset_name"]
         self.quant = quant
-        _apply_quant(self.config, self.model_name, quant)
+        apply_quant(self.config, self.model_name, quant)
         self.model = get_model(
             model_name=self.model_name, config=self.config, model_dir=model_dir
         )
         self._lock = threading.Lock()
+
+    def quant_active(self) -> str:
+        """The quantization the eval step will ACTUALLY run.
+
+        ``--quant int8`` on a layer_norm DeepSets config silently falls
+        back to float inside the model (``DeepSets._phi_mode``); /health
+        must report the executing path, not the requested one."""
+        net = getattr(self.model, "model", None)
+        if self.quant != "none" and hasattr(net, "_phi_mode"):
+            return self.quant if net._phi_mode(train=False) == "int8" else "none"
+        return self.quant
 
     def score_bytes(self, data: bytes) -> list:
         """Raw shower HDF5 bytes → [{event_id, probability, prediction}]."""
@@ -82,6 +93,11 @@ class Scorer:
 class _Handler(BaseHTTPRequestHandler):
     scorer: Scorer = None  # injected by make_server
     quiet = True
+    # socket timeout (BaseRequestHandler.setup applies it): without one, a
+    # client that sends fewer bytes than Content-Length parks rfile.read()
+    # forever and ThreadingHTTPServer leaks one stuck thread per such
+    # connection until fd exhaustion
+    timeout = 60
 
     def _json(self, code: int, payload) -> None:
         body = json.dumps(payload).encode()
@@ -99,7 +115,7 @@ class _Handler(BaseHTTPRequestHandler):
                     "status": "ok",
                     "model": self.scorer.model_name,
                     "dataset": self.scorer.dataset_name,
-                    "quant": self.scorer.quant,
+                    "quant": self.scorer.quant_active(),
                 },
             )
         else:
@@ -111,14 +127,38 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             length = int(self.headers.get("Content-Length", "0"))
-            if not 0 < length <= MAX_BODY:
-                self._json(400, {"error": f"bad Content-Length {length}"})
-                return
+        except ValueError:
+            self._json(400, {"error": "bad Content-Length header"})
+            return
+        if not 0 < length <= MAX_BODY:
+            self._json(400, {"error": f"bad Content-Length {length}"})
+            return
+        try:
             data = self.rfile.read(length)
+        except OSError as exc:  # client stalled past the socket timeout
+            self._json(408, {"error": f"body read failed: {exc}"})
+            return
+        try:
             predictions = self.scorer.score_bytes(data)
-            self._json(200, {"predictions": predictions})
-        except Exception as exc:  # scoring errors → 400 with the message
+        except FileNotFoundError as exc:
+            # e.g. the run's persisted scaler missing on the serving host —
+            # a server-side deployment defect, not bad client input
+            self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
+            return
+        except (ValueError, KeyError, OSError) as exc:
+            # undecodable/malformed payloads → client error.  The h5 stack
+            # surfaces bad uploads as OSError("Unable to open file"), so
+            # OSError counts as client input here, post-read.
             self._json(400, {"error": f"{type(exc).__name__}: {exc}"})
+            return
+        except Exception as exc:
+            # anything else (missing scaler on the serving host, backend
+            # or compile failure, OOM) is a SERVER fault: a 400 would send
+            # monitoring after the clients and make them retry a permanent
+            # server defect
+            self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
+            return
+        self._json(200, {"predictions": predictions})
 
     def log_message(self, fmt, *args):
         if not self.quiet:

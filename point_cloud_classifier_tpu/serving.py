@@ -16,11 +16,13 @@ TPU-native design points:
   artifact.  A manifest maps shape-key → file and the loader picks by the
   incoming batch's shapes — exactly the dispatch the training pipeline
   already does against its jit cache.
-- **Artifacts are pure StableHLO.**  Export forces the XLA φ path
-  (``fused_phi="off"``) so no Pallas custom-calls are embedded — the same
-  program serves on TPU, CPU, or GPU hosts.  The int8 MXU path
-  (``quant="int8"``, ops/quant.py) survives export: quantization is plain
-  StableHLO (round/clip/convert + s8 dot).
+- **Artifacts are pure StableHLO.**  Export traces under
+  ``ops.dispatch.force_xla()``, which closes EVERY Pallas gate (DeepSets
+  fused φ, GraphNet kNN/GAT/in-row kernels) so no ``tpu_custom_call`` is
+  embedded even when tracing on a TPU host — the same program serves on
+  TPU, CPU, or GPU hosts.  The int8 MXU path (``quant="int8"``,
+  ops/quant.py) survives export: quantization is plain StableHLO
+  (round/clip/convert + s8 dot).
 - **Probabilities out, not logits** — the artifact bakes in the decision
   head (sigmoid), matching ``ModelWrapper.predict``.
 """
@@ -58,6 +60,8 @@ def _eval_fn(wrapper, quant: str = "none"):
 
     model = wrapper.model
     if isinstance(model, DeepSets):
+        # fused_phi="on" is an explicit user override that skips the
+        # dispatch gate — clone it off so the artifact stays portable
         updates = {"fused_phi": "off"}
         if quant != "none":
             updates["quant"] = quant
@@ -92,7 +96,8 @@ def export_run(
     import jax
     import jax.export as jex
 
-    from train import get_dataloader, get_model
+    from point_cloud_classifier_tpu.factory import get_dataloader, get_model
+    from point_cloud_classifier_tpu.ops.dispatch import force_xla
     from point_cloud_classifier_tpu.utils.config import load_config
 
     config = load_config(os.path.join(model_dir, "config.yaml"))
@@ -129,7 +134,12 @@ def export_run(
                 k: jax.ShapeDtypeStruct(np.shape(v), np.asarray(v).dtype)
                 for k, v in batch.items()
             }
-            exported = jex.export(jax.jit(fn), platforms=platforms)(abstract)
+            # trace with every Pallas gate forced to the XLA path: on a
+            # TPU host GraphNet would otherwise embed tpu_custom_call ops
+            # (kNN/GAT/in-row kernels), breaking the pure-StableHLO
+            # portability contract (ops/dispatch.py)
+            with force_xla():
+                exported = jex.export(jax.jit(fn), platforms=platforms)(abstract)
             fname = f"shape_{n}.stablehlo"
             with open(os.path.join(out_dir, fname), "wb") as f:
                 f.write(exported.serialize())

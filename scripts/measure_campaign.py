@@ -112,6 +112,8 @@ def main() -> None:
                B, P, 6, iters=it, warmup=wu, dtype="bfloat16", pipeline="stream")
         record("infer_p50_ms", bench.measure_infer_latency,
                B, P, 6, iters=50, warmup=10, dtype="bfloat16")
+        record("infer_p50_ms_int8", bench.measure_infer_latency,
+               B, P, 6, iters=50, warmup=10, dtype="bfloat16", quant="int8")
         # mesh variant (all visible devices over the data axis; fuse=1 —
         # fit() shards batches itself and fusion stacks them first)
         record("deep_sets_mesh", bench.measure_jax,

@@ -97,3 +97,48 @@ def test_garbage_body_400(served):
         _post(url + "/predict", b"this is not an hdf5 file")
     assert e.value.code == 400
     assert "error" in json.loads(e.value.read())
+
+
+def test_server_fault_500(served, monkeypatch):
+    """Non-input failures (missing scaler, backend faults) must surface as
+    500, not 400 — a 400 sends monitoring after the clients."""
+    url, _, _ = served
+    from point_cloud_classifier_tpu import server as server_mod
+
+    # patch score_bytes on the Scorer CLASS — the live handler's scorer
+    # instance has no override, so the patched method is what runs
+    def boom(self, data):
+        raise RuntimeError("backend exploded")
+
+    monkeypatch.setattr(server_mod.Scorer, "score_bytes", boom)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/predict", b"whatever")
+    assert e.value.code == 500
+    assert "RuntimeError" in json.loads(e.value.read())["error"]
+
+
+def test_missing_scaler_500(served, monkeypatch):
+    """FileNotFoundError classifies as server fault even though it is an
+    OSError subclass (the 400 branch catches plain OSError for bad h5)."""
+    url, _, _ = served
+    from point_cloud_classifier_tpu import server as server_mod
+
+    def gone(self, data):
+        raise FileNotFoundError("scaler.pkl not on serving host")
+
+    monkeypatch.setattr(server_mod.Scorer, "score_bytes", gone)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/predict", b"whatever")
+    assert e.value.code == 500
+
+
+def test_quant_active_reports_fallback(served):
+    """/health must report the EXECUTING quant path: a layer_norm DeepSets
+    silently falls back to float inside the model."""
+    _, run_dir, _ = served
+    from point_cloud_classifier_tpu.server import Scorer
+
+    scorer = Scorer(run_dir, quant="int8")
+    assert scorer.quant_active() == "int8"  # flagship config: layer_norm off
+    scorer.model.model = scorer.model.model.clone(layer_norm=True)
+    assert scorer.quant_active() == "none"

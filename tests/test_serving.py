@@ -137,3 +137,51 @@ def test_cli_export(run_dir, tmp_path):
     out_dir = str(tmp_path / "cli_exported")
     train_mod.main(["export", run, "--out-dir", out_dir])
     assert os.path.exists(os.path.join(out_dir, "manifest.json"))
+
+
+def test_force_xla_dispatch(monkeypatch):
+    """dispatch.use_tpu_kernels() gates on backend AND the force_xla
+    context; the flag restores on exit, including via exception."""
+    import jax
+
+    from point_cloud_classifier_tpu.ops import dispatch
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert dispatch.use_tpu_kernels()
+    with dispatch.force_xla():
+        assert not dispatch.use_tpu_kernels()
+        with dispatch.force_xla():  # re-entrant
+            assert not dispatch.use_tpu_kernels()
+        assert not dispatch.use_tpu_kernels()
+    assert dispatch.use_tpu_kernels()
+    with pytest.raises(RuntimeError):
+        with dispatch.force_xla():
+            raise RuntimeError("boom")
+    assert dispatch.use_tpu_kernels()
+
+
+def test_force_xla_closes_graphnet_pallas_gate(monkeypatch):
+    """On a (simulated) TPU host, force_xla() keeps GraphNet's kNN forward
+    on the pure-XLA path — the scenario behind export portability: a
+    graph_net artifact traced on the TPU host must embed no Pallas
+    tpu_custom_call.  The kernel entry is replaced with a tripwire."""
+    import jax
+
+    from point_cloud_classifier_tpu.models import GraphNet
+    from point_cloud_classifier_tpu.ops import dispatch, knn_pallas
+    from tests.test_parallel import _graph_batch
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def tripwire(*a, **k):
+        raise AssertionError("Pallas kernel reached under force_xla()")
+
+    monkeypatch.setattr(knn_pallas, "knn_aggregate_pallas", tripwire)
+    model = GraphNet(
+        input_dim=4, hidden_dim=16, output_dim=1, activation="relu", knn_k=4
+    )
+    batch = _graph_batch(seed=0)
+    with dispatch.force_xla():
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        probs = model.apply(variables, batch, train=False)
+    assert np.all(np.isfinite(np.asarray(probs)))

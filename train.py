@@ -31,18 +31,6 @@ import os
 
 from sklearn.metrics import accuracy_score, classification_report
 
-from point_cloud_classifier_tpu.data import (
-    Step2PointGraph,
-    Step2PointPointCloud,
-    Step2PointTabular,
-)
-from point_cloud_classifier_tpu.models import (
-    DeepSets,
-    FullyConnectedNet,
-    GraphNet,
-    LogRegression,
-    ModelWrapper,
-)
 from point_cloud_classifier_tpu.utils.config import load_config, save_config
 from point_cloud_classifier_tpu.utils.log import TrainingLogger
 from point_cloud_classifier_tpu.utils.plots import (
@@ -51,82 +39,15 @@ from point_cloud_classifier_tpu.utils.plots import (
     plot_roc_curve,
 )
 
-MODEL_DATASETS = {
-    "logistic_regression": "s2pt",
-    "fully_connected_net": "s2pt",
-    "deep_sets": "s2ppc",
-    "graph_net": "s2pg",
-}
-
-
-def get_dataloader(dataset_name: str, config: dict):
-    """Dataset-name dispatch, mirroring reference `train.py:17-27`."""
-    if dataset_name == "s2pt":
-        return Step2PointTabular(**config["dataset"])
-    if dataset_name == "s2ppc":
-        return Step2PointPointCloud(**config["dataset"])
-    if dataset_name == "s2pg":
-        ds_cfg = dict(config["dataset"])
-        if "graph_layout" not in ds_cfg:
-            # default to the dense batched-adjacency layout whenever the
-            # model can consume it (GraphConv add/mean and GAT, incl. SAG)
-            # — message passing/attention become batched MXU matmuls with
-            # per-batch fallback to the flat edge-list layout for oversized
-            # events ("auto")
-            mdl = config.get("model", {})
-            if mdl.get("use_gat", False):
-                # dense GAT masks on w != 0, so a weighted GAT (flat GAT
-                # ignores weights; torch_geometric's asserts on them) could
-                # drop underflowed-to-zero gaussian weights — keep those
-                # degenerate configs on the flat layout
-                eligible = not ds_cfg.get("use_weights", True)
-            else:
-                # max stays flat BY DEFAULT: the dense in-row max exists
-                # (inrow_max_aggregate, exact flat parity) but its gather
-                # backward measured 0.6x the flat segment_max on TPU
-                # (10.2k vs 16.8k graphs/sec same-window) — layout
-                # portability, not a training default
-                eligible = mdl.get("local_pooling", "add") in ("add", "mean")
-            eligible = eligible and not mdl.get("knn_k", 0)
-            ds_cfg["graph_layout"] = "auto" if eligible else "flat"
-            if mdl.get("fused_inrow", False):
-                # the opt-in fused kernel's backward needs the out-row wire
-                ds_cfg.setdefault("emit_out_rows", True)
-        return Step2PointGraph(**ds_cfg)
-    raise ValueError(f"Unknown dataset: {dataset_name}")
-
-
-def get_model(model_name: str, config: dict, model_dir: str = None):
-    """Model-name dispatch + optional checkpoint restore (`train.py:30-85`)."""
-    if model_name == "logistic_regression":
-        model = LogRegression()
-        if model_dir is not None:
-            model_path = os.path.join(model_dir, "model.pkl")
-            if not os.path.exists(model_path):
-                raise FileNotFoundError(
-                    f"LogisticRegression model not found at {model_path}"
-                )
-            model.load(model_path)
-            print(f"Loaded LogisticRegression model from {model_path}")
-        return model
-
-    if model_name == "fully_connected_net":
-        net = FullyConnectedNet(**config["model"])
-    elif model_name == "deep_sets":
-        net = DeepSets(**config["model"])
-    elif model_name == "graph_net":
-        net = GraphNet(**config["model"])
-    else:
-        raise ValueError(f"Unknown model: {model_name}")
-
-    model = ModelWrapper(net, **config["trainer"], **config["logging"])
-    if model_dir is not None:
-        model_path = os.path.join(model_dir, "best_model.pt")
-        if not os.path.exists(model_path):
-            raise FileNotFoundError(f"{model_name} model not found at {model_path}")
-        model.load(model_path)
-        print(f"Loaded {model_name} model from {model_path}")
-    return model
+# Factories live in the package so serving modules can import them without
+# the repo root on sys.path (point_cloud_classifier_tpu/factory.py); this
+# module re-exports them to keep its reference-shaped API.
+from point_cloud_classifier_tpu.factory import (  # noqa: E402
+    MODEL_DATASETS,
+    get_dataloader,
+    get_model,
+)
+from point_cloud_classifier_tpu.factory import apply_quant as _apply_quant  # noqa: E402
 
 
 def train_model(
@@ -175,24 +96,6 @@ def train_model(
     if return_log_dir:
         return log_dir
     return None
-
-
-def _apply_quant(config: dict, model_name: str, quant: str) -> None:
-    """Route eval/serving to the int8 MXU path (``ops/quant.py``).
-
-    f32 checkpoints load unchanged — weights are quantized inside the jit'd
-    eval step.  DeepSets-only (the one model whose forward is dominated by
-    the per-point matmul chain); layer_norm configs fall back to float
-    inside the model (``DeepSets._phi_mode``).
-    """
-    if quant in (None, "none"):
-        return
-    if model_name != "deep_sets":
-        raise ValueError(
-            f"--quant {quant} is only supported for deep_sets "
-            f"(got {model_name})"
-        )
-    config["model"]["quant"] = quant
 
 
 def infer(model_dir: str, split: str = "test", output: str = None,
@@ -318,6 +221,10 @@ def evaluate_model(model_dir: str, save_dir: str, quant: str = "none"):
         "accuracy_val": float(acc_val),
         "accuracy_test": float(acc_test),
     }
+    if quant != "none":
+        # mark which eval path produced these numbers; the float layout
+        # stays byte-compatible with the reference's metrics.json
+        metrics["quant"] = quant
     with open(os.path.join(save_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=4)
 
@@ -420,7 +327,11 @@ def _build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = _build_parser().parse_args(argv)
     if args.command == "evaluate":
-        save_dir = args.save_dir or os.path.join(args.model_dir, "eval")
+        # quantized eval gets its own default dir: writing into eval/
+        # would silently overwrite the float baseline's metrics.json with
+        # int8-path numbers and leave no marker of which path produced them
+        default_eval = "eval" if args.quant == "none" else f"eval_{args.quant}"
+        save_dir = args.save_dir or os.path.join(args.model_dir, default_eval)
         os.makedirs(save_dir, exist_ok=True)
         evaluate_model(model_dir=args.model_dir, save_dir=save_dir, quant=args.quant)
         return
