@@ -559,6 +559,49 @@ def measure_infer_latency(
     return timer.summary()
 
 
+def measure_eval_throughput(
+    b: int, p: int, f: int, iters: int, warmup: int, dtype: str,
+    fuse: int = 1,
+):
+    """Validation/scoring throughput (clouds/sec) over a host batch stream.
+
+    The batch-scoring path (``train.py evaluate`` / ``infer``):
+    ``ModelWrapper._evaluate`` over distinct host batches, H2D inside the
+    window.  ``fuse`` scan-fuses K same-shape eval steps into one
+    dispatched program (``models/wrapper._eval_dispatch``) — the eval-side
+    analogue of train step fusion; fuse=1 is the per-batch baseline arm.
+    """
+    from point_cloud_classifier_tpu.models import DeepSets, ModelWrapper
+
+    model = DeepSets(
+        input_dim=f,
+        phi_layers=PHI,
+        rho_layers=RHO,
+        output_dim=1,
+        activation="gelu",
+        layer_norm=False,  # configs/deep_sets.yaml
+        residual_block=True,
+        pooling="mean",
+        compute_dtype=dtype,
+        factored_cols=(1,) if dtype == "bfloat16" else (),
+    )
+    wrapper = ModelWrapper(
+        model, learning_rate=1e-3, epochs=1, optimizer="adamw",
+        fuse_steps=fuse,
+    )
+    host_batches = [
+        _batch(b, p, f, seed=s, half=(dtype == "bfloat16")) for s in range(8)
+    ]
+    wrapper._ensure_initialized(host_batches[0])
+    for _ in range(warmup):  # compiles both the fused and single programs
+        wrapper._evaluate(host_batches)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        wrapper._evaluate(host_batches)
+    dt = time.perf_counter() - t0
+    return b * len(host_batches) * iters / dt
+
+
 def measure_torch_reference(b: int, p: int, f: int, iters: int, warmup: int) -> float:
     """Reference-semantics deep_sets train step in torch on CPU.
 
@@ -739,6 +782,13 @@ def main(argv=None) -> None:
         help="measure p50 single-batch inference latency instead of training throughput",
     )
     parser.add_argument(
+        "--eval-throughput",
+        action="store_true",
+        help="measure batch-scoring throughput (ModelWrapper._evaluate "
+        "over a host batch stream) instead of training; --fuse K scan-"
+        "fuses K eval steps per dispatch, --fuse 1 is the baseline arm",
+    )
+    parser.add_argument(
         "--mesh",
         action="store_true",
         help="shard the flagship train step over all visible devices (data axis)",
@@ -838,6 +888,24 @@ def main(argv=None) -> None:
         # silently running the float train step "with quant" would hand an
         # A/B reader the wrong number — the int8 path is serving-only
         raise SystemExit("--quant requires --latency (int8 is an inference path)")
+
+    if args.eval_throughput:
+        # fuse groups cap at the 8-batch stream regardless of the resolved
+        # default; `--fuse 1` is the per-batch baseline arm
+        cps = measure_eval_throughput(
+            b, p, F, max(3, iters // 8), warmup, args.dtype, fuse=args.fuse
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "deep_sets_eval_clouds_per_sec",
+                    "value": round(cps, 1),
+                    "unit": "clouds/sec",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
 
     if args.latency:
         s = measure_infer_latency(

@@ -46,4 +46,9 @@ row latency_int8 -- --latency --quant int8
 #    recompute, XLA-scheduled
 row deep_sets_remat PCC_PHI_REMAT=1 --
 
+# 6) eval-side step fusion (wrapper._eval_dispatch, round-2): fused vs
+#    per-batch dispatch on the scoring stream
+row eval_fused8 -- --eval-throughput --fuse 8
+row eval_unfused -- --eval-throughput --fuse 1
+
 echo "done -> $OUT"
