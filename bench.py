@@ -883,6 +883,13 @@ def main(argv=None) -> None:
         # device sync (up to ~0.5 s on a degraded tunnel) is amortized
         default_iters = max(ITERS, 4 * args.fuse) if args.pipeline == "resident" else ITERS
         b, p, iters, warmup = B, P, args.iters or default_iters, WARMUP
+        # PCC_BENCH_SCALE: diagnostic workload multiplier (B and P scale
+        # together, so clouds/sec stays comparable per-cloud) — measures
+        # what fraction of the step is fixed per-dispatch/per-kernel
+        # overhead vs HBM/FLOP traffic.  Not the headline workload.
+        scale = int(os.environ.get("PCC_BENCH_SCALE", "1"))
+        if scale > 1:
+            b, p = b * scale, p * scale
 
     if args.quant != "none" and not args.latency:
         # silently running the float train step "with quant" would hand an

@@ -51,4 +51,9 @@ row deep_sets_remat PCC_PHI_REMAT=1 --
 row eval_fused8 -- --eval-throughput --fuse 8
 row eval_unfused -- --eval-throughput --fuse 1
 
+# 7) per-step fixed-overhead fraction: 2x workload per step (B=512,
+#    P=131072) — if clouds/sec rises, the step carries amortizable
+#    per-kernel overhead; if flat, it is pure traffic/FLOP bound
+row deep_sets_scale2 PCC_BENCH_SCALE=2 -- --fuse 64
+
 echo "done -> $OUT"
