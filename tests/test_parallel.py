@@ -163,3 +163,47 @@ def test_shard_batch_places_arrays():
     assert placed["x"].sharding.spec == P("data", None)
     committed = jax.device_get(placed["x"])
     np.testing.assert_array_equal(committed, _tabular_batch()["x"])
+
+
+def _giant_event_batch(p=1024, f=6, seed=0):
+    """ONE event owns every valid point — the 'sequence parallel' analogue.
+
+    The flattened point buffer shards over ``data`` (SURVEY §2's long-context
+    row), so a single event larger than any one shard spans all devices and
+    its segment-sum pooling crosses every shard boundary (XLA emits the
+    psum).  B=2 keeps a second (empty-ish) event so masking stays exercised.
+    """
+    rng = np.random.default_rng(seed)
+    seg = np.zeros((p,), dtype=np.int32)
+    seg[-8:] = 1  # a tiny second event
+    seg[-4:] = 2  # padding slots (B == 2)
+    return {
+        "points": rng.normal(size=(p, f)).astype(np.float32),
+        "seg": seg,
+        "y": np.array([[1.0], [0.0]], dtype=np.float32),
+        "y_mask": np.ones((2,), dtype=np.float32),
+    }
+
+
+def test_giant_event_spans_all_shards():
+    """An event bigger than any single shard trains/predicts exactly like
+    single-device: point-axis sharding is how very large events scale."""
+    model = DeepSets(
+        input_dim=6,
+        phi_layers=[64, 64],
+        rho_layers=[64],
+        output_dim=1,
+        activation="gelu",
+        residual_block=True,
+        pooling="mean",
+    )
+
+    def run(mesh):
+        wrapper = ModelWrapper(model, learning_rate=1e-3, epochs=1, seed=0, mesh=mesh)
+        wrapper.fit([_giant_event_batch(seed=s) for s in range(2)])
+        _, probs = wrapper.predict([_giant_event_batch(seed=9)], return_prob=True)
+        return probs
+
+    single = run(None)
+    sharded = run(make_mesh())  # 8-way: the giant event spans all 8 shards
+    np.testing.assert_allclose(single, sharded, rtol=5e-4, atol=5e-5)
