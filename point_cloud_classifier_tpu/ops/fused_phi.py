@@ -67,6 +67,21 @@ def _env_int(name: str, default: int) -> int:
         return default
 
 
+def _compiler_params():
+    """Opt-in Mosaic scoped-VMEM raise (PCC_PHI_VMEM_MB, whole MB).
+
+    The backward kernel's tile size is capped by the default ~16 MB
+    scoped-vmem stack (its vjp residual live set — see the tile-budget
+    comments in :func:`phi_pool_bwd_pallas`); v5e has 128 MB of VMEM, so
+    raising the cap admits 2-4x larger row tiles (fewer grid steps,
+    longer MXU bursts).  Unset → compiler default, the shipped behavior.
+    A/B rows live in scripts/phi_ab.sh."""
+    mb = _env_int("PCC_PHI_VMEM_MB", 0)
+    if mb <= 0:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
+
+
 def _act(name: str):
     # "gelu" resolves to quick_gelu unless PCC_GELU=exact|poly
     # (ops/activations.py) — the exact-gelu tanh chain alone cost a third
@@ -270,6 +285,7 @@ def phi_pool_pallas(
         ],
         out_specs=pl.BlockSpec((s_pad, h_dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((s_pad, h_dim), jnp.float32),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(seg.astype(jnp.int32).reshape(-1, 1), points, *flat)
     return pooled[:num_segments]
@@ -432,6 +448,7 @@ def phi_pool_bwd_pallas(
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(seg.astype(jnp.int32).reshape(-1, 1), points, g.astype(jnp.float32), *flat)
     return outs[0], outs[1:]

@@ -21,3 +21,9 @@ run "fused-split4" env PCC_PHI_SPLIT=4 PCC_PHI_SPLIT_BWD=4
 run "fused-bwd-t2048-s2" env PCC_PHI_TILE_BWD=2048 PCC_PHI_SPLIT_BWD=2
 run "fused-bwd-t4096-s4" env PCC_PHI_TILE_BWD=4096 PCC_PHI_SPLIT_BWD=4
 run "fused-fwd-t8192-s2" env PCC_PHI_TILE=8192 PCC_PHI_SPLIT=2
+# scoped-VMEM raise (PCC_PHI_VMEM_MB) unlocking larger backward tiles:
+# the bwd auto-budget caps at tile 1024 x width 256 under the default
+# ~16 MB scoped-vmem stack; these rows pair a raised cap with the tile
+run "fused-vmem32-bwd-t2048" env PCC_PHI_VMEM_MB=32 PCC_PHI_TILE_BWD=2048
+run "fused-vmem64-bwd-t4096" env PCC_PHI_VMEM_MB=64 PCC_PHI_TILE_BWD=4096
+run "fused-vmem64-t8192-bwd-t4096" env PCC_PHI_VMEM_MB=64 PCC_PHI_TILE=8192 PCC_PHI_TILE_BWD=4096
