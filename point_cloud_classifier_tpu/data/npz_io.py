@@ -60,7 +60,12 @@ def save_npz(path: str, **arrays) -> None:
     arrays fall back to ``np.savez`` (they need pickle framing).
     """
     vals = {k: np.asanyarray(v) for k, v in arrays.items()}
-    if any(v.dtype.hasobject for v in vals.values()):
+    if any(v.dtype.hasobject for v in vals.values()) or (
+        # this writer emits no zip64 records; past 4 GiB the offsets would
+        # wrap silently.  Per-graph caches are ~KB; anything huge goes the
+        # np.savez route (which switches to zip64 itself)
+        sum(v.nbytes for v in vals.values()) > (1 << 32) - (1 << 20)
+    ):
         np.savez(path, **arrays)
         return
     chunks = []
