@@ -291,21 +291,23 @@ class Step2PointGraph(DataModule):
         self.datasets = {s: [] for s in SPLITS}
         event_id_offset = 0
 
-        for particle in self.particles:
-            for filepath in self._find_files(particle):
-                print(os.path.basename(filepath))
-                raw = self._load_h5py_file(filepath)
-                num_events = len(np.unique(raw["event_id"]))
-                graphs = self._preprocess_data(raw, particle)
-                for g in graphs:
-                    g["source_file"] = os.path.basename(filepath)
-                    g["event_id"] += event_id_offset
-                event_id_offset += num_events
+        # per-file load + graph build fans out over `workers` processes
+        # (module._map_files); offsetting/splitting stay sequential, so the
+        # output is bit-identical to the workers=1 path
+        jobs = self._file_jobs()
+        for (particle, filepath), (num_events, graphs) in zip(
+            jobs, self._map_files(jobs)
+        ):
+            print(os.path.basename(filepath))
+            for g in graphs:
+                g["source_file"] = os.path.basename(filepath)
+                g["event_id"] += event_id_offset
+            event_id_offset += num_events
 
-                train_g, val_g, test_g = self._split_dataset(graphs)
-                self.datasets["train"].extend(train_g)
-                self.datasets["val"].extend(val_g)
-                self.datasets["test"].extend(test_g)
+            train_g, val_g, test_g = self._split_dataset(graphs)
+            self.datasets["train"].extend(train_g)
+            self.datasets["val"].extend(val_g)
+            self.datasets["test"].extend(test_g)
 
         total = sum(len(self.datasets[s]) for s in SPLITS)
         print("total_events:", total)

@@ -44,12 +44,19 @@ class DataModule:
         create_dataset: bool = False,
         feature_scaling: bool = True,
         batch_size: int = None,
+        workers: int = 1,
     ):
         self.data_dir = data_dir
         self.particles = list(particles)
         self.create_dataset = create_dataset
         self.feature_scaling = feature_scaling
         self.batch_size = batch_size
+        # dataset creation: per-FILE load+preprocess fan-out across this
+        # many forked processes (the files are independent; offset/split/
+        # concat stay sequential so outputs are bit-identical to workers=1
+        # — pinned by tests/test_data.py).  The reference pipeline is
+        # strictly sequential (`utils/data.py:74-123`).
+        self.workers = max(1, int(workers))
         self.data_split = (0.6, 0.2, 0.2)
         self.datasets: Dict[str, object] = {s: [] for s in SPLITS}
         # dataset creation renumbers events to contiguous ids (reference
@@ -67,31 +74,65 @@ class DataModule:
 
     # -- pipeline ----------------------------------------------------------
 
+    def _file_jobs(self) -> List[tuple]:
+        """(particle, filepath) work list in the reference's iteration order."""
+        return [(p, fp) for p in self.particles for fp in self._find_files(p)]
+
+    def _preprocess_file(self, job: tuple):
+        """Load + representation-preprocess ONE file (the parallelizable stage).
+
+        Returns ``(num_events, preprocessed)`` with file-local event ids —
+        offsetting/splitting happen sequentially in the parent so the
+        pipeline's outputs do not depend on ``workers``.
+        """
+        particle, filepath = job
+        raw = self._load_h5py_file(filepath)
+        num_events = len(np.unique(raw["event_id"]))
+        return num_events, self._preprocess_data(raw, particle)
+
+    def _map_files(self, jobs: List[tuple]) -> List[tuple]:
+        """Run ``_preprocess_file`` over ``jobs``, fanned out over ``workers``.
+
+        Fork-based pool (re-importing the interpreter in a spawned child
+        would re-run the TPU plugin registration, which can hang when the
+        device transport is down; forked children run pure numpy/h5py and
+        never touch jax).  Falls back to sequential when fork is
+        unavailable or there is nothing to parallelize.
+        """
+        import multiprocessing
+
+        n = min(self.workers, len(jobs))
+        if n <= 1 or "fork" not in multiprocessing.get_all_start_methods():
+            return [self._preprocess_file(j) for j in jobs]
+        ctx = multiprocessing.get_context("fork")
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=n, mp_context=ctx) as pool:
+            return list(pool.map(self._preprocess_file, jobs))
+
     def _create_dataset(self) -> None:
         """Generic per-file create→preprocess→split→concat pipeline.
 
         Reference `utils/data.py:74-123`: event ids are offset by the running
         number of events per file so they stay globally unique, splits happen
-        at file level, then splits are concatenated across files.
+        at file level, then splits are concatenated across files.  The
+        load+preprocess stage fans out over ``workers`` processes; the
+        order-dependent bookkeeping stays sequential.
         """
         self.datasets = {s: [] for s in SPLITS}
         event_id_offset = 0
 
-        for particle in self.particles:
-            for filepath in self._find_files(particle):
-                print(os.path.basename(filepath))
-                raw = self._load_h5py_file(filepath)
-                num_events = len(np.unique(raw["event_id"]))
+        jobs = self._file_jobs()
+        for (particle, filepath), (num_events, df) in zip(jobs, self._map_files(jobs)):
+            print(os.path.basename(filepath))
+            df["source_file"] = os.path.basename(filepath)
+            df["event_id"] = df["event_id"] + event_id_offset
+            event_id_offset += num_events
 
-                df = self._preprocess_data(raw, particle)
-                df["source_file"] = os.path.basename(filepath)
-                df["event_id"] = df["event_id"] + event_id_offset
-                event_id_offset += num_events
-
-                train_df, val_df, test_df = self._split_dataset(df)
-                self.datasets["train"].append(train_df)
-                self.datasets["val"].append(val_df)
-                self.datasets["test"].append(test_df)
+            train_df, val_df, test_df = self._split_dataset(df)
+            self.datasets["train"].append(train_df)
+            self.datasets["val"].append(val_df)
+            self.datasets["test"].append(test_df)
 
         for split in SPLITS:
             self.datasets[split] = pd.concat(self.datasets[split], ignore_index=True)

@@ -33,16 +33,27 @@ def _compile_and_load(
     if not os.path.exists(lib_path) or os.path.getmtime(lib_path) < os.path.getmtime(
         src
     ):
+        # compile to a per-process temp then atomically rename: concurrent
+        # builders (forked dataset-creation workers, parallel test runs)
+        # must never dlopen a half-written .so
+        tmp_path = f"{lib_path}.tmp{os.getpid()}"
         try:
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src, "-o", lib_path],
+                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src, "-o", tmp_path],
                 check=True,
                 capture_output=True,
                 timeout=120,
             )
+            os.replace(tmp_path, lib_path)
         except (subprocess.SubprocessError, FileNotFoundError, OSError):
             failed_flag[0] = True
             return None
+        finally:
+            if os.path.exists(tmp_path):
+                try:
+                    os.remove(tmp_path)
+                except OSError:
+                    pass
     try:
         return ctypes.CDLL(lib_path)
     except OSError:

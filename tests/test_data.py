@@ -4,6 +4,7 @@ These don't need the reference mount — expected values are hand-derived from
 the documented semantics (SURVEY.md §2 rows 3-5).
 """
 
+import os
 import numpy as np
 import pytest
 
@@ -311,3 +312,56 @@ def test_split_fractions_and_stratification(data_dir):
     for s in sizes:
         frac_pim = tab.datasets[s]["label"].mean()
         assert 0.3 < frac_pim < 0.7  # both classes present in every split
+
+
+class TestParallelCreate:
+    """workers>1 dataset creation is bit-identical to sequential.
+
+    Only the per-file load+preprocess stage fans out (module._map_files);
+    offsetting, splits, scaling, and cache writes stay sequential — so every
+    cached artifact must match the workers=1 run exactly.
+    """
+
+    def _two_dirs(self, tmp_path, cls, **kw):
+        from point_cloud_classifier_tpu.data.synthetic import write_synthetic_dataset
+
+        out = []
+        for name, workers in (("seq", 1), ("par", 3)):
+            d = str(tmp_path / name)
+            write_synthetic_dataset(
+                d, n_events_per_file=12, n_files_per_particle=2, seed=7
+            )
+            cls(d, create_dataset=True, workers=workers, **kw)
+            out.append(d)
+        return out
+
+    def _assert_trees_equal(self, a_dir, b_dir, name):
+        import glob as g
+
+        a_files = sorted(
+            os.path.relpath(p, a_dir)
+            for p in g.glob(os.path.join(a_dir, name, "**", "*.npz"), recursive=True)
+        )
+        b_files = sorted(
+            os.path.relpath(p, b_dir)
+            for p in g.glob(os.path.join(b_dir, name, "**", "*.npz"), recursive=True)
+        )
+        assert a_files == b_files and a_files
+        for rel in a_files:
+            a = np.load(os.path.join(a_dir, rel))
+            b = np.load(os.path.join(b_dir, rel))
+            assert set(a.files) == set(b.files)
+            for k in a.files:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=f"{rel}:{k}")
+
+    def test_tabular_workers_bitwise(self, tmp_path):
+        from point_cloud_classifier_tpu.data import Step2PointTabular
+
+        seq, par = self._two_dirs(tmp_path, Step2PointTabular)
+        self._assert_trees_equal(seq, par, "S2PT")
+
+    def test_graph_workers_bitwise(self, tmp_path):
+        from point_cloud_classifier_tpu.data import Step2PointGraph
+
+        seq, par = self._two_dirs(tmp_path, Step2PointGraph)
+        self._assert_trees_equal(seq, par, "S2PG")

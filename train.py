@@ -321,6 +321,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "--datasets", nargs="+", default=["s2pt", "s2ppc", "s2pg"],
         choices=["s2pt", "s2ppc", "s2pg"],
     )
+    cp.add_argument(
+        "--workers", type=int, default=1,
+        help="fan per-file load+preprocess out over N processes; outputs "
+        "are bit-identical to --workers 1 (offset/split/concat stay "
+        "sequential)",
+    )
     return parser
 
 
@@ -383,6 +389,8 @@ def main(argv=None) -> None:
             )
             config["dataset"]["data_dir"] = args.data_dir
             config["dataset"]["create_dataset"] = True
+            if args.workers > 1:
+                config["dataset"]["workers"] = args.workers
             get_dataloader(ds, config)
         return
 
