@@ -1,0 +1,231 @@
+"""Torch-checkpoint conversion (convert.py): forward-output equivalence.
+
+For each supported model the test builds the actual reference torch module
+(or the reference-semantics oracle where torch_geometric is required),
+converts its randomly-initialized ``state_dict`` with
+``convert_torch_state_dict``, and asserts the logits of the torch eval
+forward and our converted-params eval forward match — the property a
+migrating user needs from `docs/migration.md`'s checkpoint section.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from point_cloud_classifier_tpu.convert import convert_torch_state_dict
+
+torch = pytest.importorskip("torch")
+
+REFERENCE = "/root/reference"
+needs_reference = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference tree not mounted"
+)
+
+
+def _ref_class(module: str, name: str):
+    sys.path.insert(0, REFERENCE)
+    try:
+        import importlib
+
+        for m in list(sys.modules):
+            if m == "models" or m.startswith("models."):
+                del sys.modules[m]
+        cls = getattr(importlib.import_module(module), name)
+    finally:
+        sys.path.remove(REFERENCE)
+        for m in list(sys.modules):
+            if m == "models" or m.startswith("models."):
+                del sys.modules[m]
+    return cls
+
+
+def _ours(model, params, stats, batch):
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    out = model.apply(variables, batch, train=False)
+    return np.asarray(out, dtype=np.float32)
+
+
+@needs_reference
+@pytest.mark.parametrize("bn", [True, False], ids=["bn", "nobn"])
+def test_fcn_forward_equivalence(bn):
+    from point_cloud_classifier_tpu.models import FullyConnectedNet
+
+    RefFCN = _ref_class("models.fully_connected_net", "FullyConnectedNet")
+    torch.manual_seed(0)
+    cfg = {
+        "input_dim": 9,
+        "hidden_layers": [24, 24],
+        "batch_normalization": bn,
+        "output_dim": 1,
+    }
+    ref = RefFCN(**cfg).eval()
+    params, stats = convert_torch_state_dict(
+        "fully_connected_net", {"model": cfg}, ref.state_dict()
+    )
+
+    x = np.random.default_rng(1).normal(size=(16, 9)).astype(np.float32)
+    want = ref(torch.from_numpy(x)).detach().numpy()
+    got = _ours(
+        FullyConnectedNet(**cfg),
+        params,
+        stats,
+        {"x": x, "y_mask": np.ones((16,), np.float32)},
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@needs_reference
+@pytest.mark.parametrize(
+    "ln,residual",
+    [(True, True), (True, False), (False, True), (False, False)],
+    ids=["ln+res", "ln", "res", "plain"],
+)
+def test_deep_sets_forward_equivalence(ln, residual, monkeypatch):
+    from point_cloud_classifier_tpu.models import DeepSets
+
+    # our "gelu" resolves to QuickGELU by default (whole-step A/B'd, a
+    # ~3e-4 logit change); equivalence testing wants the reference's
+    # exact-erf form
+    monkeypatch.setenv("PCC_GELU", "exact")
+    RefDS = _ref_class("models.deep_sets", "DeepSets")
+    torch.manual_seed(0)
+    cfg = {
+        "input_dim": 6,
+        "phi_layers": [24, 24],
+        "rho_layers": [24],
+        "output_dim": 1,
+        "activation": "gelu",
+        "layer_norm": ln,
+        "residual_block": residual,
+        "pooling": "mean",
+    }
+    ref = RefDS(**cfg, sparse_batching=True).eval()
+    params, stats = convert_torch_state_dict("deep_sets", {"model": cfg}, ref.state_dict())
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(40, 6)).astype(np.float32)
+    idx = np.sort(rng.integers(0, 4, size=(40,))).astype(np.int64)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), torch.from_numpy(idx)).numpy()
+    got = _ours(
+        DeepSets(**cfg),
+        params,
+        stats,
+        {
+            "points": x,
+            "seg": idx.astype(np.int32),
+            "y": np.zeros((4, 1), np.float32),
+            "y_mask": np.ones((4,), np.float32),
+        },
+    )
+    # atol 1e-4: stacked f32 LayerNorms differ by accumulation order
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_graph_net_forward_equivalence():
+    """Oracle with torch_geometric's GraphConv key layout (lin_rel/lin_root)
+    and the reference's deepchem readout (`models/graph_net.py:86-92`)."""
+    import torch.nn as nn
+
+    from point_cloud_classifier_tpu.models import GraphNet
+
+    class RefGraphConv(nn.Module):
+        def __init__(self, dim_in, dim_out):
+            super().__init__()
+            self.lin_rel = nn.Linear(dim_in, dim_out)
+            self.lin_root = nn.Linear(dim_in, dim_out, bias=False)
+
+        def forward(self, x, src, dst):
+            agg = torch.zeros(x.shape[0], self.lin_rel.in_features)
+            agg.index_add_(0, dst, x[src])
+            return self.lin_rel(agg) + self.lin_root(x)
+
+    class RefGraphNet(nn.Module):
+        def __init__(self, hidden=24):
+            super().__init__()
+            self.conv1 = RefGraphConv(4, hidden)
+            self.bn1 = nn.BatchNorm1d(hidden)
+            self.conv2 = RefGraphConv(hidden, hidden)
+            self.bn2 = nn.BatchNorm1d(hidden)
+            self.fc1 = nn.Linear(hidden, 256)
+            self.bn3 = nn.BatchNorm1d(256)
+            self.fc2 = nn.Linear(256, 1)
+
+        def forward(self, x, membership, src, dst, batch_size):
+            x = self.bn1(torch.tanh(self.conv1(x, src, dst)))
+            x = self.bn2(torch.tanh(self.conv2(x, src, dst)))
+            x = self.bn3(torch.tanh(self.fc1(x)))  # deepchem_style
+            pooled = torch.zeros(batch_size, x.shape[1])
+            pooled.index_add_(0, membership, x)
+            counts = torch.bincount(membership, minlength=batch_size).clamp(min=1)
+            return self.fc2(pooled / counts[:, None].float())
+
+    torch.manual_seed(0)
+    ref = RefGraphNet().eval()
+    cfg = {
+        "input_dim": 4,
+        "hidden_dim": 24,
+        "output_dim": 1,
+        "activation": "tanh",
+        "deepchem_style": True,
+    }
+    params, stats = convert_torch_state_dict("graph_net", {"model": cfg}, ref.state_dict())
+
+    rng = np.random.default_rng(3)
+    n, e, b = 20, 40, 3
+    x = rng.normal(size=(n, 4)).astype(np.float32)
+    node_seg = np.sort(rng.integers(0, b, size=(n,))).astype(np.int32)
+    src = rng.integers(0, n, size=(e,)).astype(np.int32)
+    dst = rng.integers(0, n, size=(e,)).astype(np.int32)
+    with torch.no_grad():
+        want = ref(
+            torch.from_numpy(x),
+            torch.from_numpy(node_seg.astype(np.int64)),
+            torch.from_numpy(src.astype(np.int64)),
+            torch.from_numpy(dst.astype(np.int64)),
+            b,
+        ).numpy()
+    got = _ours(
+        GraphNet(**cfg),
+        params,
+        stats,
+        {
+            "nodes": x,
+            "node_seg": node_seg,
+            "src": src,
+            "dst": dst,
+            "edge_w": np.ones((e,), np.float32),
+            "edge_mask": np.ones((e,), np.float32),
+            "y": np.zeros((b, 1), np.float32),
+            "y_mask": np.ones((b,), np.float32),
+        },
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_rejects_unsupported_and_leftovers():
+    cfg = {"model": {"use_gat": True}}
+    with pytest.raises(NotImplementedError):
+        convert_torch_state_dict("graph_net", cfg, {})
+    with pytest.raises(ValueError):
+        convert_torch_state_dict("logistic_regression", {"model": {}}, {})
+    # a leftover (unmapped) key must be a hard error, not silence
+    fcn_cfg = {
+        "model": {
+            "input_dim": 2,
+            "hidden_layers": [],
+            "batch_normalization": False,
+            "output_dim": 1,
+        }
+    }
+    state = {
+        "network.0.weight": np.zeros((1, 2)),
+        "network.0.bias": np.zeros((1,)),
+        "network.9.weight": np.zeros((1, 1)),
+    }
+    with pytest.raises(ValueError, match="unconverted"):
+        convert_torch_state_dict("fully_connected_net", fcn_cfg, state)

@@ -327,6 +327,21 @@ def _build_parser() -> argparse.ArgumentParser:
         "are bit-identical to --workers 1 (offset/split/concat stay "
         "sequential)",
     )
+
+    cv = sub.add_parser(
+        "convert",
+        help="convert a reference torch checkpoint (torch.save state_dict) "
+        "into this framework's checkpoint format",
+    )
+    cv.add_argument("model", choices=["fully_connected_net", "deep_sets", "graph_net"])
+    cv.add_argument("torch_ckpt", help="reference best_model.pt / model.pt")
+    cv.add_argument("out", help="output path (e.g. <run_dir>/model.pt)")
+    cv.add_argument("--config-dir", default="configs")
+    cv.add_argument(
+        "--config", default=None,
+        help="resolved config.yaml from the reference run dir (defaults to "
+        "the configs/ overlay for the model — dims must match the ckpt)",
+    )
     return parser
 
 
@@ -372,6 +387,23 @@ def main(argv=None) -> None:
             platforms=tuple(args.platforms) if args.platforms else None,
         )
         print(f"Exported serving artifacts to {out}")
+        return
+
+    if args.command == "convert":
+        from point_cloud_classifier_tpu.convert import convert_checkpoint
+
+        if args.config:
+            import yaml
+
+            with open(args.config) as f:
+                config = yaml.safe_load(f)
+        else:
+            config = load_config(
+                os.path.join(args.config_dir, "base.yaml"),
+                os.path.join(args.config_dir, f"{args.model}.yaml"),
+            )
+        convert_checkpoint(args.model, config, args.torch_ckpt, args.out)
+        print(f"Converted {args.torch_ckpt} -> {args.out}")
         return
 
     if args.command == "create-datasets":
