@@ -94,9 +94,18 @@ class LogRegression:
     def load(self, model_path: str) -> "LogRegression":
         with open(model_path, "rb") as f:
             state = pickle.load(f)
-        self.coef_ = state["coef_"]
-        self.intercept_ = state["intercept_"]
-        self.C = state.get("C", 1.0)
+        if isinstance(state, dict):
+            self.coef_ = state["coef_"]
+            self.intercept_ = state["intercept_"]
+            self.C = state.get("C", 1.0)
+        else:
+            # a reference model.pkl: the pickled sklearn LogisticRegression
+            # estimator itself (`models/logistic_regression.py:11-16`).
+            # Its decision function is the same affine form, so the fitted
+            # coefficients drop straight in — reference runs load natively
+            self.coef_ = np.asarray(state.coef_, dtype=np.float64)
+            self.intercept_ = np.asarray(state.intercept_, dtype=np.float64)
+            self.C = float(getattr(state, "C", 1.0))
         return self
 
     def get_trainable_parameters(self) -> int:

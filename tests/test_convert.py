@@ -229,3 +229,28 @@ def test_rejects_unsupported_and_leftovers():
     }
     with pytest.raises(ValueError, match="unconverted"):
         convert_torch_state_dict("fully_connected_net", fcn_cfg, state)
+
+
+def test_logreg_loads_reference_sklearn_pickle(tmp_path):
+    """The reference pickles the sklearn estimator itself; our load()
+    accepts it natively (same affine decision function)."""
+    import pickle
+
+    import pandas as pd
+    from sklearn.linear_model import LogisticRegression as SkLR
+
+    from point_cloud_classifier_tpu.models import LogRegression
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(200, 5))
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(float)
+    sk = SkLR().fit(X, y)
+    path = str(tmp_path / "model.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(sk, f)
+
+    ours = LogRegression().load(path)
+    df = pd.DataFrame(X, columns=[f"f{i}" for i in range(5)])
+    df["label"] = y
+    _, prob = ours.predict(df, return_prob=True)
+    np.testing.assert_allclose(prob, sk.predict_proba(X)[:, 1], rtol=1e-10, atol=1e-12)
