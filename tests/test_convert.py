@@ -254,3 +254,40 @@ def test_logreg_loads_reference_sklearn_pickle(tmp_path):
     df["label"] = y
     _, prob = ours.predict(df, return_prob=True)
     np.testing.assert_allclose(prob, sk.predict_proba(X)[:, 1], rtol=1e-10, atol=1e-12)
+
+
+@needs_reference
+def test_round_trip_ours_to_torch_and_back():
+    """ours -> torch (strict load_state_dict on the real reference module)
+    -> ours again: arrays survive both directions exactly."""
+    from point_cloud_classifier_tpu.convert import to_torch_state_dict
+
+    RefFCN = _ref_class("models.fully_connected_net", "FullyConnectedNet")
+    torch.manual_seed(1)
+    cfg = {
+        "input_dim": 9,
+        "hidden_layers": [16, 16],
+        "batch_normalization": True,
+        "output_dim": 1,
+    }
+    ref = RefFCN(**cfg)
+    params, stats = convert_torch_state_dict(
+        "fully_connected_net", {"model": cfg}, ref.state_dict()
+    )
+    sd = to_torch_state_dict("fully_connected_net", {"model": cfg}, params, stats)
+    ref2 = RefFCN(**cfg)
+    ref2.load_state_dict({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()})
+    for k, v in ref.state_dict().items():
+        np.testing.assert_array_equal(
+            v.numpy(), ref2.state_dict()[k].numpy(), err_msg=k
+        )
+    # and back again through the forward converter
+    params2, stats2 = convert_torch_state_dict(
+        "fully_connected_net", {"model": cfg}, ref2.state_dict()
+    )
+    import jax
+
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(stats), jax.tree.leaves(stats2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -342,6 +342,11 @@ def _build_parser() -> argparse.ArgumentParser:
         help="resolved config.yaml from the reference run dir (defaults to "
         "the configs/ overlay for the model — dims must match the ckpt)",
     )
+    cv.add_argument(
+        "--to-torch", action="store_true",
+        help="reverse direction: read one of OUR checkpoints and write a "
+        "reference-loadable torch state_dict",
+    )
     return parser
 
 
@@ -390,7 +395,10 @@ def main(argv=None) -> None:
         return
 
     if args.command == "convert":
-        from point_cloud_classifier_tpu.convert import convert_checkpoint
+        from point_cloud_classifier_tpu.convert import (
+            convert_checkpoint,
+            export_torch_checkpoint,
+        )
 
         if args.config:
             import yaml
@@ -402,7 +410,8 @@ def main(argv=None) -> None:
                 os.path.join(args.config_dir, "base.yaml"),
                 os.path.join(args.config_dir, f"{args.model}.yaml"),
             )
-        convert_checkpoint(args.model, config, args.torch_ckpt, args.out)
+        fn = export_torch_checkpoint if args.to_torch else convert_checkpoint
+        fn(args.model, config, args.torch_ckpt, args.out)
         print(f"Converted {args.torch_ckpt} -> {args.out}")
         return
 
