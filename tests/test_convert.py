@@ -291,3 +291,54 @@ def test_round_trip_ours_to_torch_and_back():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree.leaves(stats), jax.tree.leaves(stats2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@needs_reference
+def test_migration_lifecycle_reference_run_dir(tmp_path):
+    """The full switching-user path: a reference-style run dir (byte-compat
+    config.yaml + torch state_dict checkpoint) converts and then evaluates
+    through our evaluate_model, producing the standard artifacts."""
+    import json
+
+    import train as train_mod
+    from point_cloud_classifier_tpu.convert import convert_checkpoint
+    from point_cloud_classifier_tpu.data import Step2PointTabular
+    from point_cloud_classifier_tpu.data.synthetic import write_synthetic_dataset
+    from point_cloud_classifier_tpu.utils.config import load_config
+
+    data_dir = str(tmp_path / "data")
+    write_synthetic_dataset(data_dir, n_events_per_file=30, seed=5)
+    Step2PointTabular(data_dir, create_dataset=True)
+
+    # the reference run dir: resolved config.yaml (same schema) + torch ckpt
+    run_dir = tmp_path / "version_0"
+    run_dir.mkdir()
+    config = load_config("configs/base.yaml", "configs/fully_connected_net.yaml")
+    config["meta"] = {
+        "model_name": "fully_connected_net",
+        "dataset_name": "s2pt",
+    }
+    config["dataset"]["data_dir"] = data_dir
+    import yaml
+
+    with open(run_dir / "config.yaml", "w") as f:
+        yaml.safe_dump(config, f)
+
+    RefFCN = _ref_class("models.fully_connected_net", "FullyConnectedNet")
+    torch.manual_seed(2)
+    ref = RefFCN(**{k: config["model"][k] for k in (
+        "input_dim", "hidden_layers", "batch_normalization", "output_dim")})
+    torch.save(ref.state_dict(), str(run_dir / "ref_model.pt"))
+
+    convert_checkpoint(
+        "fully_connected_net", config, str(run_dir / "ref_model.pt"),
+        str(run_dir / "best_model.pt"),
+    )
+
+    save_dir = tmp_path / "eval"
+    save_dir.mkdir()
+    metrics = train_mod.evaluate_model(str(run_dir), str(save_dir))
+    assert set(metrics) == {"accuracy_train", "accuracy_val", "accuracy_test"}
+    with open(save_dir / "metrics.json") as f:
+        assert json.load(f) == metrics
+    assert (save_dir / "classification_report.txt").exists()
