@@ -90,25 +90,46 @@ class DataModule:
         num_events = len(np.unique(raw["event_id"]))
         return num_events, self._preprocess_data(raw, particle)
 
-    def _map_files(self, jobs: List[tuple]) -> List[tuple]:
-        """Run ``_preprocess_file`` over ``jobs``, fanned out over ``workers``.
+    def _map_files(self, jobs: List[tuple]):
+        """Yield ``_preprocess_file`` results over ``jobs``, in job order,
+        fanned out over ``workers``.
 
         Fork-based pool (re-importing the interpreter in a spawned child
         would re-run the TPU plugin registration, which can hang when the
         device transport is down; forked children run pure numpy/h5py and
         never touch jax).  Falls back to sequential when fork is
-        unavailable or there is nothing to parallelize.
+        unavailable or there is nothing to parallelize.  Results stream as
+        they complete (in order), so long runs show per-file progress; a
+        per-file timeout (PCC_FILE_TIMEOUT seconds, default 3600) turns a
+        hung child — fork from a multi-threaded parent can in principle
+        deadlock on an inherited lock — into a hard error instead of a
+        silent forever-hang.  Failures carry the file they belong to.
         """
         import multiprocessing
 
         n = min(self.workers, len(jobs))
         if n <= 1 or "fork" not in multiprocessing.get_all_start_methods():
-            return [self._preprocess_file(j) for j in jobs]
+            for job in jobs:
+                try:
+                    yield self._preprocess_file(job)
+                except Exception as e:
+                    raise RuntimeError(f"preprocessing failed on {job[1]}") from e
+            return
         ctx = multiprocessing.get_context("fork")
         from concurrent.futures import ProcessPoolExecutor
 
+        timeout = float(os.environ.get("PCC_FILE_TIMEOUT", "3600"))
         with ProcessPoolExecutor(max_workers=n, mp_context=ctx) as pool:
-            return list(pool.map(self._preprocess_file, jobs))
+            futures = [(job, pool.submit(self._preprocess_file, job)) for job in jobs]
+            for job, fut in futures:
+                try:
+                    yield fut.result(timeout=timeout)
+                except Exception as e:
+                    raise RuntimeError(
+                        f"preprocessing failed (or timed out after {timeout:.0f}s "
+                        f"— a forked worker can deadlock on an inherited lock; "
+                        f"retry with workers=1) on {job[1]}"
+                    ) from e
 
     def _create_dataset(self) -> None:
         """Generic per-file create→preprocess→split→concat pipeline.

@@ -13,9 +13,12 @@ zip of ``.npy`` members that ``np.load`` reads, and the parity tests load
 both sides with ``np.load`` — but build the container in memory and write
 it with one syscall (:func:`save_npz`), and read it back by parsing the
 zip structure directly into ``np.frombuffer`` views over one bytearray
-(:func:`load_npz`).  Reference-produced caches load fine: any feature the
-fast parser does not recognise (compression, zip64, object arrays, zip
-comments) falls back to ``np.load``/``np.savez`` transparently.
+(:func:`load_npz`).  Reference-produced caches load fine: any container
+feature the fast parser does not recognise (compression, zip64, zip
+comments, corrupt members) falls back to ``np.load`` transparently.
+Object-dtype arrays are refused on save (np.savez would pickle them into
+a file the paired loader — allow_pickle=False, np.load's own default —
+rejects) and >4 GiB payloads route to ``np.savez`` for its zip64 support.
 """
 
 from __future__ import annotations
@@ -60,12 +63,20 @@ def save_npz(path: str, **arrays) -> None:
     arrays fall back to ``np.savez`` (they need pickle framing).
     """
     vals = {k: np.asanyarray(v) for k, v in arrays.items()}
-    if any(v.dtype.hasobject for v in vals.values()) or (
+    if any(v.dtype.hasobject for v in vals.values()):
+        # np.savez would pickle these — writing a file the paired
+        # load_npz (allow_pickle=False, like np.load's default) refuses
+        # to read.  No cache in this codebase stores objects; fail loudly
+        # instead of writing an unreadable-by-policy artifact.
+        raise TypeError(
+            "save_npz does not accept object-dtype arrays (pickled members "
+            "are rejected on load); use np.savez + np.load(allow_pickle=True) "
+            "explicitly if you really need that"
+        )
+    if sum(v.nbytes for v in vals.values()) > (1 << 32) - (1 << 20):
         # this writer emits no zip64 records; past 4 GiB the offsets would
         # wrap silently.  Per-graph caches are ~KB; anything huge goes the
         # np.savez route (which switches to zip64 itself)
-        sum(v.nbytes for v in vals.values()) > (1 << 32) - (1 << 20)
-    ):
         np.savez(path, **arrays)
         return
     chunks = []
@@ -124,6 +135,11 @@ def _parse_npy(buf: bytearray, start: int, size: int) -> np.ndarray:
     count = 1
     for s in shape:
         count *= s
+    if data_off + count * dtype.itemsize > start + size:
+        # header claims more data than the zip member holds: frombuffer
+        # over the whole-file buffer would silently read into the NEXT
+        # member — route corrupt files to the np.load fallback instead
+        raise ValueError(".npy payload exceeds its zip member")
     arr = np.frombuffer(buf, dtype=dtype, count=count, offset=data_off)
     arr = arr.reshape(shape, order="F" if meta["fortran_order"] else "C")
     return arr

@@ -106,34 +106,65 @@ def parse(outdir: str, top: int) -> None:
     )
     if not paths:
         raise SystemExit(f"no *.trace.json.gz under {outdir}")
-    by_track = defaultdict(lambda: defaultdict(float))  # track -> name -> us
+    # aggregate SELF time per (pid, tid): one device pid carries SEPARATE
+    # overlapping lanes ("XLA Ops", "XLA Modules", "Steps"), and within a
+    # lane spans NEST (a fused-scan `while` span contains every op of its
+    # body) — naive dur sums double-count both ways.  Per lane, sort by
+    # start time and subtract each span's duration from its enclosing
+    # parent's running self time (classic flame-graph self-time pass).
+    lane_events = defaultdict(list)  # (proc, thread) -> [(ts, dur, name)]
     for path in paths:
         with gzip.open(path, "rt") as f:
             trace = json.load(f)
         events = trace.get("traceEvents", [])
-        pid_names = {
-            ev["pid"]: ev["args"].get("name", "")
-            for ev in events
-            if ev.get("ph") == "M" and ev.get("name") == "process_name"
-        }
+        pid_names, tid_names = {}, {}
+        for ev in events:
+            if ev.get("ph") == "M" and ev.get("name") == "process_name":
+                pid_names[ev["pid"]] = ev["args"].get("name", "")
+            elif ev.get("ph") == "M" and ev.get("name") == "thread_name":
+                tid_names[(ev["pid"], ev.get("tid"))] = ev["args"].get("name", "")
         for ev in events:
             if ev.get("ph") != "X" or "dur" not in ev:
                 continue
-            track = pid_names.get(ev.get("pid"), str(ev.get("pid")))
-            by_track[track][ev["name"]] += ev["dur"]
+            pid, tid = ev.get("pid"), ev.get("tid")
+            track = (
+                pid_names.get(pid, str(pid)),
+                tid_names.get((pid, tid), str(tid)),
+            )
+            lane_events[track].append((ev["ts"], ev["dur"], ev["name"]))
 
-    # device tracks first (TensorCore / TPU / GPU naming), host otherwise
-    device_tracks = {
-        t: ops
-        for t, ops in by_track.items()
-        if any(s in t for s in ("TPU", "Tensor", "GPU", "/device:"))
-    }
-    tracks = device_tracks or by_track
-    for track, ops in sorted(tracks.items()):
+    by_track = {}  # (proc, thread) -> name -> self us
+    for track, evs in lane_events.items():
+        # parents first: earlier start, then longer duration at equal start
+        evs.sort(key=lambda e: (e[0], -e[1]))
+        ops = defaultdict(float)
+        stack = []  # [(end_ts, name, self_us)]
+        for ts, dur, name in evs:
+            while stack and stack[-1][0] <= ts:
+                end, n, s = stack.pop()
+                ops[n] += s
+            if stack:
+                stack[-1] = (stack[-1][0], stack[-1][1], stack[-1][2] - dur)
+            stack.append((ts + dur, name, float(dur)))
+        for end, n, s in stack:
+            ops[n] += s
+        by_track[track] = ops
+
+    def pick(pred):
+        return {t: ops for t, ops in by_track.items() if pred(t)}
+
+    # the per-op lane of the device track is what kernel tuning wants;
+    # fall back to any device lane, then host, if the naming differs
+    tracks = (
+        pick(lambda t: "TPU" in t[0] and "Ops" in t[1])
+        or pick(lambda t: any(s in t[0] for s in ("TPU", "Tensor", "GPU", "/device:")))
+        or by_track
+    )
+    for (proc, thread), ops in sorted(tracks.items()):
         total = sum(ops.values())
         if not total:
             continue
-        print(f"\n== {track}  (total {total / 1e3:.2f} ms) ==")
+        print(f"\n== {proc} / {thread}  (total {total / 1e3:.2f} ms) ==")
         rows = sorted(ops.items(), key=lambda kv: -kv[1])[:top]
         for name, us in rows:
             print(f"  {us / 1e3:9.3f} ms  {100 * us / total:5.1f}%  {name[:90]}")
