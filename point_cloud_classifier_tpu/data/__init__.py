@@ -1,3 +1,4 @@
+from point_cloud_classifier_tpu.data.module import DataModule
 from point_cloud_classifier_tpu.data.tabular import Step2PointTabular
 from point_cloud_classifier_tpu.data.pointcloud import Step2PointPointCloud
 from point_cloud_classifier_tpu.data.graph import Step2PointGraph
@@ -15,6 +16,7 @@ from point_cloud_classifier_tpu.data.synthetic import (
 )
 
 __all__ = [
+    "DataModule",
     "Step2PointTabular",
     "Step2PointPointCloud",
     "Step2PointGraph",

@@ -56,4 +56,15 @@ row eval_unfused -- --eval-throughput --fuse 1
 #    per-kernel overhead; if flat, it is pure traffic/FLOP bound
 row deep_sets_scale2 PCC_BENCH_SCALE=2 -- --fuse 64
 
+# 8) profile captures for the next kernel-tuning pass (after the A/B rows
+#    so a mid-queue stall cannot cost the ratios): per-op self-time
+#    breakdowns land in /tmp/trace_* and the parsed tables in $OUT
+for spec in "deep_sets " "graph_net --model graph_net" "gat --model graph_net --gat"; do
+  tag="${spec%% *}"; args="${spec#* }"
+  echo "--- profile_$tag" | tee -a "$OUT"
+  # shellcheck disable=SC2086
+  timeout 420 python scripts/profile_step.py $args --top 12 2>/dev/null \
+    | tail -16 | sed "s/^/profile_$tag /" | tee -a "$OUT"
+done
+
 echo "done -> $OUT"
