@@ -382,3 +382,48 @@ def test_phi_mode_routing():
             residual_block=True, pooling="mean", fused_phi="tail",
         )
         assert m._phi_mode(train=False) == "pallas"
+
+
+@pytest.mark.parametrize(
+    "knobs",
+    [
+        {"PCC_PHI_SPLIT": "2", "PCC_PHI_SPLIT_BWD": "2"},
+        {"PCC_PHI_SPLIT": "4", "PCC_PHI_SPLIT_BWD": "4"},
+        {"PCC_PHI_TILE": "128", "PCC_PHI_SPLIT": "2"},
+        {"PCC_PHI_TILE_BWD": "128", "PCC_PHI_SPLIT_BWD": "2"},
+        {"PCC_PHI_TILE": "128", "PCC_PHI_TILE_BWD": "128"},
+        {"PCC_PHI_VMEM_MB": "32", "PCC_PHI_TILE_BWD": "128"},
+    ],
+    ids=["split2", "split4", "fwd-t128-s2", "bwd-t128-s2", "t128-both", "vmem32"],
+)
+def test_tuning_knob_combinations_keep_grads_exact(monkeypatch, knobs):
+    """Every knob combination scripts/phi_ab.sh exercises (tile overrides,
+    row splits, the scoped-VMEM raise — scaled to test shapes) must keep
+    fwd+bwd parity with the XLA oracle, so a device A/B can never pick a
+    numerically wrong configuration.  Knobs are read at trace time
+    (``_env_int`` inside phi_pool_pallas / phi_pool_bwd_pallas)."""
+    import point_cloud_classifier_tpu.ops.fused_phi as fp
+
+    for k, v in knobs.items():
+        monkeypatch.setenv(k, v)
+
+    spec = (("plain", False), ("residual", False))
+    pts, seg, s = _inputs(p=256, seed=7)  # pow2 rows >= 2 tiles at t=128
+    params = _make_params(jax.random.PRNGKey(7), spec, 6, 32)
+
+    want = fp.phi_pool_xla(pts, seg, spec, params, "gelu", s)
+    got = fp.phi_pool_pallas(pts, seg, spec, params, "gelu", s, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(got), rtol=1e-4, atol=1e-4
+    )
+
+    def loss_fused(pts, params):
+        return jnp.sum(fp.phi_pool(pts, seg, spec, params, "gelu", s, True) ** 2)
+
+    def loss_xla(pts, params):
+        return jnp.sum(fp.phi_pool_xla(pts, seg, spec, params, "gelu", s) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(pts, params)
+    g2 = jax.grad(loss_xla, argnums=(0, 1))(pts, params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
