@@ -115,3 +115,38 @@ def test_dispatch_falls_back_for_untileable_shapes():
     np.testing.assert_allclose(
         np.asarray(want), np.asarray(got), rtol=1e-6, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("form", ["factored", "max"])
+def test_both_softmax_forms_match_oracle(monkeypatch, form):
+    """The device A/B (scripts/ab_session.sh rows gat_factored/gat_maxform)
+    toggles PCC_GAT_SOFTMAX between the factorized outer-product softmax and
+    the row-max form — both must match the oracle in forward AND gradients
+    so the A/B can never pick a numerically wrong configuration.  The knob
+    is read at trace time inside ``_alpha_tile``."""
+    monkeypatch.setenv("PCC_GAT_SOFTMAX", form)
+    s_dst, s_src, in_src, in_w, xw = _inputs(seed=3)
+    want = gat_attention_xla(s_dst, s_src, in_src, in_w, xw, 0.2)
+    got = gat_attention_fused(s_dst, s_src, in_src, in_w, xw, 0.2, True)
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(got), rtol=1e-5, atol=1e-5
+    )
+
+    rng = np.random.default_rng(11)
+    cot = jnp.asarray(rng.normal(size=xw.shape).astype(np.float32))
+
+    def loss(fn, *extra):
+        return lambda sd, ss, x: jnp.sum(
+            fn(sd, ss, in_src, in_w, x, *extra) * cot
+        )
+
+    g1 = jax.grad(loss(gat_attention_fused, 0.2, True), argnums=(0, 1, 2))(
+        s_dst, s_src, xw
+    )
+    g2 = jax.grad(loss(gat_attention_xla, 0.2), argnums=(0, 1, 2))(
+        s_dst, s_src, xw
+    )
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
