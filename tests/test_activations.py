@@ -153,3 +153,28 @@ def test_explicit_exp_forms_grad_stable_at_overflow():
                 np.asarray(g, np.float32), np.asarray(gr, np.float32),
                 rtol=2e-2, atol=2e-2,
             )
+
+
+def test_sigmoid_form_knob_matches_explicit(monkeypatch):
+    """scripts/ab_session.sh A/Bs PCC_SIGMOID_FORM=logistic against the
+    default explicit-exp form — the two must be numerically interchangeable
+    (same QuickGELU math, different lowering) so the A/B only measures
+    lowering cost."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import point_cloud_classifier_tpu.ops.activations as act
+
+    x = jnp.linspace(-20.0, 20.0, 513)
+    default = act.quick_gelu(x)
+    gdef = jax.grad(lambda v: act.quick_gelu(v).sum())(x)
+    monkeypatch.setenv("PCC_SIGMOID_FORM", "logistic")
+    logistic = act.quick_gelu(x)
+    glog = jax.grad(lambda v: act.quick_gelu(v).sum())(x)
+    np.testing.assert_allclose(
+        np.asarray(default), np.asarray(logistic), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(gdef), np.asarray(glog), rtol=1e-5, atol=1e-6
+    )
