@@ -23,6 +23,12 @@ flat so the same weights drive two implementations of the hot path:
   vs 282.6k clouds/sec — the fused backward's in-tile recompute is 4/3
   the FLOPs and now recomputes less-expensive activations, while the
   XLA path banked the same activation savings directly)
+  On this path the final φ Linear (bare — no activation/LN, reference
+  `:55`) is applied AFTER pooling by default: it commutes with mean and
+  sum/√N pooling, so the [P, H]×[H, H] matmul runs per-event instead of
+  per-point and h3 never exists (exactness pinned by
+  tests/test_models.py::test_postpool_final_linear_is_exact;
+  ``PCC_PHI_POSTPOOL=0`` restores the reference's per-point placement)
 - the fused Pallas kernel (``ops/fused_phi.phi_pool``, fwd + bwd kernels)
   — φ matmul chain and segment-sum pooling in one kernel, per-point
   activations never touch HBM (SURVEY §3.3's #1 fusion target).  ``auto``
@@ -259,10 +265,31 @@ class DeepSets(nn.Module):
         else:
             # φ over every point — one dense MXU chain; pooling reductions in
             # f32 (events span up to 10^4 points; bf16 accumulation drifts)
+            post_pool = (
+                mode == "xla"
+                and self.pooling in ("sum", "mean")
+                and os.environ.get("PCC_PHI_POSTPOOL", "1") != "0"
+            )
             if mode == "int8":
                 from point_cloud_classifier_tpu.ops.quant import phi_forward_int8
 
                 phi_fn = lambda pts, prm: phi_forward_int8(  # noqa: E731
+                    pts, spec, prm, self.activation
+                )
+            elif post_pool:
+                # The final φ Linear has NO activation or LayerNorm after it
+                # (reference models/deep_sets.py:55 — bare even when
+                # layer_norm=True), so it COMMUTES with the linear poolings:
+                #   mean:    (1/N) Σ (W h_i + b) = W (Σ h_i / N) + b
+                #   sum/√N:  (1/√N) Σ (W h_i + b) = W (Σ h_i / √N) + b·√N
+                # Applying it post-pool runs the [·, H]×[H, H] matmul over B
+                # events instead of P points (P/B ≈ 256× fewer MACs at the
+                # flagship shape) and h3 + its cotangent never exist —
+                # roughly halving both per-point MXU work and the [P, H]
+                # activation HBM round-trips of the training step.
+                # Mathematically exact (float rounding only); trace-time
+                # kill switch PCC_PHI_POSTPOOL=0 for A/B.
+                phi_fn = lambda pts, prm: phi_hidden_xla(  # noqa: E731
                     pts, spec, prm, self.activation
                 )
             else:
@@ -274,16 +301,30 @@ class DeepSets(nn.Module):
                 # instead of saving [P, H] residuals — the fused kernel's
                 # HBM-vs-FLOPs trade, but XLA-scheduled (A/B via bench.py)
                 phi_fn = jax.checkpoint(phi_fn)
-            h = phi_fn(points, params)
+            h = phi_fn(points, params[:-1] if post_pool else params)
             h32 = h.astype(jnp.float32)
             if self.pooling == "sum":
                 pooled = segment_sum(h32, seg, num_segments)[:num_events] / jnp.sqrt(safe)
+                bias_scale = jnp.sqrt(counts).reshape(-1, 1)
             elif self.pooling == "mean":
                 pooled = segment_sum(h32, seg, num_segments)[:num_events] / safe
+                # empty (fully padded) events pool to 0 on the per-point
+                # path — they never see the bias — so mask it here too
+                bias_scale = (counts > 0).astype(jnp.float32).reshape(-1, 1)
             elif self.pooling == "max":
                 pooled = segment_max(h32, seg, num_segments)[:num_events]
             else:
                 raise ValueError("pooling must be 'mean', 'sum', or 'max'")
+            if post_pool:
+                wf, bf = params[-1]
+                pooled = (
+                    jnp.dot(
+                        pooled,
+                        wf.astype(jnp.float32),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + bf.astype(jnp.float32) * bias_scale
+                )
 
         pooled = pooled.astype(points.dtype)
         out = _MLPStack(self.rho_layers, self.activation, self.layer_norm)(pooled)

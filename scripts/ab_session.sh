@@ -46,6 +46,13 @@ row latency_int8 -- --latency --quant int8
 #    recompute, XLA-scheduled
 row deep_sets_remat PCC_PHI_REMAT=1 --
 
+# 5b) post-pool final φ Linear (new default: the bare final Linear commutes
+#     with mean/sum pooling, so it runs per-EVENT instead of per-point —
+#     ~half the per-point MXU work and no h3 HBM round-trips).  The
+#     default-arm row 1 above already measures it ON; this is the OFF arm
+#     (the reference's per-point placement) for the ratio
+row deep_sets_postpool_off PCC_PHI_POSTPOOL=0 --
+
 # 6) eval-side step fusion (wrapper._eval_dispatch, round-2): fused vs
 #    per-batch dispatch on the scoring stream
 row eval_fused8 -- --eval-throughput --fuse 8

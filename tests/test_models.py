@@ -318,3 +318,52 @@ def test_graphnet_variants_finite(deepchem, use_gat, sag):
     v = model.init(jax.random.PRNGKey(0), batch, train=False)
     out, _ = model.apply(v, batch, train=True, mutable=["batch_stats"])
     assert out.shape == (3, 1) and np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("pooling", ["mean", "sum"])
+@pytest.mark.parametrize("layer_norm", [False, True])
+def test_postpool_final_linear_is_exact(monkeypatch, pooling, layer_norm):
+    """The final φ Linear commutes with mean and sum/√N pooling (it carries
+    no activation/LN — reference models/deep_sets.py:55), so the default
+    post-pool placement (PCC_PHI_POSTPOOL) must match the per-point
+    placement in forward AND gradients, including empty (fully padded)
+    events that never see the bias."""
+    model = DeepSets(
+        3, [16, 16], [8], 1, "gelu",
+        layer_norm=layer_norm, residual_block=True, pooling=pooling,
+    )
+    rng = np.random.default_rng(7)
+    b, p_pad = 4, 48
+    counts = [5, 9, 0, 3]  # event 2 is EMPTY — bias masking edge case
+    flat = np.concatenate(
+        [rng.normal(size=(c, 3)).astype(np.float32) for c in counts]
+    )
+    points = np.zeros((p_pad, 3), np.float32)
+    points[: len(flat)] = flat
+    seg = np.full(p_pad, b, np.int32)
+    seg[: len(flat)] = np.repeat(np.arange(b), counts)
+    batch = {
+        "points": jnp.asarray(points),
+        "seg": jnp.asarray(seg),
+        "y": jnp.zeros((b, 1)),
+        "y_mask": jnp.ones(b),
+    }
+    variables = model.init(jax.random.PRNGKey(2), batch, train=False)
+
+    def run():
+        out = model.apply(variables, batch, train=False)
+        grads = jax.grad(
+            lambda v: jnp.sum(model.apply(v, batch, train=False) ** 2)
+        )(variables)
+        return out, grads
+
+    out_post, g_post = run()  # default: post-pool
+    monkeypatch.setenv("PCC_PHI_POSTPOOL", "0")
+    out_pp, g_pp = run()  # per-point placement (the reference's order)
+    np.testing.assert_allclose(
+        np.asarray(out_post), np.asarray(out_pp), rtol=1e-5, atol=1e-6
+    )
+    for a, c in zip(jax.tree.leaves(g_post), jax.tree.leaves(g_pp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-5
+        )
