@@ -23,12 +23,6 @@ flat so the same weights drive two implementations of the hot path:
   vs 282.6k clouds/sec — the fused backward's in-tile recompute is 4/3
   the FLOPs and now recomputes less-expensive activations, while the
   XLA path banked the same activation savings directly)
-  On this path the final φ Linear (bare — no activation/LN, reference
-  `:55`) is applied AFTER pooling by default: it commutes with mean and
-  sum/√N pooling, so the [P, H]×[H, H] matmul runs per-event instead of
-  per-point and h3 never exists (exactness pinned by
-  tests/test_models.py::test_postpool_final_linear_is_exact;
-  ``PCC_PHI_POSTPOOL=0`` restores the reference's per-point placement)
 - the fused Pallas kernel (``ops/fused_phi.phi_pool``, fwd + bwd kernels)
   — φ matmul chain and segment-sum pooling in one kernel, per-point
   activations never touch HBM (SURVEY §3.3's #1 fusion target).  ``auto``
@@ -37,6 +31,17 @@ flat so the same weights drive two implementations of the hot path:
   is pure win (1.44× op-level at 512, growing with width); training under
   ``auto`` stays on XLA until the fused pair measurably wins whole-step
   (``fused_phi="on"`` forces it for A/B work)
+
+On every path except ``"tail"`` the final φ Linear (bare — no
+activation/LN, reference `:55`) is applied AFTER pooling by default: it
+commutes with mean and sum/√N pooling, so the [P, H]×[H, H] matmul runs
+per-event instead of per-point and h3 never exists.  On the fused Pallas
+path the kernel then runs the HIDDEN chain only (one less matmul per tile
+forward, one less vjp layer of in-tile recompute backward — the 4/3
+recompute penalty above shrinks accordingly); on the int8 path the
+per-event final runs in f32, which is also one less quantization.
+Exactness pinned by tests/test_models.py::test_postpool_final_linear_is_exact;
+``PCC_PHI_POSTPOOL=0`` restores the reference's per-point placement.
 """
 
 from __future__ import annotations
@@ -177,7 +182,10 @@ class DeepSets(nn.Module):
         #   the then-XLA-replay backward re-paid the forward, 2.65 vs 2.31.)
         # - EVAL/INFER: the forward kernel at width ≥512 — no backward, so
         #   no recompute penalty; saved [P,H] activation round-trips win
-        #   1.44× op-level at 512, growing with width.
+        #   1.44× op-level at 512, growing with width.  NOTE: the post-pool
+        #   final-linear default changed BOTH arms of that A/B (the XLA
+        #   eval chain and the kernel each drop one per-point matmul); the
+        #   ≥512 crossover is pending re-measurement (scripts/phi_ab.sh).
         if train:
             return False
         from point_cloud_classifier_tpu.ops.dispatch import use_tpu_kernels
@@ -239,6 +247,28 @@ class DeepSets(nn.Module):
         safe = jnp.maximum(counts, 1.0).reshape(-1, 1)
 
         mode = self._phi_mode(train)
+        # The final φ Linear has NO activation or LayerNorm after it
+        # (reference models/deep_sets.py:55 — bare even when
+        # layer_norm=True), so it COMMUTES with the linear poolings:
+        #   mean:    (1/N) Σ (W h_i + b) = W (Σ h_i / N) + b
+        #   sum/√N:  (1/√N) Σ (W h_i + b) = W (Σ h_i / √N) + b·√N
+        # Applying it post-pool runs the [·, H]×[H, H] matmul over B
+        # events instead of P points (P/B ≈ 256× fewer MACs at the
+        # flagship shape) and h3 + its cotangent never exist — roughly
+        # halving both per-point MXU work and the [P, H] activation HBM
+        # round-trips of the training step.  Applies on every φ path
+        # (XLA, fused Pallas — whose kernel then runs one less matmul
+        # per tile fwd and one less vjp layer bwd — and int8, where the
+        # f32 per-event final is also one less quantization) except
+        # "tail", whose point IS fusing that linear with the pool.
+        # Mathematically exact (float rounding only); trace-time kill
+        # switch PCC_PHI_POSTPOOL=0 for A/B.
+        post_pool = (
+            mode != "tail"
+            and self.pooling in ("sum", "mean")
+            and os.environ.get("PCC_PHI_POSTPOOL", "1") != "0"
+        )
+        phi_params = params[:-1] if post_pool else params
         if mode in ("pallas", "tail"):
             interpret = jax.default_backend() != "tpu"
             if mode == "tail":
@@ -253,8 +283,8 @@ class DeepSets(nn.Module):
                 )[:num_events]
             else:
                 total = phi_pool(
-                    points, seg, spec, params, self.activation, num_segments,
-                    interpret,
+                    points, seg, spec, phi_params, self.activation,
+                    num_segments, interpret,
                 )[:num_events]
             if self.pooling == "sum":
                 pooled = total / jnp.sqrt(safe)
@@ -265,66 +295,55 @@ class DeepSets(nn.Module):
         else:
             # φ over every point — one dense MXU chain; pooling reductions in
             # f32 (events span up to 10^4 points; bf16 accumulation drifts)
-            post_pool = (
-                mode == "xla"
-                and self.pooling in ("sum", "mean")
-                and os.environ.get("PCC_PHI_POSTPOOL", "1") != "0"
-            )
             if mode == "int8":
                 from point_cloud_classifier_tpu.ops.quant import phi_forward_int8
 
                 phi_fn = lambda pts, prm: phi_forward_int8(  # noqa: E731
                     pts, spec, prm, self.activation
                 )
-            elif post_pool:
-                # The final φ Linear has NO activation or LayerNorm after it
-                # (reference models/deep_sets.py:55 — bare even when
-                # layer_norm=True), so it COMMUTES with the linear poolings:
-                #   mean:    (1/N) Σ (W h_i + b) = W (Σ h_i / N) + b
-                #   sum/√N:  (1/√N) Σ (W h_i + b) = W (Σ h_i / √N) + b·√N
-                # Applying it post-pool runs the [·, H]×[H, H] matmul over B
-                # events instead of P points (P/B ≈ 256× fewer MACs at the
-                # flagship shape) and h3 + its cotangent never exist —
-                # roughly halving both per-point MXU work and the [P, H]
-                # activation HBM round-trips of the training step.
-                # Mathematically exact (float rounding only); trace-time
-                # kill switch PCC_PHI_POSTPOOL=0 for A/B.
-                phi_fn = lambda pts, prm: phi_hidden_xla(  # noqa: E731
-                    pts, spec, prm, self.activation
-                )
             else:
                 phi_fn = lambda pts, prm: phi_forward_xla(  # noqa: E731
                     pts, spec, prm, self.activation
                 )
-            if os.environ.get("PCC_PHI_REMAT") == "1":
-                # experiment knob: rematerialize the chain in the backward
-                # instead of saving [P, H] residuals — the fused kernel's
-                # HBM-vs-FLOPs trade, but XLA-scheduled (A/B via bench.py)
+            remat = os.environ.get("PCC_PHI_REMAT", "auto")
+            if remat == "1" or (
+                remat == "auto" and post_pool and mode != "int8"
+            ):
+                # Rematerialize the φ chain in the backward instead of
+                # saving [P, H] residuals — the fused kernel's HBM-vs-FLOPs
+                # trade, but XLA-scheduled.  Measured: a LOSS at the
+                # 3-layer per-point chain (228.9k vs 322.1k clouds/sec,
+                # docs/kernels.md) but a WIN once post-pool shrinks the
+                # per-point chain to the 2 hidden layers (441.3k vs 425.5k
+                # same-window, ab_session 2026-08-18) — so "auto" remats
+                # exactly when post_pool is on.  PCC_PHI_REMAT=0/1 forces.
                 phi_fn = jax.checkpoint(phi_fn)
-            h = phi_fn(points, params[:-1] if post_pool else params)
+            h = phi_fn(points, phi_params)
             h32 = h.astype(jnp.float32)
             if self.pooling == "sum":
                 pooled = segment_sum(h32, seg, num_segments)[:num_events] / jnp.sqrt(safe)
-                bias_scale = jnp.sqrt(counts).reshape(-1, 1)
             elif self.pooling == "mean":
                 pooled = segment_sum(h32, seg, num_segments)[:num_events] / safe
-                # empty (fully padded) events pool to 0 on the per-point
-                # path — they never see the bias — so mask it here too
-                bias_scale = (counts > 0).astype(jnp.float32).reshape(-1, 1)
             elif self.pooling == "max":
                 pooled = segment_max(h32, seg, num_segments)[:num_events]
             else:
                 raise ValueError("pooling must be 'mean', 'sum', or 'max'")
-            if post_pool:
-                wf, bf = params[-1]
-                pooled = (
-                    jnp.dot(
-                        pooled,
-                        wf.astype(jnp.float32),
-                        preferred_element_type=jnp.float32,
-                    )
-                    + bf.astype(jnp.float32) * bias_scale
+        if post_pool:
+            wf, bf = params[-1]
+            if self.pooling == "sum":
+                bias_scale = jnp.sqrt(counts).reshape(-1, 1)
+            else:
+                # empty (fully padded) events pool to 0 on the per-point
+                # path — they never see the bias — so mask it here too
+                bias_scale = (counts > 0).astype(jnp.float32).reshape(-1, 1)
+            pooled = (
+                jnp.dot(
+                    pooled.astype(jnp.float32),
+                    wf.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
                 )
+                + bf.astype(jnp.float32) * bias_scale
+            )
 
         pooled = pooled.astype(points.dtype)
         out = _MLPStack(self.rho_layers, self.activation, self.layer_norm)(pooled)

@@ -115,8 +115,15 @@ def _apply_layer(h, kind, has_ln, w, b, ln_scale, ln_bias, act):
 
 
 def phi_forward_xla(points, spec: Spec, params: Sequence, activation: str):
-    """Per-point features ``[P, H]`` through the φ chain (XLA)."""
-    h = phi_hidden_xla(points, spec, params[:-1], activation)
+    """Per-point features ``[P, H]`` through the φ chain (XLA).
+
+    Like the kernel's ``_chain_values``, the final un-activated linear is
+    applied only when its weights are present (``len(params) ==
+    len(spec) + 1``); the hidden-only form backs the post-pool placement's
+    XLA fallback."""
+    h = phi_hidden_xla(points, spec, params[: len(spec)], activation)
+    if len(params) == len(spec):
+        return h
     wf, bf = params[-1][0], params[-1][1]
     return jnp.dot(
         h, wf.astype(h.dtype), preferred_element_type=jnp.float32
@@ -151,7 +158,15 @@ def _chain_values(spec: Spec, act, h, flat_w):
     the forward kernel and the backward's ``jax.vjp`` differentiate, so the
     backward math is the forward's by construction (same casts, same
     ``preferred_element_type``; a drifted duplicate would silently train on
-    a slightly-wrong gradient — code-review finding)."""
+    a slightly-wrong gradient — code-review finding).
+
+    The final un-activated linear is applied only when its weights are
+    present (``len(flat_w) == 2·len(spec) + 2``).  The hidden-only form
+    (``2·len(spec)`` operands) serves the post-pool placement: the bare
+    final Linear commutes with mean and sum/√N pooling (reference
+    `models/deep_sets.py:55`), so DeepSets runs it per-EVENT after the
+    pooled sums leave this kernel — one less [T, H]×[H, H] matmul per
+    tile forward, and one less layer of vjp recompute backward."""
     r = 0
     for kind, _ in spec:
         w, b = flat_w[r], flat_w[r + 1]
@@ -161,6 +176,8 @@ def _chain_values(spec: Spec, act, h, flat_w):
             + b
         )
         h = h + act(out) if kind == "residual" else act(out)
+    if r == len(flat_w):
+        return h  # hidden-only chain: final linear runs post-pool
     wf, bf = flat_w[r], flat_w[r + 1]
     return jnp.dot(h, wf, preferred_element_type=jnp.float32).astype(
         h.dtype

@@ -101,6 +101,12 @@ def phi_forward_int8(
     quantized LN chain would need fused requantization; the shipped configs
     run ``layer_norm=False`` and the caller falls back to XLA otherwise.
     Residual carries stay unquantized (skip-path error does not compound).
+
+    Like ``phi_forward_xla``, the final un-activated linear is applied only
+    when its weights are present (``len(params) == len(spec) + 1``).  The
+    hidden-only form backs the post-pool placement: the final Linear then
+    runs per-EVENT in f32 after pooling — fewer per-point int8 MACs AND
+    one less quantization in the chain (strictly more accurate).
     """
     from point_cloud_classifier_tpu.ops.activations import resolve_activation
 
@@ -112,5 +118,7 @@ def phi_forward_int8(
         w, b = layer[0], layer[1]
         out = act(int8_linear(h, w, b, h.dtype))
         h = h + out if kind == "residual" else out
+    if len(params) == len(spec):
+        return h
     wf, bf = params[-1][0], params[-1][1]
     return int8_linear(h, wf, bf, h.dtype)

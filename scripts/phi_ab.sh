@@ -12,10 +12,18 @@ run () {
   echo "$label: $out"
 }
 echo "== baseline (XLA phi) =="
+# NOTE: since 2026-08-18 the XLA arm defaults to post-pool + auto-remat
+# (the measured-best XLA form) — the fused rows must beat THAT
 out=$(timeout 590 python bench.py --phi off --iters "$IT" 2>/dev/null | tail -1)
 echo "xla: $out"
 echo "== fused pair =="
+# NOTE (round-2 session 7): the post-pool final-linear placement now
+# applies to the fused path too — by default the kernel runs the HIDDEN
+# chain only (2 matmuls/tile fwd instead of 3; one less vjp layer bwd)
+# and the final linear runs per-event outside.  "fused-default" measures
+# that; "fused-full-postpool-off" is the old fully-fused form.
 run "fused-default" env
+run "fused-full-postpool-off" env PCC_PHI_POSTPOOL=0
 run "fused-split2" env PCC_PHI_SPLIT=2 PCC_PHI_SPLIT_BWD=2
 run "fused-split4" env PCC_PHI_SPLIT=4 PCC_PHI_SPLIT_BWD=4
 run "fused-bwd-t2048-s2" env PCC_PHI_TILE_BWD=2048 PCC_PHI_SPLIT_BWD=2

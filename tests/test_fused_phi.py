@@ -427,3 +427,44 @@ def test_tuning_knob_combinations_keep_grads_exact(monkeypatch, knobs):
     g2 = jax.grad(loss_xla, argnums=(0, 1))(pts, params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_hidden_only_params_forward_and_backward_kernels(monkeypatch):
+    """Post-pool placement passes HIDDEN-ONLY params (len(params) ==
+    len(spec)): both kernels must skip the final linear — forward parity
+    vs the XLA hidden chain + segment sum, and the fused backward must
+    still run (spy-gated) with grads matching the XLA replay."""
+    import point_cloud_classifier_tpu.ops.fused_phi as fp
+
+    spec = (("plain", False), ("residual", False))
+    pts, seg, s = _inputs(p=128, seed=9)
+    hidden = _make_params(jax.random.PRNGKey(9), spec, 6, 32)[:-1]
+    assert len(hidden) == len(spec)
+
+    want = fp.phi_pool_xla(pts, seg, spec, hidden, "gelu", s)
+    got = fp.phi_pool_pallas(pts, seg, spec, hidden, "gelu", s, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(got), rtol=1e-4, atol=1e-4
+    )
+
+    calls = []
+    real = fp.phi_pool_bwd_pallas
+
+    def spy(*a, **k):
+        out = real(*a, **k)
+        calls.append(out is not None)
+        return out
+
+    monkeypatch.setattr(fp, "phi_pool_bwd_pallas", spy)
+
+    def loss_fused(pts, params):
+        return jnp.sum(fp.phi_pool(pts, seg, spec, params, "gelu", s, True) ** 2)
+
+    def loss_xla(pts, params):
+        return jnp.sum(fp.phi_pool_xla(pts, seg, spec, params, "gelu", s) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(pts, hidden)
+    g2 = jax.grad(loss_xla, argnums=(0, 1))(pts, hidden)
+    assert calls == [True], "hidden-only backward kernel was not used"
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)

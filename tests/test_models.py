@@ -367,3 +367,78 @@ def test_postpool_final_linear_is_exact(monkeypatch, pooling, layer_norm):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-5
         )
+
+
+def _postpool_batch(rng, b=4, p_pad=64, f=3):
+    """Pow-2 padded rows (so the Pallas kernel tiles) with one EMPTY event."""
+    counts = [9, 17, 0, 21]
+    flat = np.concatenate(
+        [rng.normal(size=(c, f)).astype(np.float32) for c in counts]
+    )
+    points = np.zeros((p_pad, f), np.float32)
+    points[: len(flat)] = flat
+    seg = np.full(p_pad, b, np.int32)
+    seg[: len(flat)] = np.repeat(np.arange(b), counts)
+    return {
+        "points": jnp.asarray(points),
+        "seg": jnp.asarray(seg),
+        "y": jnp.zeros((b, 1)),
+        "y_mask": jnp.ones(b),
+    }
+
+
+@pytest.mark.parametrize("pooling", ["mean", "sum"])
+def test_postpool_applies_on_fused_pallas_path(monkeypatch, pooling):
+    """fused_phi='on': the post-pool default passes HIDDEN-ONLY params to
+    the kernel (one less matmul per tile) — forward and grads must match
+    the per-point placement (PCC_PHI_POSTPOOL=0), empty event included."""
+    model = DeepSets(
+        3, [16, 16], [8], 1, "gelu",
+        layer_norm=False, residual_block=True, pooling=pooling,
+        fused_phi="on",
+    )
+    batch = _postpool_batch(np.random.default_rng(11))
+    variables = model.init(jax.random.PRNGKey(3), batch, train=False)
+
+    def run():
+        out = model.apply(variables, batch, train=False)
+        grads = jax.grad(
+            lambda v: jnp.sum(model.apply(v, batch, train=False) ** 2)
+        )(variables)
+        return out, grads
+
+    out_post, g_post = run()  # default: post-pool (hidden-only kernel)
+    monkeypatch.setenv("PCC_PHI_POSTPOOL", "0")
+    out_pp, g_pp = run()  # fully-fused kernel (final linear per point)
+    np.testing.assert_allclose(
+        np.asarray(out_post), np.asarray(out_pp), rtol=1e-5, atol=1e-6
+    )
+    for a, c in zip(jax.tree.leaves(g_post), jax.tree.leaves(g_pp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_postpool_applies_on_int8_path(monkeypatch):
+    """quant='int8' eval: post-pool runs the final linear per-event in f32
+    (one less quantization).  Both placements must stay within the int8
+    tolerance of the f32 oracle and of each other."""
+    model = DeepSets(
+        3, [16, 16], [8], 1, "gelu",
+        layer_norm=False, residual_block=True, pooling="mean",
+        quant="int8",
+    )
+    f32 = DeepSets(
+        3, [16, 16], [8], 1, "gelu",
+        layer_norm=False, residual_block=True, pooling="mean",
+    )
+    batch = _postpool_batch(np.random.default_rng(13))
+    variables = f32.init(jax.random.PRNGKey(5), batch, train=False)
+    want = np.asarray(f32.apply(variables, batch, train=False))
+
+    out_post = np.asarray(model.apply(variables, batch, train=False))
+    monkeypatch.setenv("PCC_PHI_POSTPOOL", "0")
+    out_pp = np.asarray(model.apply(variables, batch, train=False))
+    scale = np.maximum(np.abs(want), 1.0)
+    assert np.max(np.abs(out_post - want) / scale) < 5e-2
+    assert np.max(np.abs(out_pp - want) / scale) < 5e-2
