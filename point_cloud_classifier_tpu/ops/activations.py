@@ -139,6 +139,7 @@ def resolve_activation(name: str):
     return table[name]
 
 
+@jax.custom_jvp
 def _sigmoid_exp(a: jnp.ndarray) -> jnp.ndarray:
     """``1/(1+exp(-a))`` with the exp argument floored at -60.
 
@@ -153,8 +154,29 @@ def _sigmoid_exp(a: jnp.ndarray) -> jnp.ndarray:
     follows the input dtype — Mosaic rejects f32 constants broadcast
     into bf16 vectors (the lax.logistic bug this module works around).
 
+    The derivative is supplied in closed form (``s·(1−s)``, the custom
+    jvp below) rather than left to autodiff: ``lax.max``'s gradient
+    tie-splits through bf16 EQUALITY compares, and Mosaic rejects
+    ``arith.cmpf oeq`` on packed bf16 vectors ("Target does not support
+    this comparison") — the mechanical VJP of this function crashed
+    every fused-φ TRAINING kernel compile on real v5e hardware
+    (2026-08-18 phi_ab session; eval/forward-only kernels, which lower
+    the max as ``maximumf`` with no compare, were unaffected).  The
+    closed form is also cheaper: it reuses the recomputed ``s`` instead
+    of re-deriving ``e^{-a}/(1+e^{-a})²`` with an extra divide.
+
     tests/test_activations.py pins finite grads at the overflow points."""
     return 1.0 / (1.0 + jnp.exp(-jnp.maximum(a, -60.0)))
+
+
+@_sigmoid_exp.defjvp
+def _sigmoid_exp_jvp(primals, tangents):
+    (a,), (da,) = primals, tangents
+    s = _sigmoid_exp(a)
+    # exact for a > -60; below the floor the true gradient is ≤ 9e-27 and
+    # s·(1−s) yields that same ~0 (the clamped-constant branch would give
+    # literal 0 — indistinguishable at any working precision)
+    return s, s * (1.0 - s) * da
 
 
 def _tanh_exp(x: jnp.ndarray) -> jnp.ndarray:
