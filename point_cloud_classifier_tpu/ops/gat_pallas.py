@@ -108,9 +108,11 @@ def _mask_tile(src_ref, w_ref, t, m, d, row0, gi=0):
 def _alpha_tile(sd, ssT, mask, head, slope):
     """[T, M] f32 attention probabilities for one head on this tile.
 
-    Default form ("factored"): GATv1's logit is LeakyReLU(s_i + t_j), a
-    piecewise-LINEAR function of a rank-1 matrix — so its exp factorises
-    per piece into per-NODE exponentials:
+    Two forms.  Default ("max"): masked LeakyReLU logits, per-row max
+    shift, exp — the numerically-safest form, and the measured-faster one
+    (see the knob comment below).  Opt-in ("factored"): GATv1's logit is
+    LeakyReLU(s_i + t_j), a piecewise-LINEAR function of a rank-1 matrix —
+    so its exp factorises per piece into per-NODE exponentials:
 
         exp(e_ij - c_i) = cond_ij · u_i·b_j  +  (1-cond_ij) · v_i·b̂_j
         u = exp(s + T - c),  v = exp(σ(s+T) - c),   (σ = slope)
@@ -123,7 +125,8 @@ def _alpha_tile(sd, ssT, mask, head, slope):
     products: the VPU cost that dominated the kernel (docs/kernels.md —
     ~75% of the GAT step was these softmax passes).  Mathematically exact
     (any per-row shift cancels); only float rounding differs from the
-    row-max form, which stays available as PCC_GAT_SOFTMAX=max.
+    row-max form.  Measured slightly SLOWER than row-max whole-step
+    (23,660 vs 24,380 graphs/sec) — kept as the opt-in form.
 
     Underflow caveat: T is the max over ALL M columns (the mask is not
     applied — a masked per-row max is exactly the O(M²) reduction this
@@ -132,9 +135,8 @@ def _alpha_tile(sd, ssT, mask, head, slope):
     resolve ratios.  Bounds that keep this theoretical: padding columns
     score EXACTLY 0 (zero-filled features through a bias-free Dense —
     they never inflate T), and real scores are |s|,|t| ≲ O(10) for
-    BN-bounded inputs (conv1 sees loader-normalised features).  A model
-    whose score spread genuinely exceeds ~88 within one head should set
-    PCC_GAT_SOFTMAX=max.
+    BN-bounded inputs (conv1 sees loader-normalised features).  The
+    default row-max form has no such caveat.
 
     Returns ``(p, rinv)`` — the UNNORMALISED probabilities and the
     per-row reciprocal sum — so the forward can fold the normalisation
@@ -144,7 +146,15 @@ def _alpha_tile(sd, ssT, mask, head, slope):
     t_row = ssT[head : head + 1, :]  # [1, M]
     # read at TRACE time like every other PCC_* knob (an import-time read
     # made post-import setenv silently inert — code-review finding)
-    if os.environ.get("PCC_GAT_SOFTMAX", "factored") == "max":
+    #
+    # DEFAULT = "max" (measured 2026-08-18, same-window resident A/B:
+    # row-max 24,380 vs factored 23,660 graphs/sec).  The factored form's
+    # compare+select over outer products did NOT beat exp + row-max — the
+    # v5e VPU does transcendentals cheaply (same lesson as the
+    # polynomial-GELU negative result, docs/kernels.md) — and row-max is
+    # also free of the underflow caveat below.  Factored stays available
+    # as PCC_GAT_SOFTMAX=factored; both forms are parity-tested.
+    if os.environ.get("PCC_GAT_SOFTMAX", "max") != "factored":
         z = s + t_row  # [T, M]
         e = jnp.where(z >= 0.0, z, slope * z)  # LeakyReLU
         e = jnp.where(mask > 0, e, -jnp.inf)

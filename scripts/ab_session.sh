@@ -27,9 +27,10 @@ row smoke -- --smoke
 row deep_sets_clamped --
 row deep_sets_logistic PCC_SIGMOID_FORM=logistic --
 
-# 2) GAT: factored softmax (new default) vs row-max form
-row gat_factored -- --model graph_net --gat
-row gat_maxform PCC_GAT_SOFTMAX=max -- --model graph_net --gat
+# 2) GAT: row-max softmax (default since 2026-08-18 — measured 24,380 vs
+#    23,660 graphs/sec for the factored form) vs factored
+row gat_maxform -- --model graph_net --gat
+row gat_factored PCC_GAT_SOFTMAX=factored -- --model graph_net --gat
 
 # 3) graph_net default (tanh): native tanh vs explicit-exp form
 row graphnet_tanh_native -- --model graph_net
@@ -41,10 +42,12 @@ row graphnet_tanh_exp PCC_TANH_FORM=exp -- --model graph_net
 row latency_bf16 -- --latency
 row latency_int8 -- --latency --quant int8
 
-# 5) XLA remat of the phi chain during training (PCC_PHI_REMAT knob has
-#    never been device-A/B'd): trades saved [P,H] residual traffic for
-#    recompute, XLA-scheduled
-row deep_sets_remat PCC_PHI_REMAT=1 --
+# 5) XLA remat of the phi chain during training: trades saved [P,H]
+#    residual traffic for recompute, XLA-scheduled.  Measured 2026-08-18:
+#    WITH post-pool (2-layer per-point chain) remat WINS 441.3k vs 425.5k
+#    same-window, so "auto" (the default) now remats when post-pool is on
+#    — this row measures the OFF arm for the ratio
+row deep_sets_remat_off PCC_PHI_REMAT=0 --
 
 # 5b) post-pool final φ Linear (new default: the bare final Linear commutes
 #     with mean/sum pooling, so it runs per-EVENT instead of per-point —
