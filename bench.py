@@ -561,21 +561,34 @@ def measure_infer_latency(
 
 def measure_eval_throughput(
     b: int, p: int, f: int, iters: int, warmup: int, dtype: str,
-    fuse: int = 1,
+    fuse: int = 1, phi: str = "auto", width: int | None = None,
+    resident: bool = False, quant: str = "none",
 ):
-    """Validation/scoring throughput (clouds/sec) over a host batch stream.
+    """Validation/scoring throughput (clouds/sec) over a batch stream.
 
     The batch-scoring path (``train.py evaluate`` / ``infer``):
-    ``ModelWrapper._evaluate`` over distinct host batches, H2D inside the
-    window.  ``fuse`` scan-fuses K same-shape eval steps into one
-    dispatched program (``models/wrapper._eval_dispatch``) — the eval-side
-    analogue of train step fusion; fuse=1 is the per-batch baseline arm.
+    ``ModelWrapper._evaluate`` over distinct batches.  ``fuse`` scan-fuses
+    K same-shape eval steps into one dispatched program
+    (``models/wrapper._eval_dispatch``) — the eval-side analogue of train
+    step fusion; fuse=1 is the per-batch baseline arm.
+
+    Two pipelines, mirroring :func:`measure_jax`:
+
+    - stream (default): H2D inside the window — tunnel-bound, only
+      meaningful in healthy windows
+    - ``resident``: batches pinned in HBM before the window — device
+      truth, the arm for the eval φ-path policy A/Bs (``phi``/``width``
+      select the fused-Pallas-vs-XLA forward and the φ width, since the
+      measured eval crossover is width-dependent — see
+      ``DeepSets._use_pallas``)
     """
+    import jax
+
     from point_cloud_classifier_tpu.models import DeepSets, ModelWrapper
 
     model = DeepSets(
         input_dim=f,
-        phi_layers=PHI,
+        phi_layers=[width, width] if width else PHI,
         rho_layers=RHO,
         output_dim=1,
         activation="gelu",
@@ -584,6 +597,8 @@ def measure_eval_throughput(
         pooling="mean",
         compute_dtype=dtype,
         factored_cols=(1,) if dtype == "bfloat16" else (),
+        fused_phi=phi,
+        quant=quant,
     )
     wrapper = ModelWrapper(
         model, learning_rate=1e-3, epochs=1, optimizer="adamw",
@@ -593,11 +608,17 @@ def measure_eval_throughput(
         _batch(b, p, f, seed=s, half=(dtype == "bfloat16")) for s in range(8)
     ]
     wrapper._ensure_initialized(host_batches[0])
+    batches = host_batches
+    if resident:
+        batches = [
+            {k: jax.device_put(v) for k, v in hb.items()} for hb in host_batches
+        ]
+        jax.block_until_ready([v for hb in batches for v in hb.values()])
     for _ in range(warmup):  # compiles both the fused and single programs
-        wrapper._evaluate(host_batches)
+        wrapper._evaluate(batches)
     t0 = time.perf_counter()
     for _ in range(iters):
-        wrapper._evaluate(host_batches)
+        wrapper._evaluate(batches)
     dt = time.perf_counter() - t0
     return b * len(host_batches) * iters / dt
 
@@ -789,6 +810,20 @@ def main(argv=None) -> None:
         "fuses K eval steps per dispatch, --fuse 1 is the baseline arm",
     )
     parser.add_argument(
+        "--eval-device",
+        action="store_true",
+        help="like --eval-throughput but with the batches pinned in HBM "
+        "before the window (device truth — the arm for eval phi-path "
+        "policy A/Bs; combine with --phi/--phi-width)",
+    )
+    parser.add_argument(
+        "--phi-width",
+        type=int,
+        default=None,
+        help="override the phi hidden width (two layers of this width) — "
+        "the eval fused-kernel crossover is width-dependent",
+    )
+    parser.add_argument(
         "--mesh",
         action="store_true",
         help="shard the flagship train step over all visible devices (data axis)",
@@ -891,21 +926,33 @@ def main(argv=None) -> None:
         if scale > 1:
             b, p = b * scale, p * scale
 
-    if args.quant != "none" and not args.latency:
+    if args.quant != "none" and not (
+        args.latency or args.eval_throughput or args.eval_device
+    ):
         # silently running the float train step "with quant" would hand an
         # A/B reader the wrong number — the int8 path is serving-only
-        raise SystemExit("--quant requires --latency (int8 is an inference path)")
+        raise SystemExit(
+            "--quant requires --latency or --eval-throughput/--eval-device "
+            "(int8 is an inference path)"
+        )
 
-    if args.eval_throughput:
+    if args.eval_throughput or args.eval_device:
         # fuse groups cap at the 8-batch stream regardless of the resolved
         # default; `--fuse 1` is the per-batch baseline arm
         cps = measure_eval_throughput(
-            b, p, F, max(3, iters // 8), warmup, args.dtype, fuse=args.fuse
+            b, p, F, max(3, iters // 8), warmup, args.dtype, fuse=args.fuse,
+            phi=args.phi, width=args.phi_width, resident=args.eval_device,
+            quant=args.quant,
         )
+        metric = "deep_sets_eval_clouds_per_sec"
+        if args.eval_device:
+            metric += "_device"
+        if args.quant == "int8":
+            metric += "_int8"
         print(
             json.dumps(
                 {
-                    "metric": "deep_sets_eval_clouds_per_sec",
+                    "metric": metric,
                     "value": round(cps, 1),
                     "unit": "clouds/sec",
                     "vs_baseline": None,

@@ -61,6 +61,16 @@ row deep_sets_postpool_off PCC_PHI_POSTPOOL=0 --
 row eval_fused8 -- --eval-throughput --fuse 8
 row eval_unfused -- --eval-throughput --fuse 1
 
+# 6b) eval phi-path policy (device-truth: batches pinned in HBM) — the
+#     post-pool default changed BOTH arms of the old >=512 crossover
+#     (models/deep_sets._use_pallas), so re-derive it: XLA vs fused
+#     Pallas forward at widths 256 and 512, plus the int8 serving arm
+row evaldev_xla_256 -- --eval-device --fuse 8 --phi off
+row evaldev_pallas_256 -- --eval-device --fuse 8 --phi on
+row evaldev_xla_512 -- --eval-device --fuse 8 --phi off --phi-width 512
+row evaldev_pallas_512 -- --eval-device --fuse 8 --phi on --phi-width 512
+row evaldev_int8_256 -- --eval-device --fuse 8 --quant int8
+
 # 7) per-step fixed-overhead fraction: 2x workload per step (B=512,
 #    P=131072) — if clouds/sec rises, the step carries amortizable
 #    per-kernel overhead; if flat, it is pure traffic/FLOP bound
