@@ -574,13 +574,20 @@ def measure_eval_throughput(
 
     Two pipelines, mirroring :func:`measure_jax`:
 
-    - stream (default): H2D inside the window — tunnel-bound, only
-      meaningful in healthy windows
-    - ``resident``: batches pinned in HBM before the window — device
-      truth, the arm for the eval φ-path policy A/Bs (``phi``/``width``
-      select the fused-Pallas-vs-XLA forward and the φ width, since the
-      measured eval crossover is width-dependent — see
-      ``DeepSets._use_pallas``)
+    - stream (default): the full ``_evaluate`` surface over host batches,
+      H2D and the per-call blocking readback inside the window —
+      tunnel-bound, only meaningful in healthy windows
+    - ``resident``: device truth for the eval φ-path policy A/Bs — the
+      batches are pinned in HBM, stacked, and the FUSED EVAL PROGRAM
+      (``wrapper._eval_step_fused``) is dispatched iters× with one final
+      block, exactly like the resident train measurement.  Going through
+      ``_evaluate`` here would block on a device_get every call, and in a
+      dispatch-degraded window that roundtrip (~50 ms) drowns the ~2 ms
+      device signal — both arms of the first policy A/B measured an
+      identical 39.5k clouds/sec of pure tunnel noise (2026-08-18).
+      ``phi``/``width`` select the fused-Pallas-vs-XLA forward and the φ
+      width, since the measured eval crossover is width-dependent — see
+      ``DeepSets._use_pallas``.
     """
     import jax
 
@@ -602,23 +609,38 @@ def measure_eval_throughput(
     )
     wrapper = ModelWrapper(
         model, learning_rate=1e-3, epochs=1, optimizer="adamw",
-        fuse_steps=fuse,
+        fuse_steps=max(fuse, 2) if resident else fuse,  # the resident arm
+        # times the FUSED program, which only builds at fuse >= 2
     )
     host_batches = [
         _batch(b, p, f, seed=s, half=(dtype == "bfloat16")) for s in range(8)
     ]
     wrapper._ensure_initialized(host_batches[0])
-    batches = host_batches
     if resident:
-        batches = [
-            {k: jax.device_put(v) for k, v in hb.items()} for hb in host_batches
-        ]
-        jax.block_until_ready([v for hb in batches for v in hb.values()])
+        k = max(fuse, 2)
+        stacked = {
+            key: jax.device_put(
+                np.stack([host_batches[s % len(host_batches)][key] for s in range(k)])
+            )
+            for key in host_batches[0]
+        }
+        jax.block_until_ready(list(stacked.values()))
+        wrapper._evaluate(host_batches[:2])  # builds the eval programs
+        step = wrapper._eval_step_fused
+        for _ in range(warmup):
+            out = step(wrapper.params, wrapper.batch_stats, stacked)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step(wrapper.params, wrapper.batch_stats, stacked)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        return b * k * iters / dt
     for _ in range(warmup):  # compiles both the fused and single programs
-        wrapper._evaluate(batches)
+        wrapper._evaluate(host_batches)
     t0 = time.perf_counter()
     for _ in range(iters):
-        wrapper._evaluate(batches)
+        wrapper._evaluate(host_batches)
     dt = time.perf_counter() - t0
     return b * len(host_batches) * iters / dt
 

@@ -132,7 +132,7 @@ def resolve_activation(name: str):
             "exact": jax.nn.gelu,
         }[gelu_variant()]
     table = {
-        "relu": jax.nn.relu,
+        "relu": _relu,
         "silu": _silu,
         "tanh": _tanh_exp if os.environ.get("PCC_TANH_FORM") == "exp" else jnp.tanh,
     }
@@ -177,6 +177,28 @@ def _sigmoid_exp_jvp(primals, tangents):
     # s·(1−s) yields that same ~0 (the clamped-constant branch would give
     # literal 0 — indistinguishable at any working precision)
     return s, s * (1.0 - s) * da
+
+
+@jax.custom_jvp
+def _relu(x: jnp.ndarray) -> jnp.ndarray:
+    """``max(x, 0)`` with a Mosaic-safe derivative.
+
+    ``jax.nn.relu``'s own custom gradient is ``lax.select(x > 0, dx, 0)``
+    — a compare in the INPUT dtype, and Mosaic rejects ``arith.cmpf`` on
+    packed bf16 vectors (the same target limitation as
+    :func:`_sigmoid_exp`'s floor; a bf16 fused-φ relu config crashed the
+    kernel compile on real v5e, 2026-08-18 probe).  The mask compare here
+    runs in f32 — one upcast per element in the backward only; the
+    forward ``maximum`` lowers compare-free as ``arith.maximumf``."""
+    return jnp.maximum(x, 0.0)
+
+
+@_relu.defjvp
+def _relu_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    mask = (x.astype(jnp.float32) > 0.0).astype(dx.dtype)  # grad(0) = 0,
+    # matching jax.nn.relu's convention
+    return jnp.maximum(x, 0.0), mask * dx
 
 
 def _tanh_exp(x: jnp.ndarray) -> jnp.ndarray:

@@ -80,18 +80,22 @@ def main() -> None:
            B, P, 6, iters=it, warmup=wu, dtype="bfloat16",
            pipeline="resident", fuse=256)
 
-    # 2) graph_net: dense in-row (default) and flat
+    # 2) graph_net: dense in-row (default) and flat.  fuse 64 (the bench
+    # default depth): the 2026-08-18 campaign measured fuse-16 graph rows
+    # ~40% low in a window whose per-dispatch cost had quadrupled while
+    # the fuse-256 deep_sets row held — shallow fuse is NOT device-truth
+    # in dispatch-degraded windows
     record("graph_net_dense_inrow", bench.measure_graph_jax,
            B, P, E, iters=it, warmup=wu, dtype="bfloat16",
-           pipeline="resident", fuse=16, layout="dense")
+           pipeline="resident", fuse=64, layout="dense")
     record("graph_net_flat", bench.measure_graph_jax,
            B, P, E, iters=it, warmup=wu, dtype="bfloat16",
-           pipeline="resident", fuse=16, layout="flat")
+           pipeline="resident", fuse=64, layout="flat")
 
     # 3) GAT: fused flash kernel vs the matrix formulation
     record("gat_flash_kernel", bench.measure_graph_jax,
            B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
-           pipeline="resident", fuse=4, layout="dense", use_gat=True)
+           pipeline="resident", fuse=16, layout="dense", use_gat=True)
     import point_cloud_classifier_tpu.models.wrapper as mw
     import point_cloud_classifier_tpu.ops.gat_pallas as gp
 
@@ -101,7 +105,7 @@ def main() -> None:
     try:
         record("gat_matrix", bench.measure_graph_jax,
                B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
-               pipeline="resident", fuse=4, layout="dense", use_gat=True)
+               pipeline="resident", fuse=16, layout="dense", use_gat=True)
     finally:
         gp._shapes_ok = shapes_ok
         mw._STEP_CACHE.clear()

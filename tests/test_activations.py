@@ -82,7 +82,9 @@ def test_resolver_policy(monkeypatch):
     assert resolve_activation("gelu") is jax.nn.gelu
     monkeypatch.setenv("PCC_GELU", "poly")
     assert resolve_activation("gelu") is fast_gelu
-    assert resolve_activation("relu") is jax.nn.relu
+    from point_cloud_classifier_tpu.ops.activations import _relu
+
+    assert resolve_activation("relu") is _relu  # Mosaic-safe custom-jvp form
     with pytest.raises(KeyError):
         resolve_activation("swishish")
 
@@ -178,3 +180,22 @@ def test_sigmoid_form_knob_matches_explicit(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(gdef), np.asarray(glog), rtol=1e-5, atol=1e-6
     )
+
+
+def test_relu_kernel_form_matches_jax_nn_relu():
+    """resolve_activation('relu') is the Mosaic-safe custom-jvp form (f32
+    mask compare — bf16 cmpf is rejected on real TPUs); values and grads
+    must match jax.nn.relu exactly, including grad(0) == 0."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from point_cloud_classifier_tpu.ops.activations import resolve_activation
+
+    f = resolve_activation("relu")
+    x = jnp.asarray([-2.0, -1e-3, 0.0, 1e-3, 3.0], jnp.float32)
+    np.testing.assert_array_equal(np.asarray(f(x)), np.asarray(jax.nn.relu(x)))
+    g_ours = jax.vmap(jax.grad(f))(x)
+    g_jax = jax.vmap(jax.grad(jax.nn.relu))(x)
+    np.testing.assert_array_equal(np.asarray(g_ours), np.asarray(g_jax))
+    assert float(jax.grad(f)(jnp.float32(0.0))) == 0.0

@@ -71,17 +71,18 @@ def test_pallas_bf16_close_to_f32():
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=0.05, atol=0.1)
 
 
-def test_custom_vjp_matches_xla_grads():
+@pytest.mark.parametrize("activation", ["gelu", "relu"])
+def test_custom_vjp_matches_xla_grads(activation):
     spec = (("plain", False), ("residual", False))
     pts, seg, s = _inputs()
     params = _make_params(jax.random.PRNGKey(2), spec, 6, 32)
 
     def loss_fused(pts, params):
-        out = phi_pool(pts, seg, spec, params, "gelu", s, True)
+        out = phi_pool(pts, seg, spec, params, activation, s, True)
         return jnp.sum(out**2)
 
     def loss_xla(pts, params):
-        out = phi_pool_xla(pts, seg, spec, params, "gelu", s)
+        out = phi_pool_xla(pts, seg, spec, params, activation, s)
         return jnp.sum(out**2)
 
     (v1, g1) = jax.value_and_grad(loss_fused, argnums=(0, 1))(pts, params)
