@@ -173,25 +173,23 @@ class DeepSets(nn.Module):
         if self.fused_phi == "on":
             return True
         # "auto" is measurement-driven (whole-train-step A/B on v5e,
-        # P=65536, fuse 16 — docs/kernels.md):
-        # - TRAINING: XLA everywhere.  The fused fwd+bwd pair ties at best
-        #   (256: 1.04 vs 1.01 ms/step; 512: 2.39 vs 2.31) — the backward
-        #   kernel's in-tile recompute is 4/3 the FLOPs of XLA's
-        #   save-residuals autodiff.  (Round 1 routed width ≥512 to the
-        #   kernel from an op-level A/B; whole-step that was a regression:
-        #   the then-XLA-replay backward re-paid the forward, 2.65 vs 2.31.)
-        # - EVAL/INFER: the forward kernel at width ≥512 — no backward, so
-        #   no recompute penalty; saved [P,H] activation round-trips win
-        #   1.44× op-level at 512, growing with width.  NOTE: the post-pool
-        #   final-linear default changed BOTH arms of that A/B (the XLA
-        #   eval chain and the kernel each drop one per-point matmul); the
-        #   ≥512 crossover is pending re-measurement (scripts/phi_ab.sh).
-        if train:
-            return False
-        from point_cloud_classifier_tpu.ops.dispatch import use_tpu_kernels
-
-        widest = max(self.phi_layers) if self.phi_layers else 0
-        return use_tpu_kernels() and widest >= 512
+        # P=65536, fuse 16 — docs/kernels.md): XLA EVERYWHERE.
+        # - TRAINING: the fused fwd+bwd pair ties at best (256: 1.04 vs
+        #   1.01 ms/step; 512: 2.39 vs 2.31) — the backward kernel's
+        #   in-tile recompute is 4/3 the FLOPs of XLA's save-residuals
+        #   autodiff.  (Round 1 routed width ≥512 to the kernel from an
+        #   op-level A/B; whole-step that was a regression: the then-
+        #   XLA-replay backward re-paid the forward, 2.65 vs 2.31.)
+        # - EVAL/INFER: the width ≥512 forward-kernel crossover that held
+        #   before the post-pool final-linear default was re-measured
+        #   AFTER it (2026-08-18, device-truth eval, bench --eval-device):
+        #   XLA wins at both widths now (256: 248.0k vs 223.2k; 512:
+        #   191.3k vs 172.1k clouds/sec) — post-pool removed the final
+        #   per-point matmul from BOTH arms, and what remains of the XLA
+        #   chain fuses well enough that the kernel's saved [P,H]
+        #   round-trips no longer pay for its epilogue.  fused_phi="on"
+        #   keeps the kernel reachable (tests, future re-tuning).
+        return False
 
     def _phi_mode(self, train: bool = True) -> str:
         """'int8' (quantized eval) | 'pallas' (full fusion) | 'tail' (XLA

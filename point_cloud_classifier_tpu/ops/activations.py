@@ -30,20 +30,30 @@ Two replacement strategies, both measured whole-step same-window:
    is an approximation; the parity metric is the contract, not ulps).
 
 Round-2 addendum: HOW the sigmoid is written matters as much as which
-activation.  ``jax.nn.sigmoid``/``lax.logistic`` (a) is outright broken
-under Mosaic at bf16 (its lowering emits an f32-constant
-``vector.broadcast`` into a bf16 vector, failing verification — the
-fused φ kernel crashed on TPU) and (b) its XLA TPU lowering costs ~18%
-of the whole flagship step vs the explicit ``1/(1+exp(-x))`` form
-(same-window device-truth A/B: 319.5k vs 377.2k clouds/sec,
-``PCC_SIGMOID_FORM=logistic`` re-selects the old form for A/B).
-:func:`quick_gelu` and the ``silu`` table entry therefore write the
-sigmoid out explicitly.
+activation, and the best form differs per consumer:
+
+- **Mosaic (Pallas kernels)**: ``jax.nn.sigmoid``/``lax.logistic`` is
+  outright broken at bf16 (its lowering emits an f32-constant
+  ``vector.broadcast`` into a bf16 vector, failing verification — the
+  fused φ kernel crashed on TPU), so kernels ALWAYS get the explicit
+  ``1/(1+exp(-x))`` form (``resolve_activation(name, mosaic=True)``).
+- **XLA**: which form is faster FLIPPED with the post-pool
+  final-linear default.  Pre-post-pool (3 per-point matmul passes
+  fwd) the explicit form won 18% whole-step (377.2k vs 319.5k
+  clouds/sec); post-pool (2 passes — the step is leaner so the
+  activation is a larger fraction, and XLA fuses differently) the
+  native ``lax.logistic`` lowering wins ~3%, reproduced A/B/A/B:
+  486.1/481.3 explicit vs 498.5/499.4 logistic (2026-08-18,
+  device-truth resident fuse-256).  XLA paths therefore default to
+  ``jax.nn.sigmoid``; ``PCC_SIGMOID_FORM=exp`` re-selects the
+  explicit form for A/B (and as the kill-switch).
 
 Policy: ``resolve_activation("gelu")`` follows ``PCC_GELU``:
 ``quick`` (default), ``exact`` (``jax.nn.gelu`` — the kill-switch), or
-``poly``.  The resolver is shared by the φ chain, the Pallas kernels,
-and the ρ/head MLP stacks, so train/eval math stays consistent.
+``poly``.  The resolver is shared by the φ chain, the Pallas kernels
+(``mosaic=True``), and the ρ/head MLP stacks, so train/eval math stays
+consistent (the two sigmoid forms are numerically interchangeable —
+pinned by tests/test_activations.py).
 
 fast_gelu form: ``gelu(x) = x * (0.5 + xc * q(xc^2))`` with
 ``xc = clip(x, -4, 4)``, q a Chebyshev fit of ``(Φ(x) - 0.5)/x`` against
@@ -90,7 +100,7 @@ def fast_gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
-    """QuickGELU: ``x * sigmoid(1.702 x)`` — one transcendental.
+    """QuickGELU: ``x * sigmoid(1.702 x)`` — one transcendental (XLA form).
 
     The sigmoid-form GELU approximation (Hendrycks & Gimpel 2016 §2;
     the form OpenAI CLIP trained with).  Max abs deviation from the
@@ -100,13 +110,21 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     """
     # evaluated in the input dtype like jax.nn.silu (an f32 upcast of the
     # sigmoid measured 261.4k vs silu's 312.4k — the cast chain costs real
-    # VPU time).  The sigmoid is written out as 1/(1+exp(-a)) instead of
-    # jax.nn.sigmoid/lax.logistic: Mosaic's logistic lowering is broken at
-    # bf16 (an f32-constant vector.broadcast fails verification,
-    # `(f32) -> vector<...xbf16>`), which crashed the fused phi kernel on
-    # TPU — the explicit form lowers cleanly in both Pallas and XLA
-    if os.environ.get("PCC_SIGMOID_FORM") == "logistic":
-        return x * jax.nn.sigmoid(1.702 * x)  # A/B: the old lax.logistic form
+    # VPU time).  Native lax.logistic lowering: measured ~3% faster
+    # whole-step than the explicit form since post-pool (module
+    # docstring); PCC_SIGMOID_FORM=exp re-selects the explicit form
+    if os.environ.get("PCC_SIGMOID_FORM") == "exp":
+        return quick_gelu_mosaic(x)
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def quick_gelu_mosaic(x: jnp.ndarray) -> jnp.ndarray:
+    """QuickGELU with the sigmoid written out as ``1/(1+exp(-a))``.
+
+    The Mosaic-safe form: lax.logistic's lowering is broken at bf16
+    inside Pallas kernels (an f32-constant vector.broadcast fails
+    verification, ``(f32) -> vector<...xbf16>``) — this form lowers
+    cleanly.  Also the XLA A/B arm (``PCC_SIGMOID_FORM=exp``)."""
     a = 1.702 * x
     return x * _sigmoid_exp(a)
 
@@ -116,7 +134,7 @@ def gelu_variant() -> str:
     return os.environ.get("PCC_GELU", "quick")
 
 
-def resolve_activation(name: str):
+def resolve_activation(name: str, mosaic: bool = False):
     """Activation lookup shared by the φ kernels and the MLP stacks.
 
     ``gelu`` maps to the variant selected by ``PCC_GELU``:
@@ -124,16 +142,24 @@ def resolve_activation(name: str):
     parity inside the ±0.5% target), ``exact`` (``jax.nn.gelu``, the
     kill-switch), or ``poly`` (:func:`fast_gelu`, kept as a documented
     negative result).  Everything else is the plain jax op.
+
+    ``mosaic=True`` (the Pallas kernels) always selects the explicit-exp
+    sigmoid forms — lax.logistic and bf16 cmpf are broken under Mosaic
+    (module docstring) — while XLA callers get the native lowerings,
+    each the measured-faster form for its compiler.  The two are
+    numerically interchangeable (pinned by tests/test_activations.py),
+    so a model whose XLA eval runs against a Pallas-trained checkpoint
+    (or vice versa) sees identical math.
     """
     if name == "gelu":
         return {
-            "quick": quick_gelu,
+            "quick": quick_gelu_mosaic if mosaic else quick_gelu,
             "poly": fast_gelu,
             "exact": jax.nn.gelu,
         }[gelu_variant()]
     table = {
         "relu": _relu,
-        "silu": _silu,
+        "silu": _silu_mosaic if mosaic else _silu,
         "tanh": _tanh_exp if os.environ.get("PCC_TANH_FORM") == "exp" else jnp.tanh,
     }
     return table[name]
@@ -213,7 +239,16 @@ def _tanh_exp(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _silu(x: jnp.ndarray) -> jnp.ndarray:
-    """``x * sigmoid(x)`` with the sigmoid written out — same Mosaic
-    bf16 ``lax.logistic`` workaround as :func:`quick_gelu` (the fused φ
-    kernel supports silu configs)."""
+    """``x * sigmoid(x)`` — XLA form (native logistic, same policy as
+    :func:`quick_gelu`; ``PCC_SIGMOID_FORM=exp`` selects the explicit
+    form)."""
+    if os.environ.get("PCC_SIGMOID_FORM") == "exp":
+        return _silu_mosaic(x)
+    return x * jax.nn.sigmoid(x)
+
+
+def _silu_mosaic(x: jnp.ndarray) -> jnp.ndarray:
+    """``x * sigmoid(x)`` with the sigmoid written out — the Mosaic bf16
+    ``lax.logistic`` workaround (see :func:`quick_gelu_mosaic`; the fused
+    φ kernel supports silu configs)."""
     return x * _sigmoid_exp(x)

@@ -85,10 +85,12 @@ def _compiler_params():
 def _act(name: str):
     # "gelu" resolves to quick_gelu unless PCC_GELU=exact|poly
     # (ops/activations.py) — the exact-gelu tanh chain alone cost a third
-    # of the flagship train step (see the activations module docstring)
+    # of the flagship train step (see the activations module docstring).
+    # mosaic=True: kernels need the explicit-exp sigmoid forms —
+    # lax.logistic is broken at bf16 under Mosaic
     from point_cloud_classifier_tpu.ops.activations import resolve_activation
 
-    return resolve_activation(name)
+    return resolve_activation(name, mosaic=True)
 
 
 def _round_up(x: int, m: int) -> int:

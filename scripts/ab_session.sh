@@ -21,11 +21,11 @@ row() { # row <tag> [env=val ...] -- <bench args...>
 # 0) window health (stream smoke — tunnel-bound by design)
 row smoke -- --smoke
 
-# 1) flagship headline: clamped explicit-exp sigmoid (new) vs pre-clamp
-#    would need a checkout — instead A/B vs lax.logistic to confirm the
-#    explicit form still wins WITH the -60 floor
-row deep_sets_clamped --
-row deep_sets_logistic PCC_SIGMOID_FORM=logistic --
+# 1) flagship headline: native lax.logistic sigmoid (default since
+#    2026-08-18 — post-pool flipped the form race: 498.5/499.4 logistic
+#    vs 486.1/481.3 explicit, A/B/A/B) vs the explicit-exp form
+row deep_sets_logistic --
+row deep_sets_exp PCC_SIGMOID_FORM=exp --
 
 # 2) GAT: row-max softmax (default since 2026-08-18 — measured 24,380 vs
 #    23,660 graphs/sec for the factored form) vs factored

@@ -158,10 +158,11 @@ def test_explicit_exp_forms_grad_stable_at_overflow():
 
 
 def test_sigmoid_form_knob_matches_explicit(monkeypatch):
-    """scripts/ab_session.sh A/Bs PCC_SIGMOID_FORM=logistic against the
-    default explicit-exp form — the two must be numerically interchangeable
-    (same QuickGELU math, different lowering) so the A/B only measures
-    lowering cost."""
+    """The XLA default (native lax.logistic) and the Mosaic/A-B explicit-exp
+    form (PCC_SIGMOID_FORM=exp, and what resolve_activation(mosaic=True)
+    returns) must be numerically interchangeable — same QuickGELU math,
+    different lowering — so checkpoints cross between the paths and the
+    ab_session A/B only measures lowering cost."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -171,15 +172,23 @@ def test_sigmoid_form_knob_matches_explicit(monkeypatch):
     x = jnp.linspace(-20.0, 20.0, 513)
     default = act.quick_gelu(x)
     gdef = jax.grad(lambda v: act.quick_gelu(v).sum())(x)
-    monkeypatch.setenv("PCC_SIGMOID_FORM", "logistic")
-    logistic = act.quick_gelu(x)
-    glog = jax.grad(lambda v: act.quick_gelu(v).sum())(x)
+    monkeypatch.setenv("PCC_SIGMOID_FORM", "exp")
+    explicit = act.quick_gelu(x)
+    gexp = jax.grad(lambda v: act.quick_gelu(v).sum())(x)
+    mosaic = act.quick_gelu_mosaic(x)
     np.testing.assert_allclose(
-        np.asarray(default), np.asarray(logistic), rtol=1e-6, atol=1e-6
+        np.asarray(default), np.asarray(explicit), rtol=1e-6, atol=1e-6
     )
+    np.testing.assert_allclose(np.asarray(explicit), np.asarray(mosaic))
     np.testing.assert_allclose(
-        np.asarray(gdef), np.asarray(glog), rtol=1e-5, atol=1e-6
+        np.asarray(gdef), np.asarray(gexp), rtol=1e-5, atol=1e-6
     )
+    # the resolver routes mosaic callers to the explicit form regardless
+    # of the knob
+    monkeypatch.delenv("PCC_SIGMOID_FORM")
+    assert act.resolve_activation("gelu", mosaic=True) is act.quick_gelu_mosaic
+    assert act.resolve_activation("gelu") is act.quick_gelu
+    assert act.resolve_activation("silu", mosaic=True) is act._silu_mosaic
 
 
 def test_relu_kernel_form_matches_jax_nn_relu():

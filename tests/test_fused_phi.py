@@ -134,15 +134,16 @@ def test_auto_pallas_gating_by_width_and_backend():
 
     assert not mk(1024)._use_pallas(train=False)  # cpu backend: XLA
     with patch("jax.default_backend", return_value="tpu"):
-        # training under "auto": XLA at every width — the fused fwd+bwd
-        # pair ties at best whole-step (docs/kernels.md)
+        # "auto" is XLA at every width in BOTH phases since the post-pool
+        # final-linear default (2026-08-18 device-truth eval A/B: XLA won
+        # 248.0k vs 223.2k at 256 and 191.3k vs 172.1k at 512 — see
+        # models/deep_sets._use_pallas and docs/kernels.md)
         assert not mk(256)._use_pallas(train=True)
         assert not mk(512)._use_pallas(train=True)
         assert not mk(1024)._use_pallas(train=True)
-        # eval/infer under "auto": forward kernel from width 512 up
         assert not mk(256)._use_pallas(train=False)
-        assert mk(512)._use_pallas(train=False)
-        assert mk(1024)._use_pallas(train=False)
+        assert not mk(512)._use_pallas(train=False)
+        assert not mk(1024)._use_pallas(train=False)
         assert not mk(1024, layer_norm=True)._use_pallas(train=False)
         # explicit modes override the measurement policy in both phases
         assert mk(256, fused_phi="on")._use_pallas(train=True)
@@ -375,14 +376,15 @@ def test_phi_mode_routing():
     assert mk(fused_phi="off")._phi_mode(train=True) == "xla"
     assert mk(fused_phi="on")._phi_mode(train=True) == "pallas"
     with patch("jax.default_backend", return_value="tpu"):
-        # eval at width >= 512 under "tail" still prefers the full forward
-        # kernel (strictly less HBM traffic, no backward to pay for)
+        # eval under "tail" stays on the tail kernel at every width: the
+        # full-forward crossover it used to defer to was withdrawn with
+        # the post-pool default (see _use_pallas)
         m = DeepSets(
             input_dim=6, phi_layers=[512, 512], rho_layers=[64],
             output_dim=1, activation="gelu", layer_norm=False,
             residual_block=True, pooling="mean", fused_phi="tail",
         )
-        assert m._phi_mode(train=False) == "pallas"
+        assert m._phi_mode(train=False) == "tail"
 
 
 @pytest.mark.parametrize(
