@@ -941,9 +941,12 @@ def main(argv=None) -> None:
         default_iters = max(ITERS, 4 * args.fuse) if args.pipeline == "resident" else ITERS
         b, p, iters, warmup = B, P, args.iters or default_iters, WARMUP
         # PCC_BENCH_SCALE: diagnostic workload multiplier (B and P scale
-        # together, so clouds/sec stays comparable per-cloud) — measures
-        # what fraction of the step is fixed per-dispatch/per-kernel
-        # overhead vs HBM/FLOP traffic.  Not the headline workload.
+        # together).  NOT per-cloud-comparable: the one-hot segment ops
+        # (pool contraction [B+1, P] @ [P, H], segment-id broadcast
+        # compare) are O(B*P), so scale 2 QUADRUPLES their work — the
+        # 2026-08-18 scale-2 row measured 157k vs 489k clouds/sec mostly
+        # from that quadratic term, not fixed overhead.  Use same-scale
+        # A/Bs only.  Not the headline workload.
         scale = int(os.environ.get("PCC_BENCH_SCALE", "1"))
         if scale > 1:
             b, p = b * scale, p * scale
