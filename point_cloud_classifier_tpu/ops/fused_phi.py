@@ -421,10 +421,16 @@ def phi_pool_bwd_pallas(
         # the backward's live set is ~4x the forward's (vjp residuals for
         # every chain layer stay in VMEM), so budget two notches tighter
         # (measured: tile 2048 x width 256 hits the 16 MB scoped-vmem stack
-        # limit at 17.6 MB; 1024 x 256 fits).  The tail-fused empty spec
-        # has NO vjp residuals (closed-form affine grads) — forward budget
+        # limit at 17.6 MB; 1024 x 256 fits).  Chain specs default to the
+        # 2x-tile + split-2 pairing instead: splitting the vjp into row
+        # sub-chains halves the residual live set, so tile 2048/split 2
+        # keeps the same VMEM footprint as 1024/1 while halving the grid —
+        # measured +3.0% whole-step over the unsplit default (303.7k vs
+        # 294.8k clouds/sec, 2026-08-18 phi_ab; t4096/s4 tied at 304.8k).
+        # The tail-fused empty spec has NO vjp residuals (closed-form
+        # affine grads) — forward budget, no split needed
         widest = max([h_dim] + [w[0].shape[-1] for w in params[:-1]])
-        shift, cap = (20, 4096) if not spec else (18, 2048)
+        shift, cap = (20, 4096) if not spec else (19, 2048)
         budget = (1 << shift) // max(widest, 1)
         tile = 128
         while tile * 2 <= min(budget, cap):
@@ -440,7 +446,7 @@ def phi_pool_bwd_pallas(
     dtype = points.dtype
     flat = _flatten_params(params, dtype)
 
-    split = _env_int("PCC_PHI_SPLIT_BWD", 1)
+    split = _env_int("PCC_PHI_SPLIT_BWD", 2 if spec else 1)
     if split < 1 or t % split or (t // split) % 8:
         split = 1
     kernel = _make_bwd_kernel(spec, activation, s_pad, len(flat), split)
