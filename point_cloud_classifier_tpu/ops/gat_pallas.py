@@ -92,17 +92,25 @@ def gat_attention_xla(s_dst, s_src, in_src, in_w, xw, slope: float = _SLOPE):
 
 
 def _mask_tile(src_ref, w_ref, t, m, d, row0, gi=0):
-    """[T, M] f32 adjacency+self-loop mask for this row tile."""
+    """[T, M] bool adjacency+self-loop mask for this row tile.
+
+    Two VPU passes per in-row slot instead of four: the existence gate
+    (``w != 0``) is folded into the [T, 1] source-id column BEFORE the
+    [T, M] broadcast compare (an absent slot becomes id -1, which never
+    matches a column), and the per-slot combine is a predicate OR rather
+    than a select + f32 max.  The mask stays a PREDICATE so consumers
+    select on it directly — the old f32 mask cost one extra ``> 0``
+    compare pass per head in ``_alpha_tile``.  The mask build was ~45%
+    of the forward kernel's VPU ops at D=8 (docs/kernels.md)."""
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, m), 1)
-    mask = jnp.zeros((t, m), jnp.float32)
+    row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (t, m), 0)
+    mask = row_ids == col_ids  # self-loops
     for dd in range(d):
         src_col = src_ref[gi, :, pl.ds(dd, 1)]  # [T, 1] i32
-        w_col = w_ref[gi, :, pl.ds(dd, 1)].astype(jnp.float32)
-        mask = jnp.maximum(
-            mask, jnp.where((src_col == col_ids) & (w_col != 0.0), 1.0, 0.0)
-        )
-    row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (t, m), 0)
-    return jnp.maximum(mask, jnp.where(row_ids == col_ids, 1.0, 0.0))
+        w_col = w_ref[gi, :, pl.ds(dd, 1)]  # [T, 1] f32
+        src_eff = jnp.where(w_col != 0.0, src_col, -1)  # [T, 1] — O(T) gate
+        mask = mask | (src_eff == col_ids)
+    return mask
 
 
 def _alpha_tile(sd, ssT, mask, head, slope):
@@ -157,7 +165,7 @@ def _alpha_tile(sd, ssT, mask, head, slope):
     if os.environ.get("PCC_GAT_SOFTMAX", "max") != "factored":
         z = s + t_row  # [T, M]
         e = jnp.where(z >= 0.0, z, slope * z)  # LeakyReLU
-        e = jnp.where(mask > 0, e, -jnp.inf)
+        e = jnp.where(mask, e, -jnp.inf)  # mask is a predicate tile
         # every row has its self-loop, so the row max is finite and
         # exp(-inf - max) = 0 exactly — no post-exp mask multiply needed
         p = jnp.exp(e - jnp.max(e, axis=1, keepdims=True))
@@ -172,7 +180,7 @@ def _alpha_tile(sd, ssT, mask, head, slope):
         # z >= 0 as s >= -t: the [1, M] negation is O(M), so the branch
         # condition costs ONE [T, M] pass instead of add + compare
         cond = s >= -t_row
-        p = mask * jnp.where(cond, u * b, v * bh)
+        p = jnp.where(mask, jnp.where(cond, u * b, v * bh), 0.0)
     return p, 1.0 / jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-16)
 
 
