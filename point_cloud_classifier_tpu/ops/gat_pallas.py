@@ -8,7 +8,21 @@ passes over `[B, M, M]` per head per conv although the lineage wire
 bounds real in-degree at D ≤ 8 — ~99.8% of that softmax work was on
 absent edges and all of it round-tripped HBM.
 
-Kernel (grid `(B, M/T)`, everything in VMEM per step):
+TWO kernel forms (PCC_GAT_KERNEL = auto | slot | dense):
+
+**slot** (default when the whole graph fits one row tile): the softmax
+runs over the ≤ D+1 in-row SLOTS instead of all M columns —
+per-slot validity in ``[1, T]`` lane rows, gathers and scatters as
+one-hot MXU contractions (``_slot_prep``), per-head ``[D+1, T]``
+softmax, and aggregation as (D+1) full-width ``[T, C]`` FMAs with the
+per-head alphas broadcast over their dh lanes by a block-matrix MXU
+dot.  O(M·D) VPU work instead of O(M²).  Measured whole-step:
+32,079 vs 26,455 graphs/sec dense (+21%, same-window resident A/B,
+2026-08-18).  Dot precision is wire-dtype-conditional — see the
+comment in ``_slot_prep`` (HIGHEST everywhere cost 2.3x).
+
+**dense** (fallback for multi-row-tile shapes and past the VMEM cap),
+grid `(B, M/T)`, everything in VMEM per step:
 
 1. adjacency mask tile ``A [T, M]`` from the in-row lists: D static
    compare passes (the `ops/inrow_graph` trick) + the self-loop diagonal
@@ -278,6 +292,321 @@ def _make_bwd_kernel(
     return kernel
 
 
+def _make_slot_fwd_kernel(
+    t: int, m: int, d: int, h: int, dh: int, slope: float, g_batch: int
+):
+    """Slot-softmax forward: see ``_slot_prep`` for the shared recompute."""
+
+    def kernel(sdT_ref, ssT_ref, ssrc_ref, srcT_ref, wT_ref, xw_ref, out_ref):
+        for gi in range(g_batch):
+            prep = _slot_prep(
+                sdT_ref, ssT_ref, ssrc_ref, srcT_ref, wT_ref, xw_ref,
+                gi, t, m, d, h, dh, slope,
+            )
+            out_ref[gi] = _slot_aggregate(prep, d, h, dh).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _slot_prep(sdT_ref, ssT_ref, ssrc_ref, srcT_ref, wT_ref, xw_ref,
+               gi, t, m, d, h, dh, slope):
+    """Shared slot-softmax state (forward, and flash-recomputed in the
+    backward): per-slot validity/one-hots, MXU gathers, and the per-head
+    ``[D+1, T]`` slot-softmax — the whole point of the form: the softmax
+    (and its backward) runs over at most D+1 ≤ 9 sublane rows instead of
+    M = 256-512 lanes, so the transcendental/select work that dominated
+    the dense kernel's VPU time (docs/kernels.md) shrinks ~M/(D+1)-fold.
+    Gathers and scatters ride the MXU as one-hot contractions — no
+    dynamic indexing anywhere.
+
+    Requires t == m (whole graph per row tile) so self-loop rows, the
+    ``xw`` block, and scatter outputs are all row-aligned.
+    """
+    c = h * dh
+    # Mosaic iota is integer-only; f32 ids (< 2^24, exact) keep the
+    # compare/select chain and the transposed wire in one vreg layout
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1).astype(jnp.float32)
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (m, t), 0).astype(jnp.float32)
+    # float transposes: source ids are < 2^24 so f32 equality is exact,
+    # and f32 keeps every [T, D] <-> [D, T] transpose in one vreg shuffle
+    srcT = srcT_ref[gi]  # [D, T] f32 (transposed by the wrapper)
+    wT = wT_ref[gi]  # [D, T] f32
+    sdT = sdT_ref[gi]  # [H, M] f32
+    ssT = ssT_ref[gi]  # [H, M] f32
+    s_src = ssrc_ref[gi]  # [M, H] f32
+    xwf = xw_ref[gi].astype(jnp.float32)  # [M, C]
+
+    # per-slot validity in the [1, T] lane domain (a [T, 1] sublane op
+    # costs a full vreg per 8 rows — 16x more than these row ops):
+    # gate on w != 0, drop explicit self-edges (the implicit self-loop
+    # row covers them once, matching the oracle's adj|eye collapse) and
+    # duplicate sources in later slots (the bool mask counts them once)
+    src_eff = []  # [1, T] f32 rows, -1 where the slot is absent
+    neg_rows = [jnp.zeros((1, t), jnp.float32)]  # self row: always valid
+    for dd in range(d):
+        s_row = srcT[dd : dd + 1, :]
+        v = (wT[dd : dd + 1, :] != 0.0) & (s_row != lane_ids)
+        for prev in src_eff:
+            v = v & (s_row != prev)
+        src_eff.append(jnp.where(v, s_row, -1.0))
+        neg_rows.append(jnp.where(v, 0.0, -jnp.inf))
+    neg = jnp.concatenate(neg_rows, axis=0)  # [D+1, T] additive mask
+
+    def oh(dd):
+        # rebuilt at each use site so at most one [M, T] one-hot is ever
+        # live (the backward's scatter dots would otherwise keep D of
+        # them resident and blow VMEM at M=512/D=8)
+        return jnp.where(sub_ids == src_eff[dd], 1.0, 0.0)
+
+    # Dot precision: on a bf16 wire (production) every gathered value is
+    # already bf16-representable (scores/cotangents come off bf16 Dense
+    # layers, the one-hot is 0/1), so the DEFAULT bf16x1 dot loses
+    # nothing.  On an f32 wire (the tests' oracle dtype, and f32
+    # compute_dtype configs) DEFAULT would round gathered scores —
+    # HIGHEST keeps kernel-vs-oracle parity exact there.  Measured:
+    # HIGHEST everywhere cost 2.3x whole-kernel (13.9k vs 32.1k
+    # graphs/sec) — the multi-pass f32 emulation turns every [M, T]
+    # gather/scatter contraction into 6+ MXU passes.
+    exact = jax.lax.Precision.HIGHEST
+    if xw_ref.dtype != jnp.float32:
+        exact = jax.lax.Precision.DEFAULT
+    sg, xwg = [], []
+    for dd in range(d):
+        o = oh(dd)
+        sg.append(
+            jax.lax.dot_general(
+                o, s_src, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=exact,
+            )
+        )  # [T, H]
+        xwg.append(
+            jax.lax.dot_general(
+                o, xwf, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )  # [T, C]
+    if d:
+        sgT = jnp.swapaxes(jnp.concatenate(sg, axis=1), 0, 1)  # [D*H, T]
+    else:  # pragma: no cover - wire D >= 4 always
+        sgT = jnp.zeros((0, t), jnp.float32)
+
+    # per-head slot softmax, self row FIRST (row-aligned scores)
+    zs, alphas = [], []
+    for head in range(h):
+        z_rows = [sdT[head : head + 1, :] + ssT[head : head + 1, :]]
+        for dd in range(d):
+            z_rows.append(
+                sdT[head : head + 1, :] + sgT[dd * h + head : dd * h + head + 1, :]
+            )
+        z = jnp.concatenate(z_rows, axis=0)  # [D+1, T]
+        e = jnp.where(z >= 0.0, z, slope * z) + neg
+        # the self row is always valid, so the slot max is finite and
+        # exp(-inf - mx) = 0 exactly on absent slots
+        p = jnp.exp(e - jnp.max(e, axis=0, keepdims=True))
+        alphas.append(p * (1.0 / jnp.sum(p, axis=0, keepdims=True)))
+        zs.append(z)
+
+    # alphas back to the row domain, slot-major columns: ONE transpose
+    # instead of (D+1)*H sublane<->lane flips
+    rows = []
+    for slot in range(d + 1):
+        for head in range(h):
+            rows.append(alphas[head][slot : slot + 1, :])
+    a_cols = jnp.swapaxes(jnp.concatenate(rows, axis=0), 0, 1)  # [T,(D+1)H]
+    # head-block expander: alpha_rows [T, H] @ blk [H, C] broadcasts each
+    # head's alpha over its dh lanes on the MXU, so the aggregation is
+    # (D+1) full-width [T, C] FMAs instead of per-(slot, head) [T, dh]
+    # strips that pad to full vregs anyway
+    blk = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, c), 1) // dh
+        == jax.lax.broadcasted_iota(jnp.int32, (h, c), 0)
+    ).astype(jnp.float32)
+    return dict(
+        oh=oh, neg=neg, sg=sg, xwg=xwg, zs=zs, alphas=alphas,
+        a_cols=a_cols, blk=blk, xwf=xwf, exact=exact,
+    )
+
+
+def _alpha_exp(prep, slot, h):
+    """[T, C] per-lane alpha for one slot (head-blocks expanded)."""
+    return jax.lax.dot_general(
+        prep["a_cols"][:, slot * h : (slot + 1) * h],
+        prep["blk"],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _slot_aggregate(prep, d, h, dh):
+    """out = sum_slot alpha_slot * gathered features ([T, C] f32)."""
+    acc = _alpha_exp(prep, 0, h) * prep["xwf"]  # self: xw IS row-aligned
+    for dd in range(d):
+        acc = acc + _alpha_exp(prep, dd + 1, h) * prep["xwg"][dd]
+    return acc
+
+
+def _make_slot_bwd_kernel(
+    t: int, m: int, d: int, h: int, dh: int, slope: float, g_batch: int
+):
+    def kernel(
+        sdT_ref, ssT_ref, ssrc_ref, srcT_ref, wT_ref, xw_ref, g_ref,
+        dsdT_ref, dssT_ref, dxw_ref,
+    ):
+        for gi in range(g_batch):
+            prep = _slot_prep(
+                sdT_ref, ssT_ref, ssrc_ref, srcT_ref, wT_ref, xw_ref,
+                gi, t, m, d, h, dh, slope,
+            )
+            gf = g_ref[gi].astype(jnp.float32)  # [T, C]
+            blkT = jnp.swapaxes(prep["blk"], 0, 1)  # [C, H]
+
+            # dalpha[slot, head, i] = <g_i, feat_slot_i[head block]>:
+            # head-block row sums as a thin MXU contraction with blk^T
+            dal = [
+                jax.lax.dot_general(
+                    gf * prep["xwf"], blkT,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            ]
+            for dd in range(d):
+                dal.append(
+                    jax.lax.dot_general(
+                        gf * prep["xwg"][dd], blkT,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            dalT = jnp.swapaxes(jnp.concatenate(dal, axis=1), 0, 1)
+            # [(D+1)*H, T], slot-major rows
+
+            dsdT_rows = []
+            dz_slot = [[] for _ in range(d + 1)]
+            for head in range(h):
+                a = prep["alphas"][head]  # [D+1, T]
+                dp_rows = [
+                    dalT[slot * h + head : slot * h + head + 1, :]
+                    for slot in range(d + 1)
+                ]
+                dp = jnp.concatenate(dp_rows, axis=0)  # [D+1, T]
+                tmp = a * dp
+                dz = a * (dp - jnp.sum(tmp, axis=0, keepdims=True))
+                z = prep["zs"][head]
+                dzl = dz * jnp.where(z >= 0.0, 1.0, slope)
+                dsdT_rows.append(jnp.sum(dzl, axis=0, keepdims=True))
+                for slot in range(d + 1):
+                    dz_slot[slot].append(dzl[slot : slot + 1, :])
+            dsdT_ref[gi] = jnp.concatenate(dsdT_rows, axis=0)  # [H, M]
+
+            # ds_src: the self slot lands on the diagonal (row-aligned at
+            # t == m); edge slots scatter through the one-hots on the MXU
+            dss = jnp.concatenate(dz_slot[0], axis=0)  # [H, T]
+            for dd in range(d):
+                dz_d = jnp.concatenate(dz_slot[dd + 1], axis=0)  # [H, T]
+                dss = dss + jax.lax.dot_general(
+                    dz_d, prep["oh"](dd),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prep["exact"],
+                )  # [H, M]
+            dssT_ref[gi] = dss
+
+            # dxw[j] += sum_slot alpha_slot[i] g[i] at j = src (one-hot
+            # scatter dots; the self slot is the row-aligned diagonal)
+            dxw = _alpha_exp(prep, 0, h) * gf  # [M, C] (t == m)
+            for dd in range(d):
+                s_d = _alpha_exp(prep, dd + 1, h) * gf  # [T, C]
+                dxw = dxw + jax.lax.dot_general(
+                    prep["oh"](dd), s_d,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            dxw_ref[gi] = dxw
+
+    return kernel
+
+
+_SLOT_VMEM_CAP = 100 << 20  # leave VMEM for Mosaic's block double-buffering
+
+
+def _slot_vmem(m: int, c: int, d: int, gb: int) -> int:
+    """Scoped-VMEM estimate for the slot BACKWARD (the larger of the two).
+
+    Mosaic's stack allocator keeps every unrolled gi iteration's
+    temporaries live (measured: gb=4 at M=512/D=4 allocated 18.87 MB,
+    matching gb x per-graph, not one graph), so the estimate scales with
+    gb.  Per graph: xwf/dxw/gf/acc-class [M, C] f32 buffers (~6), the
+    D gathered [T, C] features, and ~2 live [M, T] one-hots."""
+    per_graph = 4 * m * (c * (6 + d) + 2 * m)
+    blocks = gb * (4 * m * (3 * 8 + 2 * d) + 8 * m * c)  # refs, upper bound
+    # 25% margin: measured allocations run a few % past the model (extra
+    # Mosaic spill/alignment slop — 30.14M actual vs 29.5M modeled at
+    # M=512/D=8/gb=4), and undershooting is a hard compile failure
+    return (gb * per_graph + blocks) * 5 // 4 + (4 << 20)
+
+
+def _slot_gb(b: int, m: int, c: int, d: int, t: int) -> int:
+    """Graphs per grid step for the slot form, bounded by the VMEM cap."""
+    gb = _graphs_per_step(b, m, c, t)
+    while gb > 1 and _slot_vmem(m, c, d, gb) > _SLOT_VMEM_CAP:
+        gb //= 2
+    return gb
+
+
+def _slot_params(m: int, c: int, d: int, gb: int):
+    """Raise Mosaic's ~16 MB scoped-vmem default to fit the slot working
+    set (v5e has 128 MB of VMEM); headroom keeps block prefetch alive."""
+    need = _slot_vmem(m, c, d, gb)
+    if need <= 15 << 20:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=min(need, _SLOT_VMEM_CAP))
+
+
+def _kernel_form(t: int, m: int, c: int = 128, d: int = 4) -> str:
+    """Trace-time kernel-form policy.  PCC_GAT_KERNEL: auto | slot | dense.
+
+    The slot form needs the whole graph in one row tile (t == m) for its
+    row-aligned self-loop / scatter writes; multi-tile shapes and working
+    sets past the VMEM cap always use the dense form.
+    """
+    form = os.environ.get("PCC_GAT_KERNEL", "auto")
+    if t != m or form == "dense":
+        return "dense"
+    if _slot_vmem(m, c, d, 1) > _SLOT_VMEM_CAP:
+        return "dense"
+    return "slot"
+
+
+def _slot_operands(s_dst, s_src, in_src, in_w, xw):
+    """Wrapper-side layout for the slot kernels (all transposes in XLA,
+    outside the kernel): scores head-major, in-row lists slot-major."""
+    return (
+        jnp.swapaxes(s_dst.astype(jnp.float32), 1, 2),  # [B, H, M]
+        jnp.swapaxes(s_src.astype(jnp.float32), 1, 2),  # [B, H, M]
+        s_src.astype(jnp.float32),  # [B, M, H] (gather dot operand)
+        # f32 ids: < 2^24 so equality stays exact, and the kernel's
+        # compare/select chain stays in one vreg layout
+        jnp.swapaxes(in_src.astype(jnp.float32), 1, 2),  # [B, D, M]
+        jnp.swapaxes(in_w.astype(jnp.float32), 1, 2),  # [B, D, M]
+        xw,
+    )
+
+
+def _slot_specs(m, d, h, c, gb):
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
+    )
+    return [
+        full((gb, h, m)),
+        full((gb, h, m)),
+        full((gb, m, h)),
+        full((gb, d, m)),
+        full((gb, d, m)),
+        full((gb, m, c)),
+    ]
+
+
 def _tile_rows(m: int, c: int) -> int:
     """Row tile so the live [T, M] f32 blocks (~6 temporaries) plus the
     resident [M, C] blocks fit a ~10 MB VMEM budget; 0 → fall back.
@@ -348,6 +677,20 @@ def _fwd_impl(s_dst, s_src, in_src, in_w, xw, slope: float, interpret: bool):
     d = in_src.shape[-1]
     t = _shapes_ok(s_dst, xw, interpret)
     assert t, "caller must route un-tileable shapes to gat_attention_xla"
+    if _kernel_form(t, m, c, d) == "slot":
+        gb = _slot_gb(b, m, c, d, t)
+        kernel = _make_slot_fwd_kernel(t, m, d, h, c // h, slope, gb)
+        return pl.pallas_call(
+            kernel,
+            grid=(b // gb,),
+            in_specs=_slot_specs(m, d, h, c, gb),
+            out_specs=pl.BlockSpec(
+                (gb, m, c), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, m, c), xw.dtype),
+            compiler_params=_slot_params(m, c, d, gb),
+            interpret=interpret,
+        )(*_slot_operands(s_dst, s_src, in_src, in_w, xw))
     gb = _graphs_per_step(b, m, c, t)
     kernel = _make_fwd_kernel(t, m, d, h, c // h, slope, gb)
     return pl.pallas_call(
@@ -375,6 +718,42 @@ def _bwd_impl(s_dst, s_src, in_src, in_w, xw, g, slope: float, interpret: bool):
     d = in_src.shape[-1]
     t = _shapes_ok(s_dst, xw, interpret)
     assert t
+    if _kernel_form(t, m, c, d) == "slot":
+        gb = _slot_gb(b, m, c, d, t)
+        kernel = _make_slot_bwd_kernel(t, m, d, h, c // h, slope, gb)
+        dsdT, dssT, dxw = pl.pallas_call(
+            kernel,
+            grid=(b // gb,),
+            in_specs=_slot_specs(m, d, h, c, gb)
+            + [
+                pl.BlockSpec(
+                    (gb, m, c), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
+                )
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (gb, h, m), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (gb, h, m), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (gb, m, c), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, m), jnp.float32),
+                jax.ShapeDtypeStruct((b, h, m), jnp.float32),
+                jax.ShapeDtypeStruct((b, m, c), jnp.float32),
+            ],
+            compiler_params=_slot_params(m, c, d, gb),
+            interpret=interpret,
+        )(*_slot_operands(s_dst, s_src, in_src, in_w, xw), g.astype(xw.dtype))
+        return (
+            jnp.swapaxes(dsdT, 1, 2),
+            jnp.swapaxes(dssT, 1, 2),
+            dxw.astype(xw.dtype),
+        )
     gb = _graphs_per_step(b, m, c, t)
     kernel = _make_bwd_kernel(t, m, d, h, c // h, slope, gb)
     dsd, dssT, dxw = pl.pallas_call(

@@ -32,8 +32,14 @@ def _inputs(seed=0, b=3, m=64, d=4, h=4, dh=8, frac=0.5):
     )
 
 
+@pytest.mark.parametrize("form", ["slot", "dense"])
 @pytest.mark.parametrize("slope", [0.2, 0.01])
-def test_kernel_forward_matches_oracle(slope):
+def test_kernel_forward_matches_oracle(monkeypatch, slope, form):
+    """Both kernel forms (PCC_GAT_KERNEL): the slot-softmax default and
+    the dense [T, M] row-softmax fallback.  The random in_src draws
+    include duplicate sources and explicit self-edges, so the slot
+    form's dedupe/self-collapse must match the oracle's adj|eye mask."""
+    monkeypatch.setenv("PCC_GAT_KERNEL", form)
     s_dst, s_src, in_src, in_w, xw = _inputs()
     want = gat_attention_xla(s_dst, s_src, in_src, in_w, xw, slope)
     got = gat_attention_fused(s_dst, s_src, in_src, in_w, xw, slope, True)
@@ -42,7 +48,9 @@ def test_kernel_forward_matches_oracle(slope):
     )
 
 
-def test_kernel_gradients_match_oracle():
+@pytest.mark.parametrize("form", ["slot", "dense"])
+def test_kernel_gradients_match_oracle(monkeypatch, form):
+    monkeypatch.setenv("PCC_GAT_KERNEL", form)
     s_dst, s_src, in_src, in_w, xw = _inputs(seed=1)
     rng = np.random.default_rng(9)
     cot = jnp.asarray(rng.normal(size=xw.shape).astype(np.float32))
@@ -97,6 +105,45 @@ def test_graph_batched_grid_matches_oracle():
         )
 
 
+def test_slot_form_dedupes_wide_inrow_lists(monkeypatch):
+    """D=8 with sources drawn from a tiny id pool: most rows carry
+    duplicate slots and self-edges, so the slot form's pairwise dedupe
+    chain (first valid occurrence wins) must reproduce the oracle's
+    count-once bool-mask semantics — forward and gradients."""
+    monkeypatch.setenv("PCC_GAT_KERNEL", "slot")
+    rng = np.random.default_rng(7)
+    b, m, d, h, dh = 2, 32, 8, 2, 8
+    s_dst = jnp.asarray(rng.normal(size=(b, m, h)).astype(np.float32))
+    s_src = jnp.asarray(rng.normal(size=(b, m, h)).astype(np.float32))
+    in_src = jnp.asarray(rng.integers(0, 6, size=(b, m, d)).astype(np.int32))
+    in_w = jnp.asarray(
+        (rng.random((b, m, d)) * (rng.random((b, m, d)) < 0.7)).astype(
+            np.float32
+        )
+    )
+    xw = jnp.asarray(rng.normal(size=(b, m, h * dh)).astype(np.float32))
+    want = gat_attention_xla(s_dst, s_src, in_src, in_w, xw)
+    got = gat_attention_fused(s_dst, s_src, in_src, in_w, xw, 0.2, True)
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(got), rtol=1e-5, atol=1e-5
+    )
+
+    cot = jnp.asarray(rng.normal(size=xw.shape).astype(np.float32))
+    loss = lambda fn, *e: (
+        lambda sd, ss, x: jnp.sum(fn(sd, ss, in_src, in_w, x, *e) * cot)
+    )
+    g1 = jax.grad(loss(gat_attention_fused, 0.2, True), argnums=(0, 1, 2))(
+        s_dst, s_src, xw
+    )
+    g2 = jax.grad(loss(gat_attention_xla, 0.2), argnums=(0, 1, 2))(
+        s_dst, s_src, xw
+    )
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_isolated_nodes_attend_to_self_only():
     """A node with no incoming edges must softmax entirely onto its
     self-loop (torch_geometric add_self_loops semantics)."""
@@ -125,6 +172,7 @@ def test_both_softmax_forms_match_oracle(monkeypatch, form):
     so the A/B can never pick a numerically wrong configuration.  The knob
     is read at trace time inside ``_alpha_tile``."""
     monkeypatch.setenv("PCC_GAT_SOFTMAX", form)
+    monkeypatch.setenv("PCC_GAT_KERNEL", "dense")  # the knob is dense-only
     s_dst, s_src, in_src, in_w, xw = _inputs(seed=3)
     want = gat_attention_xla(s_dst, s_src, in_src, in_w, xw, 0.2)
     got = gat_attention_fused(s_dst, s_src, in_src, in_w, xw, 0.2, True)
