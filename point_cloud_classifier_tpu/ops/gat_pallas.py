@@ -575,6 +575,12 @@ def _kernel_form(t: int, m: int, c: int = 128, d: int = 4) -> str:
         return "dense"
     if _slot_vmem(m, c, d, 1) > _SLOT_VMEM_CAP:
         return "dense"
+    if form != "slot" and d > 16:
+        # the pairwise dedupe chain is O(D^2) tiny ops and the per-slot
+        # work grows linearly — by D=32 (the loader's wire cap) the slot
+        # form's edge over the O(M^2) dense softmax has mostly eroded
+        # while trace size has not; explicit PCC_GAT_KERNEL=slot overrides
+        return "dense"
     return "slot"
 
 
