@@ -92,12 +92,23 @@ def main() -> None:
            B, P, E, iters=it, warmup=wu, dtype="bfloat16",
            pipeline="resident", fuse=64, layout="flat")
 
-    # 3) GAT: fused flash kernel vs the matrix formulation
-    record("gat_flash_kernel", bench.measure_graph_jax,
+    # 3) GAT: slot-softmax kernel (default) vs dense-form kernel vs the
+    # XLA matrix formulation
+    record("gat_slot_kernel", bench.measure_graph_jax,
            B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
            pipeline="resident", fuse=16, layout="dense", use_gat=True)
     import point_cloud_classifier_tpu.models.wrapper as mw
     import point_cloud_classifier_tpu.ops.gat_pallas as gp
+
+    os.environ["PCC_GAT_KERNEL"] = "dense"
+    mw._STEP_CACHE.clear()
+    try:
+        record("gat_dense_kernel", bench.measure_graph_jax,
+               B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
+               pipeline="resident", fuse=16, layout="dense", use_gat=True)
+    finally:
+        os.environ.pop("PCC_GAT_KERNEL", None)
+        mw._STEP_CACHE.clear()
 
     shapes_ok = gp._shapes_ok
     gp._shapes_ok = lambda *a, **k: 0
