@@ -617,22 +617,33 @@ def measure_eval_throughput(
     ]
     wrapper._ensure_initialized(host_batches[0])
     if resident:
-        k = max(fuse, 2)
-        stacked = {
-            key: jax.device_put(
-                np.stack([host_batches[s % len(host_batches)][key] for s in range(k)])
-            )
-            for key in host_batches[0]
-        }
-        jax.block_until_ready(list(stacked.values()))
-        wrapper._evaluate(host_batches[:2])  # builds the eval programs
-        step = wrapper._eval_step_fused
+        # fuse 1 measures the honest per-batch baseline (the unfused
+        # eval program); fuse >= 2 measures the scan-fused program at
+        # exactly the requested depth.  _ensure_initialized already
+        # built both jitted programs — no throwaway _evaluate compile.
+        k = max(fuse, 1)
+        if k == 1:
+            resident_b = {
+                key: jax.device_put(v) for key, v in host_batches[0].items()
+            }
+            step = wrapper._eval_step
+        else:
+            resident_b = {
+                key: jax.device_put(
+                    np.stack(
+                        [host_batches[s % len(host_batches)][key] for s in range(k)]
+                    )
+                )
+                for key in host_batches[0]
+            }
+            step = wrapper._eval_step_fused
+        jax.block_until_ready(list(resident_b.values()))
         for _ in range(warmup):
-            out = step(wrapper.params, wrapper.batch_stats, stacked)
+            out = step(wrapper.params, wrapper.batch_stats, resident_b)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = step(wrapper.params, wrapper.batch_stats, stacked)
+            out = step(wrapper.params, wrapper.batch_stats, resident_b)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         return b * k * iters / dt

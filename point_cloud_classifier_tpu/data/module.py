@@ -119,17 +119,31 @@ class DataModule:
         from concurrent.futures import ProcessPoolExecutor
 
         timeout = float(os.environ.get("PCC_FILE_TIMEOUT", "3600"))
-        with ProcessPoolExecutor(max_workers=n, mp_context=ctx) as pool:
-            futures = [(job, pool.submit(self._preprocess_file, job)) for job in jobs]
+        pool = ProcessPoolExecutor(max_workers=n, mp_context=ctx)
+        # NOT a with-block: __exit__ is shutdown(wait=True), which would
+        # (a) join the very child whose deadlock the timeout just caught —
+        # hanging forever anyway — and (b) on an ordinary failure make the
+        # caller wait for every remaining submitted file before seeing the
+        # error.  On any failure kill the worker processes outright, then
+        # reap without waiting.
+        futures = [(job, pool.submit(self._preprocess_file, job)) for job in jobs]
+        try:
             for job, fut in futures:
                 try:
                     yield fut.result(timeout=timeout)
                 except Exception as e:
+                    for _, other in futures:
+                        other.cancel()
+                    for proc in list(getattr(pool, "_processes", {}).values()):
+                        proc.kill()
+                    pool.shutdown(wait=False)
                     raise RuntimeError(
                         f"preprocessing failed (or timed out after {timeout:.0f}s "
                         f"— a forked worker can deadlock on an inherited lock; "
                         f"retry with workers=1) on {job[1]}"
                     ) from e
+        finally:
+            pool.shutdown(wait=False)
 
     def _create_dataset(self) -> None:
         """Generic per-file create→preprocess→split→concat pipeline.

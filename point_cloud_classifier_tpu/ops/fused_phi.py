@@ -417,6 +417,13 @@ def phi_pool_bwd_pallas(
     assert all(not has_ln for _, has_ln in spec), "LN specs use the XLA path"
     p, f = points.shape
     h_dim = params[-1][0].shape[-1]
+    # resolve the intended split BEFORE the tile budget: the 2x tile is
+    # only VMEM-safe because split >= 2 halves the vjp residual live set —
+    # a forced PCC_PHI_SPLIT_BWD=1 (the old default, a documented A/B arm)
+    # with the 2x tile compiles a 17.6 MB stack and Mosaic hard-fails at
+    # the 16 MB cap (code-review finding); divisibility against the final
+    # tile is re-checked where ``split`` resolves below
+    split_req = _env_int("PCC_PHI_SPLIT_BWD", 2 if spec else 1)
     if tile is None:
         # the backward's live set is ~4x the forward's (vjp residuals for
         # every chain layer stay in VMEM), so budget two notches tighter
@@ -431,6 +438,8 @@ def phi_pool_bwd_pallas(
         # affine grads) — forward budget, no split needed
         widest = max([h_dim] + [w[0].shape[-1] for w in params[:-1]])
         shift, cap = (20, 4096) if not spec else (19, 2048)
+        if spec and split_req < 2:
+            shift, cap = 18, 1024  # unsplit residual live set: 1x tile
         budget = (1 << shift) // max(widest, 1)
         tile = 128
         while tile * 2 <= min(budget, cap):
@@ -446,7 +455,7 @@ def phi_pool_bwd_pallas(
     dtype = points.dtype
     flat = _flatten_params(params, dtype)
 
-    split = _env_int("PCC_PHI_SPLIT_BWD", 2 if spec else 1)
+    split = split_req
     if split < 1 or t % split or (t // split) % 8:
         split = 1
     kernel = _make_bwd_kernel(spec, activation, s_pad, len(flat), split)

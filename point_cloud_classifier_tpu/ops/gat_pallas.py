@@ -358,15 +358,18 @@ def _slot_prep(sdT_ref, ssT_ref, ssrc_ref, srcT_ref, wT_ref, xw_ref,
         # them resident and blow VMEM at M=512/D=8)
         return jnp.where(sub_ids == src_eff[dd], 1.0, 0.0)
 
-    # Dot precision: on a bf16 wire (production) every gathered value is
-    # already bf16-representable (scores/cotangents come off bf16 Dense
-    # layers, the one-hot is 0/1), so the DEFAULT bf16x1 dot loses
-    # nothing.  On an f32 wire (the tests' oracle dtype, and f32
-    # compute_dtype configs) DEFAULT would round gathered scores —
-    # HIGHEST keeps kernel-vs-oracle parity exact there.  Measured:
-    # HIGHEST everywhere cost 2.3x whole-kernel (13.9k vs 32.1k
-    # graphs/sec) — the multi-pass f32 emulation turns every [M, T]
-    # gather/scatter contraction into 6+ MXU passes.
+    # Dot precision — wire-dtype-conditional on EVERY slot dot: on a
+    # bf16 wire (production) the DEFAULT bf16x1 dot loses nothing on the
+    # gathers (scores/features/cotangents off bf16 layers are
+    # bf16-representable, the one-hot is 0/1) and rounds alphas/gradient
+    # products exactly like the dense kernel's cast-to-wire-dtype dots.
+    # On an f32 wire (the tests' oracle dtype, and f32 compute_dtype
+    # configs) DEFAULT would silently round f32 features and
+    # freshly-computed f32 alphas that the dense form keeps exact — so
+    # f32 wires run HIGHEST throughout.  Measured: HIGHEST on a bf16-
+    # class workload cost 2.3x whole-kernel (13.9k vs 32.1k graphs/sec;
+    # multi-pass f32 emulation), which is why this is conditional rather
+    # than always-HIGHEST.
     exact = jax.lax.Precision.HIGHEST
     if xw_ref.dtype != jnp.float32:
         exact = jax.lax.Precision.DEFAULT
@@ -384,6 +387,7 @@ def _slot_prep(sdT_ref, ssT_ref, ssrc_ref, srcT_ref, wT_ref, xw_ref,
             jax.lax.dot_general(
                 o, xwf, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=exact,
             )
         )  # [T, C]
     if d:
@@ -435,6 +439,7 @@ def _alpha_exp(prep, slot, h):
         prep["blk"],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=prep["exact"],
     )
 
 
@@ -468,6 +473,7 @@ def _make_slot_bwd_kernel(
                     gf * prep["xwf"], blkT,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=prep["exact"],
                 )
             ]
             for dd in range(d):
@@ -476,6 +482,7 @@ def _make_slot_bwd_kernel(
                         gf * prep["xwg"][dd], blkT,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        precision=prep["exact"],
                     )
                 )
             dalT = jnp.swapaxes(jnp.concatenate(dal, axis=1), 0, 1)
@@ -521,6 +528,7 @@ def _make_slot_bwd_kernel(
                     prep["oh"](dd), s_d,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=prep["exact"],
                 )
             dxw_ref[gi] = dxw
 

@@ -365,3 +365,34 @@ class TestParallelCreate:
 
         seq, par = self._two_dirs(tmp_path, Step2PointGraph)
         self._assert_trees_equal(seq, par, "S2PG")
+
+    def test_hung_worker_raises_promptly(self, tmp_path, monkeypatch):
+        """A deadlocked forked child must surface as RuntimeError within
+        ~PCC_FILE_TIMEOUT — not hang forever in the executor teardown
+        joining the stuck process (the with-block shutdown(wait=True)
+        regression: the timeout fired but exit re-joined the child)."""
+        import time as _time
+
+        from point_cloud_classifier_tpu.data import Step2PointTabular
+        from point_cloud_classifier_tpu.data.synthetic import (
+            write_synthetic_dataset,
+        )
+
+        d = str(tmp_path / "hang")
+        write_synthetic_dataset(
+            d, n_events_per_file=6, n_files_per_particle=2, seed=7
+        )
+        monkeypatch.setenv("PCC_FILE_TIMEOUT", "2")
+
+        # bound methods pickle as getattr(obj, func.__name__), so the
+        # stand-in must carry the real name for the child to resolve it
+        def _preprocess_file(self, job):
+            _time.sleep(3600)
+
+        monkeypatch.setattr(
+            Step2PointTabular, "_preprocess_file", _preprocess_file
+        )
+        t0 = _time.monotonic()
+        with pytest.raises(RuntimeError, match="timed out|failed"):
+            Step2PointTabular(d, create_dataset=True, workers=3)
+        assert _time.monotonic() - t0 < 30
