@@ -373,6 +373,11 @@ def _slot_prep(sdT_ref, ssT_ref, ssrc_ref, srcT_ref, wT_ref, xw_ref,
     exact = jax.lax.Precision.HIGHEST
     if xw_ref.dtype != jnp.float32:
         exact = jax.lax.Precision.DEFAULT
+    # two gather dots per slot.  Merging them into one dot over a
+    # concatenated [M, C+H] operand measured 3.5% SLOWER whole-step
+    # (31,051 vs 32,176 graphs/sec, 2026-08-18): the 132-lane operand
+    # pads to 256 output lanes and the concat copies the [M, C] features
+    # into a fresh buffer per tile — more than one saved dot overhead
     sg, xwg = [], []
     for dd in range(d):
         o = oh(dd)
@@ -421,7 +426,11 @@ def _slot_prep(sdT_ref, ssT_ref, ssrc_ref, srcT_ref, wT_ref, xw_ref,
     # head-block expander: alpha_rows [T, H] @ blk [H, C] broadcasts each
     # head's alpha over its dh lanes on the MXU, so the aggregation is
     # (D+1) full-width [T, C] FMAs instead of per-(slot, head) [T, dh]
-    # strips that pad to full vregs anyway
+    # strips that pad to full vregs anyway.  NOTE: batching all slots
+    # into one [T,(D+1)H] @ [(D+1)H,(D+1)C] block-diagonal dot (and the
+    # analogous dalpha batch) measured 4% SLOWER whole-step (30,932 vs
+    # 32,176 graphs/sec, 2026-08-18) — the (D+1)x zero-block MACs and
+    # the [T,(D+1)C] concat copies cost more than D saved dot overheads
     blk = (
         jax.lax.broadcasted_iota(jnp.int32, (h, c), 1) // dh
         == jax.lax.broadcasted_iota(jnp.int32, (h, c), 0)
