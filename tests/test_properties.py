@@ -241,3 +241,54 @@ def test_spread_by_segment_matches_gather():
     seg = np.sort(rng.integers(0, 17, size=(123,))).astype(np.int32)
     got = np.asarray(spread_by_segment(jnp.asarray(vals), jnp.asarray(seg)))
     np.testing.assert_array_equal(vals[seg], got)
+
+
+# -- slot-softmax GAT kernel ----------------------------------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=4),     # graphs
+    st.sampled_from([16, 32, 64]),             # m (pow2)
+    st.sampled_from([4, 8]),                   # slots D
+    st.sampled_from([(2, 8), (4, 4)]),         # (heads, dh)
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_slot_gat_matches_oracle_any_wire(b, m, d, hd, seed):
+    """The slot-softmax kernel must match the masked-matrix oracle for ANY
+    in-row wire — including duplicate sources (drawn from a tiny id pool),
+    explicit self-edges, empty rows, and w=0 padding slots (interpret
+    mode; forward).  Guards the dedupe / self-collapse / validity chain
+    across shapes the example tests don't enumerate."""
+    import os
+
+    import jax.numpy as jnp
+
+    from point_cloud_classifier_tpu.ops.gat_pallas import (
+        gat_attention_fused,
+        gat_attention_xla,
+    )
+
+    h, dh = hd
+    rng = np.random.default_rng(seed)
+    s_dst = jnp.asarray(rng.normal(size=(b, m, h)).astype(np.float32))
+    s_src = jnp.asarray(rng.normal(size=(b, m, h)).astype(np.float32))
+    # tiny id pool -> heavy duplicates and self-edges
+    in_src = jnp.asarray(
+        rng.integers(0, max(2, m // 4), size=(b, m, d)).astype(np.int32)
+    )
+    in_w = jnp.asarray(
+        (rng.random((b, m, d)) * (rng.random((b, m, d)) < 0.6)).astype(
+            np.float32
+        )
+    )
+    xw = jnp.asarray(rng.normal(size=(b, m, h * dh)).astype(np.float32))
+    os.environ["PCC_GAT_KERNEL"] = "slot"
+    try:
+        got = gat_attention_fused(s_dst, s_src, in_src, in_w, xw, 0.2, True)
+    finally:
+        os.environ.pop("PCC_GAT_KERNEL", None)
+    want = gat_attention_xla(s_dst, s_src, in_src, in_w, xw, 0.2)
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(got), rtol=1e-5, atol=1e-5
+    )
