@@ -198,3 +198,26 @@ def test_both_softmax_forms_match_oracle(monkeypatch, form):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
+
+
+def test_kernel_under_vmap_matches_oracle():
+    """Vmapped-arm sweeps (parallel/vmap_sweep.py) trace the kernel under
+    jax.vmap with params batched over the arm axis and the wire shared —
+    JAX's pallas batching rule must reproduce per-arm oracle results
+    (verified on real TPU 2026-08-18; pinned here in interpret mode)."""
+    arms = 3
+    per = [_inputs(seed=100 + a) for a in range(arms)]
+    s_dst = jnp.stack([p[0] for p in per])
+    s_src = jnp.stack([p[1] for p in per])
+    xw = jnp.stack([p[4] for p in per])
+    in_src, in_w = per[0][2], per[0][3]  # shared wire
+
+    f = jax.vmap(
+        lambda sd, ss, x: gat_attention_fused(sd, ss, in_src, in_w, x, 0.2, True)
+    )
+    got = f(s_dst, s_src, xw)
+    for a in range(arms):
+        want = gat_attention_xla(s_dst[a], s_src[a], in_src, in_w, xw[a], 0.2)
+        np.testing.assert_allclose(
+            np.asarray(want), np.asarray(got[a]), rtol=1e-5, atol=1e-5
+        )
