@@ -68,6 +68,33 @@ def _batch(b: int, p: int, f: int, seed: int = 0, half: bool = True):
     return out
 
 
+def _batch_dense(b: int, p: int, f: int, m: int, seed: int = 0, half: bool = True):
+    """One host batch in the DENSE point-cloud wire: points [B, M, Fw] with
+    per-cloud rows (padding inside rows), seg_counts for the pool mask.
+
+    ``m == p // b`` emulates the length-sorted loader's steady state
+    (consecutive same-size clouds → ~zero padding); a larger ``m`` models
+    unsorted batches with real padding waste.
+    """
+    rng = np.random.default_rng(seed)
+    per = p // b
+    counts = np.full((b,), min(per, m), dtype=np.int32)
+    out = {
+        "y": rng.integers(0, 2, size=(b, 1)).astype(np.float32),
+        "y_mask": np.ones((b,), dtype=np.float32),
+        "seg_counts": np.concatenate([counts, [0]]).astype(np.int32),
+    }
+    fw = f - 1 if half else f
+    feat_t = np.float16 if half else np.float32
+    pts = np.zeros((b, m, fw), dtype=feat_t)
+    valid = np.arange(m)[None, :] < counts[:, None]
+    pts[valid] = rng.normal(size=(int(counts.sum()), fw)).astype(feat_t)
+    out["points"] = pts
+    if half:
+        out["event_feats"] = rng.normal(size=(b + 1, 1)).astype(np.float16)
+    return out
+
+
 def measure_jax(
     b: int,
     p: int,
@@ -79,6 +106,7 @@ def measure_jax(
     fuse: int = 1,
     pipeline: str = "resident",
     phi: str = "auto",
+    pc_layout: str = "flat",
 ) -> float:
     import jax
 
@@ -111,7 +139,16 @@ def measure_jax(
     )
     # a stream of distinct host batches in the fp16/int16 wire format, so the
     # measurement includes the real (H2D-transfer-inclusive) input pipeline
-    host_batches = [_batch(b, p, f, seed=s, half=(dtype == "bfloat16")) for s in range(4)]
+    half = dtype == "bfloat16"
+    if pc_layout == "flat":
+        host_batches = [_batch(b, p, f, seed=s, half=half) for s in range(4)]
+    else:
+        # "dense" = length-sorted steady state (M = P/B, ~zero padding);
+        # "dense-pad" bounds the unsorted case (25% in-row padding)
+        m = p // b if pc_layout == "dense" else (p // b) * 5 // 4
+        host_batches = [
+            _batch_dense(b, p, f, m, seed=s, half=half) for s in range(4)
+        ]
     wrapper._ensure_initialized(host_batches[0])
 
     if fuse > 1 and mesh is not None:
@@ -901,6 +938,17 @@ def main(argv=None) -> None:
         "kernel A/B",
     )
     parser.add_argument(
+        "--pc-layout",
+        default="dense",
+        choices=["flat", "dense", "dense-pad"],
+        help="deep_sets point-cloud wire (default 'dense' = the headline: "
+        "per-cloud rows [B, M, F], masked matvec pooling, M = P/B — the "
+        "length-sorted loader's steady state, dataset.layout auto|dense); "
+        "'flat' = concatenated [P, F] + counts (one-hot MXU pool); "
+        "'dense-pad' = dense with 25%% in-row padding (unsorted bound) — "
+        "for same-window layout A/B",
+    )
+    parser.add_argument(
         "--quant",
         default="none",
         choices=["none", "int8"],
@@ -1075,6 +1123,7 @@ def main(argv=None) -> None:
         fuse=args.fuse,
         pipeline=args.pipeline,
         phi=args.phi,
+        pc_layout=args.pc_layout,
     )
     vs = (
         round(cps / REFERENCE_CPU_CLOUDS_PER_SEC, 2)

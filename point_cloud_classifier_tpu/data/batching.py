@@ -88,6 +88,15 @@ class TabularLoader:
             yield {"x": x, "y": yb, "y_mask": mask}
 
 
+def _dense_rung(n: int) -> int:
+    """Smallest k·2^j ≥ n with k in 8..15 (and ≥ 8): a float-mantissa-style
+    rung ladder — ≤ 14% padding waste, ~8 rungs per octave, so the dense
+    point-cloud wire compiles a bounded set of M shapes."""
+    n = max(int(n), 8)
+    j = max((n - 1).bit_length() - 4, 0)
+    return -(-n // (1 << j)) << j
+
+
 class PointCloudLoader:
     """Flattened point batches: ``points [P_pad, F]`` + segment ids.
 
@@ -109,12 +118,26 @@ class PointCloudLoader:
         factor_event_cols: Sequence[int] = (),
         bucket_factor: float = 2.0,
         length_sorted: bool = False,
+        layout: str = "flat",
     ):
         # length_sorted: group similar-size events into the same batch
         # (shuffling BATCH order, not event order) — less padding per
         # batch at the cost of within-batch size correlation
         self.bucket_factor = float(bucket_factor)
         self.length_sorted = bool(length_sorted)
+        # layout="dense": per-cloud rows ``points [B, M, Fw]`` (padding
+        # INSIDE rows, gated by seg_counts) — segment structure becomes
+        # implicit-uniform so the model's pooling is a masked batched
+        # matvec instead of the one-hot [P, B+1] MXU contraction (~1/3 of
+        # the flagship train step's MACs; +15% whole-step measured).
+        # Padding costs φ FLOPs linearly, so dense pairs with
+        # length_sorted; "auto" picks per batch whichever layout
+        # processes fewer padded points (small tolerance toward dense
+        # for the pool saving).  M rides a k·2^j rung ladder (k in
+        # 8..15, ≤14% waste, ~8 rungs per octave) to bound compile count.
+        if layout not in ("flat", "dense", "auto"):
+            raise ValueError("layout must be 'flat', 'dense', or 'auto'")
+        self.layout = layout
         # seg_encoding="counts": ship per-event point counts [B+1] (~1KB)
         # instead of the per-point id array (~P*2B); the model reconstructs
         # ids on device with jnp.repeat (sizes are static).  The training
@@ -159,6 +182,47 @@ class PointCloudLoader:
     def __len__(self) -> int:
         return -(-self.n_examples // self.batch_size)
 
+    def _dense_batch(self, idx, k: int, b: int, m: int, keep64, fac64) -> Batch:
+        """DENSE wire: ``points [B, M, Fw]`` per-cloud rows + seg_counts.
+
+        Vectorized assembly (no per-event python loop): one ragged-range
+        gather of every source row, then a single fancy-index placement
+        into the padded rows.
+        """
+        sizes = self.counts[idx]
+        total = int(sizes.sum())
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+        # classic ragged-range trick: concat of [off_e, off_e + n_e) ranges
+        src = (
+            np.repeat(self.offsets[idx] - starts, sizes) + np.arange(total)
+        ).astype(np.int64)
+        rows = self.flat[src]
+        dst_row = np.repeat(np.arange(k, dtype=np.int64), sizes)
+        dst_pos = np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
+
+        points = np.zeros((b, m, len(keep64)), dtype=self.flat.dtype)
+        points[dst_row, dst_pos] = rows[:, keep64]
+        yb = np.zeros((b, 1), dtype=np.float32)
+        mask = np.zeros((b,), dtype=np.float32)
+        yb[:k, 0] = self.labels[idx]
+        mask[:k] = 1.0
+        seg_counts = np.zeros((b + 1,), dtype=np.int32)
+        seg_counts[:k] = sizes
+        seg_counts[b] = b * m - total  # in-row padding, for observability
+        batch = {
+            "points": points,
+            "y": yb,
+            "y_mask": mask,
+            "seg_counts": seg_counts,
+        }
+        if len(fac64):
+            event_feats = np.zeros((b + 1, len(fac64)), dtype=self.flat.dtype)
+            nonempty = sizes > 0
+            firsts = self.offsets[idx][nonempty]
+            event_feats[: k][nonempty] = self.flat[firsts][:, fac64]
+            batch["event_feats"] = event_feats
+        return batch
+
     def __iter__(self) -> Iterator[Batch]:
         n, b = self.n_examples, self.batch_size
         order = np.arange(n)
@@ -184,6 +248,18 @@ class PointCloudLoader:
             k = len(idx)
             total = int(self.counts[idx].sum())
             p_pad = pow2_bucket(total, self.min_bucket, self.bucket_factor)
+
+            if self.layout != "flat":
+                m_rung = _dense_rung(int(self.counts[idx].max()) if k else 1)
+                dense = self.layout == "dense" or (
+                    # auto: dense iff it processes no more than ~10% extra
+                    # padded points vs the flat pow2 bucket — the removed
+                    # pool contraction is worth about that much
+                    b * m_rung <= p_pad + p_pad // 10
+                )
+                if dense:
+                    yield self._dense_batch(idx, k, b, m_rung, keep64, fac64)
+                    continue
 
             seg_dtype = np.int16 if (self.half and b < 32767) else np.int32
             points = np.zeros((p_pad, len(keep_cols)), dtype=self.flat.dtype)

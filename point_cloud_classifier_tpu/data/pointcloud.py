@@ -45,6 +45,7 @@ def frame_to_point_loader(
     factor_event_cols=(),
     bucket_factor: float = 2.0,
     length_sorted: bool = False,
+    layout: str = "flat",
 ):
     """Per-hit frame → (PointCloudLoader, event ids in loader order).
 
@@ -78,6 +79,7 @@ def frame_to_point_loader(
         factor_event_cols=factor_event_cols,
         bucket_factor=bucket_factor,
         length_sorted=length_sorted,
+        layout=layout,
     )
     return loader, np.asarray(ordered_ids)
 
@@ -104,6 +106,7 @@ class Step2PointPointCloud(DataModule):
         factor_event_cols=(),
         bucket_factor: float = 2.0,
         length_sorted: bool = False,
+        layout: str = "flat",
         load_cache: bool = True,
         **kwargs,
     ):
@@ -113,6 +116,9 @@ class Step2PointPointCloud(DataModule):
         self.factor_event_cols = tuple(factor_event_cols)
         self.bucket_factor = bucket_factor
         self.length_sorted = length_sorted
+        # "dense"/"auto": per-cloud-row wire (see PointCloudLoader.layout);
+        # config key dataset.layout
+        self.layout = layout
         self.parts = parts
         self.sparse_batching = sparse_batching  # kept for config compat; the
         # static-shape flattened layout subsumes both reference collates
@@ -266,6 +272,7 @@ class Step2PointPointCloud(DataModule):
             factor_event_cols=self.factor_event_cols,
             bucket_factor=self.bucket_factor,
             length_sorted=self.length_sorted and split == "train",
+            layout=self.layout,
         )
         return loader
 

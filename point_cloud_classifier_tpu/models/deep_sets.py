@@ -207,7 +207,19 @@ class DeepSets(nn.Module):
         points = batch["points"].astype(resolve_dtype(self.compute_dtype))
         num_events = batch["y"].shape[0]
         num_segments = num_events + 1  # final slot collects padding points
-        if "seg" in batch:
+        # DENSE wire: points [B, M, Fw] with per-cloud rows (padding
+        # INSIDE each row, gated by seg_counts).  Segment structure is
+        # then implicit-uniform, so every segment op on this path
+        # degenerates to a reshape: pooling becomes a masked [B, M, H]
+        # row-sum (the flat wire's one-hot pool contraction — ~1/3 of the
+        # flagship train step's MACs — never exists), per-point ids are
+        # iota // M, and the factored-column spread is a broadcast.
+        dense_wire = points.ndim == 3
+        if dense_wire:
+            row_m = points.shape[1]
+            points = points.reshape(num_events * row_m, points.shape[-1])
+            seg = None  # synthesized on demand (iota // M, gather-free)
+        elif "seg" in batch:
             seg = batch["seg"].astype(jnp.int32)  # compact int16 ids allowed
         else:
             # counts wire encoding (~1KB instead of ~P·2B on the H2D link):
@@ -221,10 +233,18 @@ class DeepSets(nn.Module):
             # order; event_feats columns arrive in ASCENDING original-column
             # order (the loader sorts factor_event_cols) so sort here too
             factored = sorted(self.factored_cols)
-            # one-hot MXU spread, not a row gather (~0.5 ms/step saved)
-            per_point = spread_by_segment(
-                batch["event_feats"], seg, dtype=points.dtype
-            )
+            if dense_wire:
+                # uniform stride: the per-point spread is a broadcast —
+                # cheaper even than the one-hot MXU spread
+                ef = batch["event_feats"][:num_events].astype(points.dtype)
+                per_point = jnp.broadcast_to(
+                    ef[:, None, :], (num_events, row_m, ef.shape[-1])
+                ).reshape(points.shape[0], ef.shape[-1])
+            else:
+                # one-hot MXU spread, not a row gather (~0.5 ms/step saved)
+                per_point = spread_by_segment(
+                    batch["event_feats"], seg, dtype=points.dtype
+                )
             cols, ki, fi = [], 0, 0
             for c in range(self.input_dim):
                 if c in factored:
@@ -267,6 +287,12 @@ class DeepSets(nn.Module):
             and os.environ.get("PCC_PHI_POSTPOOL", "1") != "0"
         )
         phi_params = params[:-1] if post_pool else params
+        if dense_wire and mode in ("pallas", "tail"):
+            # the fused kernels pool by segment id with no per-point
+            # validity, and the dense wire's padding lives INSIDE rows
+            # (φ(0) ≠ 0 would contaminate the sums) — the dense wire is
+            # an XLA-path layout
+            mode = "xla"
         if mode in ("pallas", "tail"):
             interpret = jax.default_backend() != "tpu"
             if mode == "tail":
@@ -318,7 +344,48 @@ class DeepSets(nn.Module):
                 phi_fn = jax.checkpoint(phi_fn)
             h = phi_fn(points, phi_params)
             h32 = h.astype(jnp.float32)
-            if self.pooling == "sum":
+            if dense_wire:
+                # uniform rows: pooling is a masked [B, M, H] row
+                # reduction — O(P·H) VPU adds instead of the one-hot
+                # [P, B+1] MXU contraction (P·B·H MACs, ~1/3 of the
+                # flagship step's FLOPs fwd+bwd).  The mask gates the
+                # in-row padding (φ(0) ≠ 0: the hidden chain's biases)
+                mask = (
+                    jax.lax.iota(jnp.int32, row_m)[None, :]
+                    < counts[:, None]
+                ).astype(jnp.float32)
+                rows = h32.reshape(num_events, row_m, h32.shape[-1])
+                if self.pooling in ("sum", "mean"):
+                    # batched [1, M] @ [M, H] matvec with the mask as lhs:
+                    # the masked-sum VPU reduction hits an XLA layout
+                    # cliff at some M (−32% whole-step at M=320 vs
+                    # proportional at 264/288), while the MXU matvec is
+                    # M-shape-robust; HIGHEST keeps the f32 accumulation
+                    # (events span 10^4 points; bf16x1 would round the
+                    # operand before summing) at ~P·H MACs — noise
+                    total = jnp.einsum(
+                        "bm,bmh->bh", mask, rows,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    if self.pooling == "sum":
+                        pooled = total / jnp.sqrt(safe)
+                    else:
+                        pooled = total / safe
+                elif self.pooling == "max":
+                    mask = mask[:, :, None]
+                    pooled = jnp.max(
+                        jnp.where(mask > 0, rows, -jnp.inf), axis=1
+                    )
+                    # empty events: the flat segment_max convention is 0
+                    pooled = jnp.where(
+                        counts[:, None] > 0, pooled, 0.0
+                    )
+                else:
+                    raise ValueError(
+                        "pooling must be 'mean', 'sum', or 'max'"
+                    )
+            elif self.pooling == "sum":
                 pooled = segment_sum(h32, seg, num_segments)[:num_events] / jnp.sqrt(safe)
             elif self.pooling == "mean":
                 pooled = segment_sum(h32, seg, num_segments)[:num_events] / safe

@@ -75,10 +75,15 @@ def main() -> None:
     # per-dispatch cost (fuse16 ~= fuse256 <=> window dispatch is healthy)
     record("deep_sets_resident", bench.measure_jax,
            B, P, 6, iters=it, warmup=wu, dtype="bfloat16",
-           pipeline="resident", fuse=16)
+           pipeline="resident", fuse=16, pc_layout="dense")
     record("deep_sets_resident_f256", bench.measure_jax,
            B, P, 6, iters=it, warmup=wu, dtype="bfloat16",
-           pipeline="resident", fuse=256)
+           pipeline="resident", fuse=256, pc_layout="dense")
+    # flat-wire arm: the pre-dense headline path (one-hot MXU pool) —
+    # the dense/flat ratio is the layout win, ~+15% measured 2026-08-18
+    record("deep_sets_resident_flat", bench.measure_jax,
+           B, P, 6, iters=it, warmup=wu, dtype="bfloat16",
+           pipeline="resident", fuse=256, pc_layout="flat")
 
     # 2) graph_net: dense in-row (default) and flat.  fuse 64 (the bench
     # default depth): the 2026-08-18 campaign measured fuse-16 graph rows

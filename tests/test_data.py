@@ -396,3 +396,107 @@ class TestParallelCreate:
         with pytest.raises(RuntimeError, match="timed out|failed"):
             Step2PointTabular(d, create_dataset=True, workers=3)
         assert _time.monotonic() - t0 < 30
+
+
+class TestDensePointCloudWire:
+    """layout='dense': per-cloud rows [B, M, Fw], padding inside rows."""
+
+    def _events(self, sizes, f=4, seed=0):
+        rng = np.random.default_rng(seed)
+        return [rng.normal(size=(n, f)).astype(np.float32) for n in sizes]
+
+    def test_dense_rung_ladder(self):
+        from point_cloud_classifier_tpu.data.batching import _dense_rung
+
+        for n in list(range(1, 70)) + [100, 255, 256, 257, 300, 1000, 5000]:
+            r = _dense_rung(n)
+            assert r >= max(n, 8)
+            # <= 14% waste past the minimum rung
+            assert r <= max(8, n + (n + 7) // 8)
+            mant = r >> max(r.bit_length() - 4, 0)
+            assert 8 <= mant <= 15 or r == 8
+
+    def test_dense_batch_roundtrip(self):
+        sizes = [5, 2, 7, 9, 1, 3]
+        events = self._events(sizes)
+        labels = np.arange(len(sizes)).astype(np.float32) % 2
+        loader = PointCloudLoader(
+            events, labels, batch_size=4, shuffle=False, layout="dense"
+        )
+        batches = list(loader)
+        assert all(b["points"].ndim == 3 for b in batches)
+        got = []
+        for b in batches:
+            counts = b["seg_counts"]
+            for row in range(int(b["y_mask"].sum())):
+                got.append(b["points"][row, : counts[row]])
+            # padding rows are zero
+            m = b["points"].shape[1]
+            valid = np.arange(m)[None, :] < counts[: b["points"].shape[0], None]
+            assert (b["points"][~valid] == 0).all()
+        for want, have in zip(events, got):
+            np.testing.assert_array_equal(want.astype(np.float32), have)
+
+    def test_dense_factored_and_fp16(self):
+        sizes = [4, 6, 3]
+        events = self._events(sizes)
+        for e in events:  # column 1 constant per event (factorable)
+            e[:, 1] = e[0, 1]
+        labels = np.zeros(len(sizes), dtype=np.float32)
+        loader = PointCloudLoader(
+            events, labels, batch_size=4, shuffle=False, layout="dense",
+            transfer_dtype="float16", factor_event_cols=(1,),
+        )
+        (b,) = list(loader)
+        assert b["points"].dtype == np.float16
+        assert b["points"].shape[-1] == 3  # column 1 factored off the wire
+        for row, e in enumerate(events):
+            np.testing.assert_allclose(
+                b["event_feats"][row, 0], e[0, 1], rtol=1e-3
+            )
+
+    def test_dense_matches_flat_through_model(self):
+        import jax
+
+        from point_cloud_classifier_tpu.models.deep_sets import DeepSets
+
+        sizes = [5, 2, 7, 9, 1, 3, 8, 8]
+        events = self._events(sizes, f=6, seed=3)
+        labels = (np.arange(len(sizes)) % 2).astype(np.float32)
+        mk = lambda layout: PointCloudLoader(
+            events, labels, batch_size=4, shuffle=False, layout=layout,
+            seg_encoding="counts",
+        )
+        model = DeepSets(
+            input_dim=6, phi_layers=[8, 8], rho_layers=[8], output_dim=1,
+            activation="gelu", layer_norm=False, residual_block=True,
+            pooling="mean",
+        )
+        fb = list(mk("flat"))
+        db = list(mk("dense"))
+        v = model.init(jax.random.PRNGKey(0), fb[0], train=False)
+        for bf, bd in zip(fb, db):
+            of = model.apply(v, bf, train=False)
+            od = model.apply(v, bd, train=False)
+            np.testing.assert_allclose(
+                np.asarray(of), np.asarray(od), rtol=2e-5, atol=2e-5
+            )
+
+    def test_auto_prefers_dense_for_uniform_sizes(self):
+        events = self._events([256] * 8)
+        labels = np.zeros(8, dtype=np.float32)
+        loader = PointCloudLoader(
+            events, labels, batch_size=8, shuffle=False, layout="auto"
+        )
+        (b,) = list(loader)
+        assert b["points"].ndim == 3  # 8*256 == flat pow2 bucket, dense wins
+
+    def test_auto_falls_back_for_skewed_sizes(self):
+        # one giant cloud forces M ~ 4096 per row; flat packs far tighter
+        events = self._events([4000] + [4] * 7)
+        labels = np.zeros(8, dtype=np.float32)
+        loader = PointCloudLoader(
+            events, labels, batch_size=8, shuffle=False, layout="auto"
+        )
+        (b,) = list(loader)
+        assert b["points"].ndim == 2

@@ -292,3 +292,30 @@ def test_slot_gat_matches_oracle_any_wire(b, m, d, hd, seed):
     np.testing.assert_allclose(
         np.asarray(want), np.asarray(got), rtol=1e-5, atol=1e-5
     )
+
+
+@given(event_sizes, st.integers(min_value=1, max_value=16))
+@settings(max_examples=20, deadline=None)
+def test_dense_pointcloud_roundtrip(sizes, batch_size):
+    """layout='dense': every point lands exactly once in its cloud's row
+    prefix, rows pad with zeros, counts are exact — for ANY size mix."""
+    rng = np.random.default_rng(0)
+    events = [rng.normal(size=(n, 3)).astype(np.float32) for n in sizes]
+    labels = np.zeros(len(sizes), dtype=np.float32)
+    loader = PointCloudLoader(
+        events, labels, batch_size=batch_size, shuffle=False, layout="dense"
+    )
+    got = []
+    for b in loader:
+        assert b["points"].ndim == 3
+        counts = b["seg_counts"]
+        m = b["points"].shape[1]
+        k = int(b["y_mask"].sum())
+        for row in range(k):
+            got.append(b["points"][row, : counts[row]])
+        valid = np.arange(m)[None, :] < counts[: b["points"].shape[0], None]
+        assert (b["points"][~valid] == 0).all()
+        assert int(counts[:k].sum()) == sum(len(g) for g in got[-k:])
+    assert len(got) == len(events)
+    for want, have in zip(events, got):
+        np.testing.assert_array_equal(want, have)
