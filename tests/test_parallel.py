@@ -29,6 +29,21 @@ def _tabular_batch(b=32, f=9, seed=0):
     }
 
 
+def _pointcloud_dense_batch(b=8, m=32, f=6, seed=0):
+    """DENSE point-cloud wire: per-cloud rows, padding inside rows."""
+    rng = np.random.default_rng(seed)
+    counts = rng.integers(1, m + 1, size=(b,)).astype(np.int32)
+    pts = np.zeros((b, m, f), dtype=np.float32)
+    valid = np.arange(m)[None, :] < counts[:, None]
+    pts[valid] = rng.normal(size=(int(counts.sum()), f)).astype(np.float32)
+    return {
+        "points": pts,
+        "seg_counts": np.concatenate([counts, [0]]).astype(np.int32),
+        "y": rng.integers(0, 2, size=(b, 1)).astype(np.float32),
+        "y_mask": np.ones((b,), dtype=np.float32),
+    }
+
+
 def _pointcloud_batch(b=8, p=256, f=6, seed=0):
     rng = np.random.default_rng(seed)
     seg = np.sort(rng.integers(0, b, size=(p - 16,))).astype(np.int32)
@@ -114,11 +129,23 @@ def test_param_shardings_model_axis():
             _pointcloud_batch,
         ),
         (
+            DeepSets(
+                input_dim=6,
+                phi_layers=[64, 64],
+                rho_layers=[64],
+                output_dim=1,
+                activation="gelu",
+                residual_block=True,
+                pooling="mean",
+            ),
+            _pointcloud_dense_batch,
+        ),
+        (
             GraphNet(input_dim=4, hidden_dim=32, output_dim=1, activation="tanh"),
             _graph_batch,
         ),
     ],
-    ids=["fcn", "deep_sets", "graph_net"],
+    ids=["fcn", "deep_sets", "deep_sets_dense_wire", "graph_net"],
 )
 def test_data_parallel_matches_single_device(model, batch_fn):
     """One train epoch sharded over 8 devices == the single-device run."""

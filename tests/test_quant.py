@@ -164,3 +164,35 @@ def test_deep_sets_int8_train_step_is_float():
         )
     )
     assert "i8[" not in jaxpr  # the training graph stays on the float path
+
+
+def test_deep_sets_int8_eval_on_dense_wire():
+    """The int8 eval path composes with the DENSE point-cloud wire: the
+    per-point quantized chain runs on the reshaped rows and the masked
+    matvec pool gates the in-row padding."""
+    flat = _batch()
+    b, m, f = 8, 128, 6
+    rng = np.random.default_rng(4)
+    seg = np.asarray(flat["seg"])
+    pts = np.asarray(flat["points"])
+    counts = np.bincount(seg, minlength=b).astype(np.int32)
+    dense_pts = np.zeros((b, m, f), dtype=np.float32)
+    off = 0
+    for row, n in enumerate(counts):
+        dense_pts[row, :n] = pts[off : off + n]
+        off += n
+    dense = {
+        "points": jnp.asarray(dense_pts),
+        "seg_counts": jnp.asarray(np.concatenate([counts, [0]]).astype(np.int32)),
+        "y": flat["y"],
+        "y_mask": flat["y_mask"],
+    }
+    fmodel, qmodel = _flagship("none"), _flagship("int8")
+    variables = fmodel.init(jax.random.PRNGKey(0), flat, train=False)
+    ref_flat = qmodel.apply(variables, flat, train=False)
+    out_dense = qmodel.apply(variables, dense, train=False)
+    # identical quantized math on both wires (padding rows quantize to 0
+    # activations but are masked out of the pool)
+    np.testing.assert_allclose(
+        np.asarray(out_dense), np.asarray(ref_flat), atol=0.05
+    )
