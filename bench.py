@@ -21,7 +21,9 @@ clouds/sec on one chip, against the reference's CPU torch implementation.
 Workload: batch of 256 clouds, 65,536 total points (avg 256 points/cloud,
 the middle of the reference's 10^2–10^4 event-size range), 6 features,
 reference deep_sets config (φ [256,256], ρ [256], gelu, residual, mean pool,
-adamw @ 1e-3).
+adamw @ 1e-3).  The headline rides the DENSE per-cloud-row wire
+(``--pc-layout dense`` default — the length-sorted loader's steady state;
+``--pc-layout flat`` keeps the flat one-hot-pool arm for A/B).
 """
 
 from __future__ import annotations

@@ -7,10 +7,11 @@ import numpy as np
 def test_entry_compiles_and_runs():
     import __graft_entry__ as g
 
-    fn, (variables, batch) = g.entry()
-    logits = jax.jit(fn)(variables, batch)
-    # two legs: flagship (XLA φ+pool) and width-512 (fused Pallas on TPU)
-    assert logits.shape == (batch["y"].shape[0], 2)
+    fn, (variables, batches) = g.entry()
+    logits = jax.jit(fn)(variables, batches)
+    # three legs: flagship (XLA φ+pool, flat wire), width-512 (fused
+    # Pallas on TPU), and the flagship on the dense per-cloud-row wire
+    assert logits.shape == (batches[0]["y"].shape[0], 3)
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
