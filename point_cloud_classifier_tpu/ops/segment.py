@@ -13,6 +13,13 @@ Two implementations are provided for the sum:
 - a one-hot matmul that runs on the MXU — on TPU a [P, B] one-hot times
   [P, H] data contraction is usually faster than scatter for the sizes here
   (P up to ~64K, B ~33); selected via ``method="matmul"``.
+
+These serve the FLAT wires (arbitrary segment boundaries).  The dense
+per-cloud-row point wire (``data/batching.PointCloudLoader(layout=...)``)
+sidesteps segment ops entirely — with uniform rows the pool is a masked
+batched matvec and the spread a broadcast (``models/deep_sets.py``
+dense_wire, +15% whole-step at the flagship shape) — so prefer that wire
+when per-batch padding is small; these ops remain the general fallback.
 """
 
 from __future__ import annotations
