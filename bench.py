@@ -338,7 +338,17 @@ def _graph_batch_dense_wire(
     rng = np.random.default_rng(seed)
     feat_t = np.float16 if half else np.float32
     per = n // b
-    m = max(64, 1 << (2 * per - 1).bit_length())
+    # the loader's rung-ladder node bucketing (k*2^j) at the length-sorted
+    # steady state: uniform per-graph sizes land on the exact rung.  The
+    # old pow2 bucketing doubled M here (512 for 256-node graphs) and the
+    # dense step's O(M^2) adjacency work made that 2.27x whole-step
+    # (M=512 126.2k vs M=256 285.9k graphs/sec, same-window 2026-08-19)
+    from point_cloud_classifier_tpu.data.batching import _dense_rung
+
+    m = max(64, _dense_rung(per))
+    if os.environ.get("PCC_BENCH_GRAPH_M"):
+        # node-dim bucketing A/B override (pow2 vs rung ladders)
+        m = max(per, int(os.environ["PCC_BENCH_GRAPH_M"]))
     e_per = e // b
     idx_t = np.int16 if (half and m <= 32768) else np.int32
     slot_t = np.int16 if (half and b < 32767) else np.int32

@@ -906,7 +906,14 @@ class GraphLoader:
             k = len(idx)
             if self.layout in ("dense", "auto"):
                 max_nodes = int(self.node_counts[idx].max())
-                m_pad = pow2_bucket(max_nodes, self.min_dense_nodes)
+                # rung ladder, not pow2: the dense step's adjacency work is
+                # O(M^2) so padding M costs QUADRATICALLY — pow2's worst
+                # case ~2x M measured 2.27x whole-step (bench graph M
+                # override A/B 2026-08-19: M=512 126.2k vs M=288 208.5k vs
+                # M=256 285.9k graphs/sec).  k*2^j rungs bound the waste
+                # at <=14% while keeping ~8 compiled shapes per octave;
+                # pairs with length_sorted exactly like the point wire
+                m_pad = max(self.min_dense_nodes, _dense_rung(max_nodes))
                 adj_itemsize = 2 if self.half else 4
                 dense_bytes = b * m_pad * m_pad * adj_itemsize
                 if dense_bytes <= self.max_dense_bytes:

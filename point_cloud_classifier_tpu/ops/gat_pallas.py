@@ -638,22 +638,30 @@ def _tile_rows(m: int, c: int) -> int:
     enables the G-graphs-per-grid-step unroll, and the measured fixed
     per-grid-step cost (~3-6 us) dominates the kernel at production
     shapes (M=512: t capped at 256 forced a 512-step grid per conv —
-    raising the cap to 512 cut the grid 8x, see docs/kernels.md)."""
+    raising the cap to 512 cut the grid 8x, see docs/kernels.md).
+
+    M need not be a power of two — the loader's rung ladder (k·2^j,
+    k in 8..15) produces shapes like 288/320/384; tiles halve from m so
+    t | m always holds."""
     resident = m * c * 4 * 4  # xw, g, dxw (+slack), f32 upper bound
     remaining = (10 << 20) - resident
     budget = remaining // (24 * m) if remaining > 0 else 0
     if budget < 8:
         return 0
-    t = 8
-    while t * 2 <= min(budget, m, 512):
-        t *= 2
+    t = m
+    while t > 512 or t > budget:
+        if t % 2 or t // 2 % 8:
+            return 0  # can't halve to an 8-aligned divisor tile
+        t //= 2
     return t
 
 
 def _shapes_ok(s_dst, xw, interpret: bool) -> int:
     b, m, h = s_dst.shape
     c = xw.shape[-1]
-    if h < 1 or c % h != 0 or (m & (m - 1)) != 0:
+    # any 8-aligned M tiles (the loader's rung ladder is k*2^j, k=8..15);
+    # Mosaic pads lane dims to 128-multiples internally
+    if h < 1 or c % h != 0 or m % 8 != 0:
         return 0
     from point_cloud_classifier_tpu.ops.dispatch import use_tpu_kernels
 

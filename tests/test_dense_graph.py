@@ -604,3 +604,25 @@ def test_dense_mean_counts_zero_weight_edges_like_flat():
         assert np.asarray(db["in_deg"])[0, 1] == 2.0
         ld = np.asarray(model.apply(variables, db, train=False))
         np.testing.assert_allclose(lf, ld, rtol=1e-5, atol=1e-6)
+
+
+def test_dense_node_bucketing_rides_the_rung_ladder():
+    """m_pad is the k*2^j rung of the batch max (>= min_dense_nodes), not
+    the pow2 bucket — padding M costs quadratically in the dense step."""
+    rng = np.random.default_rng(0)
+    graphs = []
+    for n in (250, 260, 255, 258):  # pow2 would pad all to 512
+        feats = rng.normal(size=(n, 4)).astype(np.float32)
+        edges = np.array([[0, 1], [1, 0]], dtype=np.int32).T.reshape(2, -1)
+        graphs.append(
+            {
+                "features": feats,
+                "edges": edges,
+                "weights": np.ones((2,), np.float32),
+                "label": 1.0,
+            }
+        )
+    loader = GraphLoader(graphs, batch_size=4, shuffle=False, layout="dense")
+    (batch,) = list(loader)
+    m = batch["nodes"].shape[1]
+    assert m == 288, m  # _dense_rung(260) = 9*32; pow2 would give 512

@@ -155,8 +155,10 @@ def test_isolated_nodes_attend_to_self_only():
 
 
 def test_dispatch_falls_back_for_untileable_shapes():
-    # m=48 is not a power of two → the dispatcher must use the oracle
-    s_dst, s_src, in_src, in_w, xw = _inputs(m=48)
+    # m=52 is not 8-aligned → the dispatcher must use the oracle (any
+    # 8-aligned M tiles since the rung-ladder relaxation; pow2 no longer
+    # required)
+    s_dst, s_src, in_src, in_w, xw = _inputs(m=52)
     want = gat_attention_xla(s_dst, s_src, in_src, in_w, xw)
     got = gat_attention(s_dst, s_src, in_src, in_w, xw)
     np.testing.assert_allclose(
