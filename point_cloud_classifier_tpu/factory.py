@@ -39,7 +39,17 @@ def get_dataloader(dataset_name: str, config: dict):
     if dataset_name == "s2pt":
         return Step2PointTabular(**config["dataset"])
     if dataset_name == "s2ppc":
-        return Step2PointPointCloud(**config["dataset"])
+        ds_cfg = dict(config["dataset"])
+        # default to the per-batch auto layout: ship a batch as DENSE
+        # per-cloud rows [B, M, Fw] whenever that processes no more padded
+        # points than the flat pow2 bucket (PointCloudLoader.__iter__) —
+        # pooling then degenerates to a masked batched matvec instead of
+        # the one-hot [P, B+1] MXU contraction (+15% whole-step measured,
+        # BASELINE.md headline; exact numerics either way, test-pinned).
+        # Unsorted batches mostly stay flat (the batch max size sets M);
+        # dataset.length_sorted=true makes dense the steady state.
+        ds_cfg.setdefault("layout", "auto")
+        return Step2PointPointCloud(**ds_cfg)
     if dataset_name == "s2pg":
         ds_cfg = dict(config["dataset"])
         if "graph_layout" not in ds_cfg:

@@ -255,3 +255,16 @@ def test_graph_layout_eligibility_sees_model_config(caches):
     )
     # weighted GAT (flat GAT ignores weights; the dense mask can't) stays flat
     assert gat_w.graph_layout == "flat"
+
+
+def test_pointcloud_layout_defaults_to_auto(caches):
+    """s2ppc defaults to the per-batch auto layout (dense per-cloud rows
+    whenever padding allows — the BASELINE.md headline wire), like s2pg's
+    graph_layout; an explicit dataset.layout must win."""
+    from train import get_dataloader
+
+    base = {"data_dir": caches, "batch_size": 4}
+    auto = get_dataloader("s2ppc", {"dataset": dict(base)})
+    assert auto.layout == "auto"
+    flat = get_dataloader("s2ppc", {"dataset": dict(base, layout="flat")})
+    assert flat.layout == "flat"
