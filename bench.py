@@ -31,6 +31,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -1004,8 +1005,10 @@ def main(argv=None) -> None:
         # --smoke is the TUNNEL-health probe (CLAUDE.md: >=100k clouds/sec
         # = healthy window): force per-step H2D + per-step dispatch so it
         # measures the transport, not the device (the deep-fuse resident
-        # default reports ~device truth even in degraded windows)
-        args.pipeline, args.fuse = "stream", 1
+        # default reports ~device truth even in degraded windows).  The
+        # wire is pinned FLAT: every historical health threshold
+        # (>=100k, watcher gates) was calibrated on the flat wire
+        args.pipeline, args.fuse, args.pc_layout = "stream", 1, "flat"
     else:
         # resident windows hold several fused dispatches so the per-window
         # device sync (up to ~0.5 s on a degraded tunnel) is amortized
@@ -1021,6 +1024,18 @@ def main(argv=None) -> None:
         scale = int(os.environ.get("PCC_BENCH_SCALE", "1"))
         if scale > 1:
             b, p = b * scale, p * scale
+
+    if args.phi != "auto" and args.pc_layout != "flat":
+        # the fused φ kernels are FLAT-wire ops: on the dense per-cloud-row
+        # wire the model reroutes to XLA (models/deep_sets.py dense_wire
+        # override), so a --phi kernel A/B on the dense default would
+        # silently measure the XLA path in BOTH arms
+        print(
+            "# --phi != auto: pinning --pc-layout flat "
+            "(the fused kernels are flat-wire ops)",
+            file=sys.stderr,
+        )
+        args.pc_layout = "flat"
 
     if args.quant != "none" and not (
         args.latency or args.eval_throughput or args.eval_device

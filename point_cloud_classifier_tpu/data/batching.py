@@ -912,8 +912,13 @@ class GraphLoader:
                 # override A/B 2026-08-19: M=512 126.2k vs M=288 208.5k vs
                 # M=256 285.9k graphs/sec).  k*2^j rungs bound the waste
                 # at <=14% while keeping ~8 compiled shapes per octave;
-                # pairs with length_sorted exactly like the point wire
+                # pairs with length_sorted exactly like the point wire.
+                # Rounded UP to a multiple of 8: the GAT Pallas kernels
+                # require 8-aligned M (ops/gat_pallas._shapes_ok) and
+                # small rungs (j<3) or an unaligned min_dense_nodes would
+                # otherwise silently disqualify every batch
                 m_pad = max(self.min_dense_nodes, _dense_rung(max_nodes))
+                m_pad = -(-m_pad // 8) * 8
                 adj_itemsize = 2 if self.half else 4
                 dense_bytes = b * m_pad * m_pad * adj_itemsize
                 if dense_bytes <= self.max_dense_bytes:

@@ -265,6 +265,14 @@ class DeepSets(nn.Module):
         safe = jnp.maximum(counts, 1.0).reshape(-1, 1)
 
         mode = self._phi_mode(train)
+        if dense_wire and mode in ("pallas", "tail"):
+            # the fused kernels pool by segment id with no per-point
+            # validity, and the dense wire's padding lives INSIDE rows
+            # (φ(0) ≠ 0 would contaminate the sums) — the dense wire is
+            # an XLA-path layout.  Decided BEFORE post_pool below so a
+            # fused_phi="tail" config still gets the post-pool final
+            # linear on dense batches.
+            mode = "xla"
         # The final φ Linear has NO activation or LayerNorm after it
         # (reference models/deep_sets.py:55 — bare even when
         # layer_norm=True), so it COMMUTES with the linear poolings:
@@ -287,12 +295,6 @@ class DeepSets(nn.Module):
             and os.environ.get("PCC_PHI_POSTPOOL", "1") != "0"
         )
         phi_params = params[:-1] if post_pool else params
-        if dense_wire and mode in ("pallas", "tail"):
-            # the fused kernels pool by segment id with no per-point
-            # validity, and the dense wire's padding lives INSIDE rows
-            # (φ(0) ≠ 0 would contaminate the sums) — the dense wire is
-            # an XLA-path layout
-            mode = "xla"
         if mode in ("pallas", "tail"):
             interpret = jax.default_backend() != "tpu"
             if mode == "tail":

@@ -641,19 +641,21 @@ def _tile_rows(m: int, c: int) -> int:
     raising the cap to 512 cut the grid 8x, see docs/kernels.md).
 
     M need not be a power of two — the loader's rung ladder (k·2^j,
-    k in 8..15) produces shapes like 288/320/384; tiles halve from m so
-    t | m always holds."""
+    k in 8..15) produces shapes like 288/320/384; the tile is the largest
+    8-aligned divisor of m within the cap/budget (halving alone can strand
+    a shape: 288 → 144 → 72 → 36 fails 8-alignment although 48/24/16/8
+    all divide 288)."""
     resident = m * c * 4 * 4  # xw, g, dxw (+slack), f32 upper bound
     remaining = (10 << 20) - resident
     budget = remaining // (24 * m) if remaining > 0 else 0
-    if budget < 8:
-        return 0
-    t = m
-    while t > 512 or t > budget:
-        if t % 2 or t // 2 % 8:
-            return 0  # can't halve to an 8-aligned divisor tile
-        t //= 2
-    return t
+    cap = min(m, 512, budget)
+    best = 0
+    t = 8
+    while t <= cap:
+        if m % t == 0:
+            best = t
+        t += 8
+    return best
 
 
 def _shapes_ok(s_dst, xw, interpret: bool) -> int:

@@ -626,3 +626,30 @@ def test_dense_node_bucketing_rides_the_rung_ladder():
     (batch,) = list(loader)
     m = batch["nodes"].shape[1]
     assert m == 288, m  # _dense_rung(260) = 9*32; pow2 would give 512
+
+
+def test_dense_node_bucketing_stays_8_aligned():
+    """An unaligned min_dense_nodes (or a j<3 rung, 9..15) must still give
+    an 8-aligned m_pad — the GAT Pallas kernels require M % 8 == 0
+    (ops/gat_pallas._shapes_ok) and an unaligned M would silently gate
+    every batch off the kernel."""
+    rng = np.random.default_rng(1)
+    graphs = []
+    for n in (10, 12, 9, 11):
+        feats = rng.normal(size=(n, 4)).astype(np.float32)
+        edges = np.array([[0, 1], [1, 0]], dtype=np.int32).T.reshape(2, -1)
+        graphs.append(
+            {
+                "features": feats,
+                "edges": edges,
+                "weights": np.ones((2,), np.float32),
+                "label": 0.0,
+            }
+        )
+    loader = GraphLoader(
+        graphs, batch_size=4, shuffle=False, layout="dense", min_dense_nodes=60
+    )
+    (batch,) = list(loader)
+    m = batch["nodes"].shape[1]
+    assert m % 8 == 0, m  # min_dense_nodes=60 rounds up to 64
+    assert m == 64, m

@@ -49,6 +49,40 @@ def test_kernel_forward_matches_oracle(monkeypatch, slope, form):
 
 
 @pytest.mark.parametrize("form", ["slot", "dense"])
+@pytest.mark.parametrize("m", [72, 288])
+def test_kernel_at_rung_m_matches_oracle(monkeypatch, m, form):
+    """Non-pow2 rung-ladder M (the loader's PRODUCTION node bucketing —
+    k*2^j shapes like 288) through both kernel forms, forward AND
+    gradients: _shapes_ok admits any 8-aligned M since the rung
+    relaxation, so the kernels must be exercised off the pow2 lattice."""
+    monkeypatch.setenv("PCC_GAT_KERNEL", form)
+    s_dst, s_src, in_src, in_w, xw = _inputs(seed=3, b=2, m=m)
+    want = gat_attention_xla(s_dst, s_src, in_src, in_w, xw, 0.2)
+    got = gat_attention_fused(s_dst, s_src, in_src, in_w, xw, 0.2, True)
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(got), rtol=1e-5, atol=1e-5
+    )
+    rng = np.random.default_rng(9)
+    cot = jnp.asarray(rng.normal(size=xw.shape).astype(np.float32))
+
+    def loss(fn, *extra):
+        return lambda sd, ss, x: jnp.sum(
+            fn(sd, ss, in_src, in_w, x, *extra) * cot
+        )
+
+    g1 = jax.grad(loss(gat_attention_fused, 0.2, True), argnums=(0, 1, 2))(
+        s_dst, s_src, xw
+    )
+    g2 = jax.grad(loss(gat_attention_xla, 0.2), argnums=(0, 1, 2))(
+        s_dst, s_src, xw
+    )
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+@pytest.mark.parametrize("form", ["slot", "dense"])
 def test_kernel_gradients_match_oracle(monkeypatch, form):
     monkeypatch.setenv("PCC_GAT_KERNEL", form)
     s_dst, s_src, in_src, in_w, xw = _inputs(seed=1)
@@ -223,3 +257,20 @@ def test_kernel_under_vmap_matches_oracle():
         np.testing.assert_allclose(
             np.asarray(want), np.asarray(got[a]), rtol=1e-5, atol=1e-5
         )
+
+
+def test_tile_rows_finds_non_halving_divisors():
+    """The tile search must not strand rung shapes whose halving chain
+    exits the 8-aligned lattice: m=288 under a tight budget has no
+    8-aligned tile on the 288→144→72→36 halving chain below 72, but
+    48/24/16/8 all divide 288."""
+    from point_cloud_classifier_tpu.ops.gat_pallas import _tile_rows
+
+    # huge c shrinks the VMEM budget below 72 rows
+    t = _tile_rows(288, 2048)
+    assert t > 0 and 288 % t == 0 and t % 8 == 0, t
+    # ample budget: whole-graph tile preferred (enables the G-unroll)
+    assert _tile_rows(288, 128) == 288
+    assert _tile_rows(512, 128) == 512
+    # budget below any tile -> kernel gated off
+    assert _tile_rows(4096, 4096) == 0

@@ -248,7 +248,12 @@ def test_spread_by_segment_matches_gather():
 
 @given(
     st.integers(min_value=1, max_value=4),     # graphs
-    st.sampled_from([16, 32, 64]),             # m (pow2)
+    # pow2 AND rung-ladder shapes: the loader buckets M on a k*2^j rung
+    # (8-aligned but usually NOT pow2 — 24/40/72 model production 288/320/
+    # 576), and the kernels accept any 8-aligned M since the rung
+    # relaxation (ops/gat_pallas._shapes_ok) — so the property sweep must
+    # cover the non-pow2 class too
+    st.sampled_from([16, 24, 32, 40, 64, 72]),  # m (pow2 + rungs)
     st.sampled_from([4, 8]),                   # slots D
     st.sampled_from([(2, 8), (4, 4)]),         # (heads, dh)
     st.integers(min_value=0, max_value=2**31 - 1),
