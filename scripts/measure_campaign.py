@@ -98,10 +98,13 @@ def main() -> None:
            pipeline="resident", fuse=64, layout="flat")
 
     # 3) GAT: slot-softmax kernel (default) vs dense-form kernel vs the
-    # XLA matrix formulation
+    # XLA matrix formulation.  fuse 64 — the bench default for dense graph
+    # workloads: the 2026-08-19 campaign measured the fuse-16 slot row
+    # 53.6k in the same window where the fuse-64 bench CLI said 79.8k
+    # (dispatch inflation, same failure mode as the graph rows above)
     record("gat_slot_kernel", bench.measure_graph_jax,
            B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
-           pipeline="resident", fuse=16, layout="dense", use_gat=True)
+           pipeline="resident", fuse=64, layout="dense", use_gat=True)
     import point_cloud_classifier_tpu.models.wrapper as mw
     import point_cloud_classifier_tpu.ops.gat_pallas as gp
 
@@ -110,7 +113,7 @@ def main() -> None:
     try:
         record("gat_dense_kernel", bench.measure_graph_jax,
                B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
-               pipeline="resident", fuse=16, layout="dense", use_gat=True)
+               pipeline="resident", fuse=64, layout="dense", use_gat=True)
     finally:
         os.environ.pop("PCC_GAT_KERNEL", None)
         mw._STEP_CACHE.clear()
@@ -121,13 +124,21 @@ def main() -> None:
     try:
         record("gat_matrix", bench.measure_graph_jax,
                B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
-               pipeline="resident", fuse=16, layout="dense", use_gat=True)
+               pipeline="resident", fuse=64, layout="dense", use_gat=True)
     finally:
         gp._shapes_ok = shapes_ok
         mw._STEP_CACHE.clear()
 
+    # 4) eval/scoring, device-truth arm (batches resident, scan-fused
+    # dispatch): the serving-side analogue of the resident train rows —
+    # valid in any window
+    record("eval_device", bench.measure_eval_throughput,
+           B, P, 6, max(3, it // 8), wu, "bfloat16", fuse=16, resident=True)
+
     # ---- tunnel-bound rows (healthy windows only) ----
     if healthy or args.force:
+        record("eval_stream", bench.measure_eval_throughput,
+               B, P, 6, max(3, it // 8), wu, "bfloat16", fuse=16)
         record("deep_sets_stream", bench.measure_jax,
                B, P, 6, iters=it, warmup=wu, dtype="bfloat16", pipeline="stream")
         record("infer_p50_ms", bench.measure_infer_latency,
