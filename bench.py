@@ -348,8 +348,16 @@ def _graph_batch_dense_wire(
 
     m = max(64, _dense_rung(per))
     if os.environ.get("PCC_BENCH_GRAPH_M"):
-        # node-dim bucketing A/B override (pow2 vs rung ladders)
-        m = max(per, int(os.environ["PCC_BENCH_GRAPH_M"]))
+        # node-dim bucketing A/B override (pow2 vs rung ladders).  Round up
+        # to 8-aligned like the loader (batching._dense_rung): an off-
+        # lattice M would silently gate the GAT Pallas kernel off
+        # (ops/gat_pallas._shapes_ok rejects m % 8) and the "kernel at M"
+        # row would measure the XLA matrix path instead
+        m_req = max(per, int(os.environ["PCC_BENCH_GRAPH_M"]))
+        m = -(-m_req // 8) * 8
+        if m != m_req:
+            print(f"# PCC_BENCH_GRAPH_M={m_req}: rounded to 8-aligned M={m}",
+                  file=sys.stderr)
     e_per = e // b
     idx_t = np.int16 if (half and m <= 32768) else np.int32
     slot_t = np.int16 if (half and b < 32767) else np.int32
@@ -1008,6 +1016,9 @@ def main(argv=None) -> None:
         # default reports ~device truth even in degraded windows).  The
         # wire is pinned FLAT: every historical health threshold
         # (>=100k, watcher gates) was calibrated on the flat wire
+        if args.pc_layout != "dense":  # non-default => explicitly requested
+            print("# --smoke: pinning --pc-layout flat (health thresholds "
+                  "are calibrated on the flat wire)", file=sys.stderr)
         args.pipeline, args.fuse, args.pc_layout = "stream", 1, "flat"
     else:
         # resident windows hold several fused dispatches so the per-window

@@ -27,6 +27,7 @@ from ..native import (
     pack_graph_dense_native,
     pack_graph_flat_native,
     pack_graph_inrow_native,
+    pack_pointcloud_dense_native,
     pack_pointcloud_native,
 )
 
@@ -191,35 +192,55 @@ class PointCloudLoader:
         """
         sizes = self.counts[idx]
         total = int(sizes.sum())
-        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
-        # classic ragged-range trick: concat of [off_e, off_e + n_e) ranges
-        src = (
-            np.repeat(self.offsets[idx] - starts, sizes) + np.arange(total)
-        ).astype(np.int64)
-        rows = self.flat[src]
-        dst_row = np.repeat(np.arange(k, dtype=np.int64), sizes)
-        dst_pos = np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
-
         points = np.zeros((b, m, len(keep64)), dtype=self.flat.dtype)
-        points[dst_row, dst_pos] = rows[:, keep64]
+        event_feats = (
+            np.zeros((b + 1, len(fac64)), dtype=self.flat.dtype)
+            if len(fac64)
+            else None
+        )
+        seg_counts = np.zeros((b + 1,), dtype=np.int32)
+
+        if not pack_pointcloud_dense_native(
+            self.flat,
+            self.offsets,
+            np.ascontiguousarray(idx, dtype=np.int64),
+            b,
+            keep64,
+            fac64,
+            m,
+            points.reshape(b * m, -1),
+            event_feats,
+            seg_counts,
+        ):
+            starts = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+            # classic ragged-range trick: concat of [off_e, off_e+n_e) ranges
+            src = (
+                np.repeat(self.offsets[idx] - starts, sizes) + np.arange(total)
+            ).astype(np.int64)
+            dst_row = np.repeat(np.arange(k, dtype=np.int64), sizes)
+            dst_pos = np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
+            # single fused gather (rows x kept columns in one pass): a
+            # flat[src] then [:, keep64] pair would copy every point's full
+            # feature row twice on what is now the default host path
+            points[dst_row, dst_pos] = self.flat[np.ix_(src, keep64)]
+            seg_counts[:k] = sizes
+            seg_counts[b] = b * m - total  # in-row padding, for observability
+            if event_feats is not None:
+                nonempty = sizes > 0
+                firsts = self.offsets[idx][nonempty]
+                event_feats[:k][nonempty] = self.flat[firsts][:, fac64]
+
         yb = np.zeros((b, 1), dtype=np.float32)
         mask = np.zeros((b,), dtype=np.float32)
         yb[:k, 0] = self.labels[idx]
         mask[:k] = 1.0
-        seg_counts = np.zeros((b + 1,), dtype=np.int32)
-        seg_counts[:k] = sizes
-        seg_counts[b] = b * m - total  # in-row padding, for observability
         batch = {
             "points": points,
             "y": yb,
             "y_mask": mask,
             "seg_counts": seg_counts,
         }
-        if len(fac64):
-            event_feats = np.zeros((b + 1, len(fac64)), dtype=self.flat.dtype)
-            nonempty = sizes > 0
-            firsts = self.offsets[idx][nonempty]
-            event_feats[: k][nonempty] = self.flat[firsts][:, fac64]
+        if event_feats is not None:
             batch["event_feats"] = event_feats
         return batch
 

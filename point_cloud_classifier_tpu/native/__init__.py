@@ -209,6 +209,17 @@ def _load_packer() -> Optional[ctypes.CDLL]:
         _VP, _I64,  # seg, seg_itemsize
         _VP,  # seg_counts
     ]
+    lib.pack_pointcloud_dense.restype = _I64
+    lib.pack_pointcloud_dense.argtypes = [
+        _VP, _I64, _I64,  # flat, feat_dim, itemsize
+        _VP,  # offsets
+        _VP, _I64, _I64,  # idx, k, b
+        _VP, _I64,  # keep_cols, n_keep
+        _VP, _I64,  # fac_cols, n_fac
+        _I64,  # m
+        _VP, _VP,  # points, event_feats
+        _VP,  # seg_counts
+    ]
     lib.pack_graph_flat.restype = _I64
     lib.pack_graph_flat.argtypes = [
         _VP, _I64, _I64,  # feats, feat_dim, itemsize
@@ -291,6 +302,41 @@ def pack_pointcloud_native(
         p_pad,
         _ptr(points), _ptr(event_feats),
         _ptr(seg), seg.itemsize,
+        _ptr(seg_counts),
+    )
+    return rc >= 0
+
+
+def pack_pointcloud_dense_native(
+    flat: np.ndarray,
+    offsets: np.ndarray,
+    idx: np.ndarray,
+    b: int,
+    keep_cols: np.ndarray,
+    fac_cols: np.ndarray,
+    m: int,
+    points: np.ndarray,
+    event_feats: Optional[np.ndarray],
+    seg_counts: np.ndarray,
+) -> bool:
+    """Fill a DENSE point-cloud batch (per-cloud padded rows [b, m, Fw]) in
+    C++; False -> caller uses the vectorized numpy assembly.
+
+    Same semantics as ``data.batching.PointCloudLoader._dense_batch`` (the
+    Python oracle).  ``points`` is the [b, m, n_keep] buffer viewed as
+    [b*m, n_keep]; outputs must be pre-initialised to their padding values.
+    """
+    lib = _load_packer()
+    if lib is None:
+        return False
+    rc = lib.pack_pointcloud_dense(
+        _ptr(flat), flat.shape[1], flat.itemsize,
+        _ptr(offsets),
+        _ptr(idx), len(idx), b,
+        _ptr(keep_cols), len(keep_cols),
+        _ptr(fac_cols), len(fac_cols),
+        m,
+        _ptr(points), _ptr(event_feats),
         _ptr(seg_counts),
     )
     return rc >= 0

@@ -289,4 +289,65 @@ int64_t pack_graph_dense(const char* feats, int64_t feat_dim,
   return 0;
 }
 
+// Dense point-cloud batch pack (PointCloudLoader._dense_batch's numpy
+// assembly as range-memcpy).  Same row semantics as pack_pointcloud but the
+// destination is per-cloud padded rows [b, m, n_keep]: event slot's rows
+// land at row slot*m, padding rows stay at the caller's pre-zeroed value.
+//
+// points      [b * m, n_keep] pre-zeroed; rows written per live event
+// event_feats [b + 1, n_fac] pre-zeroed (ignored when n_fac == 0)
+// seg_counts  [b + 1] int32; [0..k) written, [b] = b*m - total (in-row
+//             padding, kept for observability — matches the Python path)
+// Returns total live rows, or -1 if an event exceeds m rows.
+int64_t pack_pointcloud_dense(const char* flat, int64_t feat_dim,
+                              int64_t itemsize, const int64_t* offsets,
+                              const int64_t* idx, int64_t k, int64_t b,
+                              const int64_t* keep_cols, int64_t n_keep,
+                              const int64_t* fac_cols, int64_t n_fac,
+                              int64_t m, char* points, char* event_feats,
+                              int32_t* seg_counts) {
+  const int64_t in_row = feat_dim * itemsize;
+  const int64_t out_row = n_keep * itemsize;
+  const bool full_row = (n_keep == feat_dim);
+  int64_t total = 0;
+  for (int64_t slot = 0; slot < b; ++slot) seg_counts[slot] = 0;
+  for (int64_t slot = 0; slot < k; ++slot) {
+    const int64_t ev = idx[slot];
+    const int64_t lo = offsets[ev], hi = offsets[ev + 1];
+    const int64_t rows = hi - lo;
+    if (rows > m) return -1;
+    const char* src = flat + lo * in_row;
+    char* dst = points + (slot * m) * out_row;
+    if (full_row) {
+      std::memcpy(dst, src, rows * in_row);
+    } else if (itemsize == 2) {
+      const int16_t* s16 = reinterpret_cast<const int16_t*>(src);
+      int16_t* d16 = reinterpret_cast<int16_t*>(dst);
+      for (int64_t c = 0; c < n_keep; ++c) {
+        const int64_t sc = keep_cols[c];
+        for (int64_t r = 0; r < rows; ++r)
+          d16[r * n_keep + c] = s16[r * feat_dim + sc];
+      }
+    } else {
+      const int32_t* s32 = reinterpret_cast<const int32_t*>(src);
+      int32_t* d32 = reinterpret_cast<int32_t*>(dst);
+      for (int64_t c = 0; c < n_keep; ++c) {
+        const int64_t sc = keep_cols[c];
+        for (int64_t r = 0; r < rows; ++r)
+          d32[r * n_keep + c] = s32[r * feat_dim + sc];
+      }
+    }
+    if (n_fac > 0 && rows > 0) {
+      char* frow = event_feats + slot * n_fac * itemsize;
+      for (int64_t c = 0; c < n_fac; ++c)
+        std::memcpy(frow + c * itemsize, src + fac_cols[c] * itemsize,
+                    itemsize);
+    }
+    seg_counts[slot] = static_cast<int32_t>(rows);
+    total += rows;
+  }
+  seg_counts[b] = static_cast<int32_t>(b * m - total);
+  return total;
+}
+
 }  // extern "C"

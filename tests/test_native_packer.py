@@ -73,6 +73,15 @@ def _random_graphs(rng, n_graphs, max_nodes=48):
         dict(transfer_dtype="float16", seg_encoding="counts", factor_event_cols=(1, 4)),
         dict(transfer_dtype="float32", factor_event_cols=(0,)),
         dict(transfer_dtype="float32", length_sorted=True),
+        dict(layout="dense"),
+        dict(layout="dense", transfer_dtype="float16"),
+        dict(
+            layout="dense",
+            transfer_dtype="float16",
+            factor_event_cols=(1, 4),
+            length_sorted=True,
+        ),
+        dict(layout="auto", transfer_dtype="float16", length_sorted=True),
     ],
 )
 def test_pointcloud_pack_matches_python(kwargs):
@@ -106,6 +115,30 @@ def test_graph_pack_matches_python(kwargs):
     _assert_identical(
         *_batches_both_paths(
             lambda: GraphLoader(graphs, batch_size=32, shuffle=True, seed=9, **kwargs)
+        )
+    )
+
+
+def test_pointcloud_dense_pack_with_empty_events_matches_python():
+    """Zero-point events: the dense packer must skip feature/event_feats
+    writes but still record seg_counts[slot] = 0, exactly like the numpy
+    fallback's nonempty masking."""
+    rng = np.random.default_rng(3)
+    feats, labels = _random_events(rng, 60)
+    for i in (0, 7, 31, 59):
+        feats[i] = np.zeros((0, 6), dtype=np.float32)
+    _assert_identical(
+        *_batches_both_paths(
+            lambda: PointCloudLoader(
+                feats,
+                labels,
+                batch_size=16,
+                shuffle=True,
+                seed=11,
+                layout="dense",
+                transfer_dtype="float16",
+                factor_event_cols=(1,),
+            )
         )
     )
 
