@@ -297,10 +297,10 @@ def _make_slot_fwd_kernel(
 ):
     """Slot-softmax forward: see ``_slot_prep`` for the shared recompute."""
 
-    def kernel(sdT_ref, ssT_ref, ssrc_ref, srcT_ref, wT_ref, xw_ref, out_ref):
+    def kernel(sdT_ref, ssT_ref, srcT_ref, wT_ref, xw_ref, out_ref):
         for gi in range(g_batch):
             prep = _slot_prep(
-                sdT_ref, ssT_ref, ssrc_ref, srcT_ref, wT_ref, xw_ref,
+                sdT_ref, ssT_ref, srcT_ref, wT_ref, xw_ref,
                 gi, t, m, d, h, dh, slope,
             )
             out_ref[gi] = _slot_aggregate(prep, d, h, dh).astype(out_ref.dtype)
@@ -308,7 +308,7 @@ def _make_slot_fwd_kernel(
     return kernel
 
 
-def _slot_prep(sdT_ref, ssT_ref, ssrc_ref, srcT_ref, wT_ref, xw_ref,
+def _slot_prep(sdT_ref, ssT_ref, srcT_ref, wT_ref, xw_ref,
                gi, t, m, d, h, dh, slope):
     """Shared slot-softmax state (forward, and flash-recomputed in the
     backward): per-slot validity/one-hots, MXU gathers, and the per-head
@@ -333,7 +333,6 @@ def _slot_prep(sdT_ref, ssT_ref, ssrc_ref, srcT_ref, wT_ref, xw_ref,
     wT = wT_ref[gi]  # [D, T] f32
     sdT = sdT_ref[gi]  # [H, M] f32
     ssT = ssT_ref[gi]  # [H, M] f32
-    s_src = ssrc_ref[gi]  # [M, H] f32
     xwf = xw_ref[gi].astype(jnp.float32)  # [M, C]
 
     # per-slot validity in the [1, T] lane domain (a [T, 1] sublane op
@@ -377,17 +376,25 @@ def _slot_prep(sdT_ref, ssT_ref, ssrc_ref, srcT_ref, wT_ref, xw_ref,
     # concatenated [M, C+H] operand measured 3.5% SLOWER whole-step
     # (31,051 vs 32,176 graphs/sec, 2026-08-18): the 132-lane operand
     # pads to 256 output lanes and the concat copies the [M, C] features
-    # into a fresh buffer per tile — more than one saved dot overhead
-    sg, xwg = [], []
+    # into a fresh buffer per tile — more than one saved dot overhead.
+    # Score gathers run TRANSPOSED (ssT [H, M] @ oh [M, T] -> [H, T]):
+    # thin-SUBLANE dots stream only their real rows (measured 0.029 vs
+    # 0.086 us/dot for the row-form [T, M]@[M, H] whose H lanes pad to
+    # 128 — differential Mosaic dot probe, 2026-08-19), the result lands
+    # directly in the [D*H, T] row layout the softmax wants (no
+    # [T, D*H] transpose), and the row-form s_src operand drops off the
+    # wire entirely.  Whole-step: 98,010 vs 79,878 graphs/sec (+22.7%,
+    # same-window resident A/B, fwd + bwd-recompute both benefit).
+    sgT_rows, xwg = [], []
     for dd in range(d):
         o = oh(dd)
-        sg.append(
+        sgT_rows.append(
             jax.lax.dot_general(
-                o, s_src, dimension_numbers=(((0,), (0,)), ((), ())),
+                ssT, o, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=exact,
             )
-        )  # [T, H]
+        )  # [H, T]
         xwg.append(
             jax.lax.dot_general(
                 o, xwf, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -396,7 +403,7 @@ def _slot_prep(sdT_ref, ssT_ref, ssrc_ref, srcT_ref, wT_ref, xw_ref,
             )
         )  # [T, C]
     if d:
-        sgT = jnp.swapaxes(jnp.concatenate(sg, axis=1), 0, 1)  # [D*H, T]
+        sgT = jnp.concatenate(sgT_rows, axis=0)  # [D*H, T], d-major rows
     else:  # pragma: no cover - wire D >= 4 always
         sgT = jnp.zeros((0, t), jnp.float32)
 
@@ -436,7 +443,7 @@ def _slot_prep(sdT_ref, ssT_ref, ssrc_ref, srcT_ref, wT_ref, xw_ref,
         == jax.lax.broadcasted_iota(jnp.int32, (h, c), 0)
     ).astype(jnp.float32)
     return dict(
-        oh=oh, neg=neg, sg=sg, xwg=xwg, zs=zs, alphas=alphas,
+        oh=oh, neg=neg, xwg=xwg, zs=zs, alphas=alphas,
         a_cols=a_cols, blk=blk, xwf=xwf, exact=exact,
     )
 
@@ -464,12 +471,12 @@ def _make_slot_bwd_kernel(
     t: int, m: int, d: int, h: int, dh: int, slope: float, g_batch: int
 ):
     def kernel(
-        sdT_ref, ssT_ref, ssrc_ref, srcT_ref, wT_ref, xw_ref, g_ref,
+        sdT_ref, ssT_ref, srcT_ref, wT_ref, xw_ref, g_ref,
         dsdT_ref, dssT_ref, dxw_ref,
     ):
         for gi in range(g_batch):
             prep = _slot_prep(
-                sdT_ref, ssT_ref, ssrc_ref, srcT_ref, wT_ref, xw_ref,
+                sdT_ref, ssT_ref, srcT_ref, wT_ref, xw_ref,
                 gi, t, m, d, h, dh, slope,
             )
             gf = g_ref[gi].astype(jnp.float32)  # [T, C]
@@ -607,7 +614,6 @@ def _slot_operands(s_dst, s_src, in_src, in_w, xw):
     return (
         jnp.swapaxes(s_dst.astype(jnp.float32), 1, 2),  # [B, H, M]
         jnp.swapaxes(s_src.astype(jnp.float32), 1, 2),  # [B, H, M]
-        s_src.astype(jnp.float32),  # [B, M, H] (gather dot operand)
         # f32 ids: < 2^24 so equality stays exact, and the kernel's
         # compare/select chain stays in one vreg layout
         jnp.swapaxes(in_src.astype(jnp.float32), 1, 2),  # [B, D, M]
@@ -623,7 +629,6 @@ def _slot_specs(m, d, h, c, gb):
     return [
         full((gb, h, m)),
         full((gb, h, m)),
-        full((gb, m, h)),
         full((gb, d, m)),
         full((gb, d, m)),
         full((gb, m, c)),
@@ -688,8 +693,15 @@ def _graphs_per_step(b: int, m: int, c: int, t: int) -> int:
     if t != m:
         return 1  # multi-row-tile shapes keep the simple per-graph grid
     allowance = (6 << 20) // max(m * c * 16, 1)
+    # PCC_GAT_GB: unroll-cap knob (trace-time read) for A/B'ing the
+    # per-grid-step fixed cost against trace size / VMEM (larger caps
+    # still shrink through _slot_gb's VMEM halving).  Measured NEUTRAL
+    # at bench shapes (M=256, D=4, same-window 2026-08-19: gb=8 98.0k /
+    # 16 98.1k / 32 98.0k graphs/sec) — steady-state block prefetch
+    # already hides the grid overhead; 8 keeps traces/compiles small
+    cap = int(os.environ.get("PCC_GAT_GB", "8"))
     g = 1
-    while g * 2 <= min(8, allowance) and b % (g * 2) == 0:
+    while g * 2 <= min(cap, allowance) and b % (g * 2) == 0:
         g *= 2
     return g
 

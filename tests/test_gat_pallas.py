@@ -48,6 +48,20 @@ def test_kernel_forward_matches_oracle(monkeypatch, slope, form):
     )
 
 
+@pytest.mark.parametrize("gb", ["1", "4"])
+def test_gb_knob_keeps_slot_kernel_exact(monkeypatch, gb):
+    """PCC_GAT_GB (graphs-per-grid-step unroll cap, scripts A/B knob)
+    must not change numerics: the unroll only re-batches the grid."""
+    monkeypatch.setenv("PCC_GAT_KERNEL", "slot")
+    monkeypatch.setenv("PCC_GAT_GB", gb)
+    s_dst, s_src, in_src, in_w, xw = _inputs(b=4)
+    want = gat_attention_xla(s_dst, s_src, in_src, in_w, xw, 0.2)
+    got = gat_attention_fused(s_dst, s_src, in_src, in_w, xw, 0.2, True)
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(got), rtol=1e-5, atol=1e-5
+    )
+
+
 @pytest.mark.parametrize("form", ["slot", "dense"])
 @pytest.mark.parametrize("m", [72, 288])
 def test_kernel_at_rung_m_matches_oracle(monkeypatch, m, form):
