@@ -354,7 +354,11 @@ def _slot_prep(sdT_ref, ssT_ref, srcT_ref, wT_ref, xw_ref,
     def oh(dd):
         # rebuilt at each use site so at most one [M, T] one-hot is ever
         # live (the backward's scatter dots would otherwise keep D of
-        # them resident and blow VMEM at M=512/D=8)
+        # them resident and blow VMEM at M=512/D=8).  Hoisting all D
+        # into a shared list (one build, reused by prep + dss + dxw)
+        # measured 97,432 vs 98,010 graphs/sec same-window (2026-08-19)
+        # — a small NEGATIVE: Mosaic already CSEs the rebuilds, so the
+        # hoist only added VMEM pressure.  Keep the rebuild form.
         return jnp.where(sub_ids == src_eff[dd], 1.0, 0.0)
 
     # Dot precision — wire-dtype-conditional on EVERY slot dot: on a
@@ -546,7 +550,7 @@ def _make_slot_bwd_kernel(
                     preferred_element_type=jnp.float32,
                     precision=prep["exact"],
                 )
-            dxw_ref[gi] = dxw
+            dxw_ref[gi] = dxw.astype(dxw_ref.dtype)
 
     return kernel
 
@@ -789,7 +793,12 @@ def _bwd_impl(s_dst, s_src, in_src, in_w, xw, g, slope: float, interpret: bool):
             out_shape=[
                 jax.ShapeDtypeStruct((b, h, m), jnp.float32),
                 jax.ShapeDtypeStruct((b, h, m), jnp.float32),
-                jax.ShapeDtypeStruct((b, m, c), jnp.float32),
+                # dxw leaves the kernel in the WIRE dtype: t == m means a
+                # single write (no cross-tile accumulation to protect),
+                # and the f32->bf16 cast previously ran as an extra XLA
+                # pass over a 2x-sized HBM buffer.  Score grads stay f32
+                # (small, and sums of many slot terms).
+                jax.ShapeDtypeStruct((b, m, c), xw.dtype),
             ],
             compiler_params=_slot_params(m, c, d, gb),
             interpret=interpret,
