@@ -45,6 +45,28 @@ PHI, RHO = [256, 256], [256]
 WARMUP, ITERS = 5, 20
 
 
+def _window_sync(out):
+    """End-of-window completion barrier for the throughput measurements.
+
+    Default: ``jax.block_until_ready``.  Through the axon tunnel that
+    call can return BEFORE device completion (proved by the differential
+    probe, scripts/probe_mosaic_costs.py — a 38 ms kernel "blocked" in
+    0.02 ms); the train/eval windows stay honest anyway because each
+    window dispatches hundreds of CHAINED steps whose enqueue is
+    back-pressure-throttled, and the device-trace cross-check agrees
+    with the bench numbers (docs/kernels.md).  ``PCC_BENCH_SYNC=d2h``
+    replaces the barrier with a host readback of one output leaf — a
+    true completion proof — for verifying that equivalence in any
+    window (measured equal within noise, 2026-08-19)."""
+    import jax
+
+    if os.environ.get("PCC_BENCH_SYNC", "block") == "d2h":
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf).ravel()[:1]
+    else:
+        jax.block_until_ready(out)
+
+
 def _batch(b: int, p: int, f: int, seed: int = 0, half: bool = True):
     """One host batch in the loaders' wire format.
 
@@ -212,7 +234,7 @@ def measure_jax(
                         dev_batches[i % len(dev_batches)],
                     )
                     trained += 1
-            jax.block_until_ready(loss)
+            _window_sync(loss)
             return trained
 
         run(warmup)
@@ -252,7 +274,7 @@ def measure_jax(
                 if len(bufs) == fuse:
                     flush()
             flush()
-            jax.block_until_ready(loss)
+            _window_sync(loss)
             return trained
         count = 0
         for batch in wrapper._batches(stream):
@@ -262,7 +284,7 @@ def measure_jax(
                 )
             )
             count += 1
-        jax.block_until_ready(loss)
+        _window_sync(loss)
         return count
 
     run(warmup)
@@ -554,7 +576,7 @@ def measure_graph_jax(
                         dev_batches[i % len(dev_batches)],
                     )
                     trained += 1
-            jax.block_until_ready(loss)
+            _window_sync(loss)
             return trained
 
     else:
@@ -570,7 +592,7 @@ def measure_graph_jax(
                     )
                 )
                 trained += 1
-            jax.block_until_ready(loss)
+            _window_sync(loss)
             return trained
 
     run(warmup)
@@ -608,12 +630,18 @@ def measure_infer_latency(
     batch = _batch(b, p, f, half=(dtype == "bfloat16"))
     variables = model.init(jax.random.PRNGKey(0), batch, train=False)
     fwd = jax.jit(lambda v, bt: model.apply(v, bt, train=False))
+    # latency is timed TO THE RESULT READBACK: ``block_until_ready`` can
+    # return before device completion through the axon tunnel (see
+    # _window_sync) and a single un-chained dispatch has no back-pressure
+    # to save the measurement — np.asarray of the [B, 1] logits is both a
+    # true completion proof and the actual serving endpoint (the caller
+    # needs the probabilities on the host).
     for _ in range(warmup):
-        jax.block_until_ready(fwd(variables, batch))
+        np.asarray(fwd(variables, batch))
     timer = StepTimer(examples_per_step=b)
     for _ in range(iters):
         with timer.step():
-            jax.block_until_ready(fwd(variables, batch))
+            np.asarray(fwd(variables, batch))
     return timer.summary()
 
 
@@ -698,11 +726,11 @@ def measure_eval_throughput(
         jax.block_until_ready(list(resident_b.values()))
         for _ in range(warmup):
             out = step(wrapper.params, wrapper.batch_stats, resident_b)
-        jax.block_until_ready(out)
+        _window_sync(out)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = step(wrapper.params, wrapper.batch_stats, resident_b)
-        jax.block_until_ready(out)
+        _window_sync(out)
         dt = time.perf_counter() - t0
         return b * k * iters / dt
     for _ in range(warmup):  # compiles both the fused and single programs
