@@ -26,6 +26,7 @@ ops (see ``ops/segment.py``):
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
@@ -681,10 +682,38 @@ class GraphNet(nn.Module):
             return (total / counts[:, None]).astype(h.dtype)
 
         if self.deepchem_style:
-            x = TorchLinear(256)(x)
-            x = act(x)
-            x = bn(MaskedBatchNorm(), x, node_mask)
-            x = mean_pool(x)
+            # The deepchem head runs fc1/act/bn3 PER NODE ([B, M, 256])
+            # before the mean pool; its backward round-trips 2-3 residual
+            # buffers of B*M*256 bf16 (~33 MB each at bench shapes)
+            # through HBM.  nn.remat can recompute the chain from the
+            # [B, M, hidden] conv output instead (pool inside, so only
+            # the [B, 256] row leaves the checkpoint) — the trade the
+            # flagship's φ-chain auto-remat won +38% on.  MEASURED
+            # NEGATIVE here (same-window A/Bs, 2026-08-19): GraphConv
+            # dense 291.7k (off) vs 272.5k (on, −6.6%), GAT 98.7k vs
+            # 96.5k (−2.2%) — the graph steps are matmul-bound (the
+            # adjacency einsums / attention kernels saturate compute
+            # while XLA overlaps the residual traffic), so the recompute
+            # adds FLOPs on the critical path and saves latency nobody
+            # was paying.  OFF by default; PCC_GRAPH_REMAT=1 keeps the
+            # form for memory-tight regimes (huge M where the residuals
+            # would spill).  Grad + batch_stats exactness vs the inline
+            # head is pinned by tests/test_dense_graph.py; the lifted fn
+            # keeps submodule naming (the flat/dense shared parameter
+            # tree) unchanged.
+            def _head(mdl, h, mask):
+                h = TorchLinear(256)(h)
+                h = act(h)
+                h = bn(MaskedBatchNorm(), h, mask)
+                h32 = h.astype(jnp.float32) * mask[..., None]
+                total = jnp.sum(h32, axis=1)
+                counts = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
+                return (total / counts[:, None]).astype(h.dtype)
+
+            if os.environ.get("PCC_GRAPH_REMAT", "0") == "1":
+                x = nn.remat(_head)(self, x, node_mask)
+            else:
+                x = _head(self, x, node_mask)
         else:
             x = mean_pool(x)
             x = TorchLinear(256)(x)

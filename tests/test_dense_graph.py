@@ -653,3 +653,43 @@ def test_dense_node_bucketing_stays_8_aligned():
     m = batch["nodes"].shape[1]
     assert m % 8 == 0, m  # min_dense_nodes=60 rounds up to 64
     assert m == 64, m
+
+
+def test_graph_remat_knob_keeps_grads_and_stats_exact(monkeypatch):
+    """PCC_GRAPH_REMAT=1 (opt-in deepchem-head rematerialisation — a
+    measured throughput negative kept for memory-tight regimes, see
+    models/graph_net.py) must be numerically invisible: identical loss,
+    grads, and batch_stats updates vs the inline head."""
+    import bench
+    import jax.numpy as jnp
+
+    wire = bench._graph_batch_dense_inrow(4, 256, 512, 4)
+    batch = {k: jnp.asarray(v) for k, v in wire.items()}
+
+    def run(knob):
+        monkeypatch.setenv("PCC_GRAPH_REMAT", knob)
+        model = GraphNet(
+            input_dim=4, hidden_dim=16, output_dim=1, activation="tanh",
+            deepchem_style=True, compute_dtype="float32",
+        )
+        variables = model.init(jax.random.PRNGKey(0), batch, train=True)
+
+        def loss_fn(p):
+            out, upd = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                batch, train=True, mutable=["batch_stats"],
+            )
+            return jnp.mean(out), upd
+
+        (loss, upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        return loss, grads, upd
+
+    l0, g0, u0 = run("0")
+    l1, g1, u1 = run("1")
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(u0), jax.tree_util.tree_leaves(u1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
