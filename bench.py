@@ -61,8 +61,9 @@ def _window_sync(out):
     import jax
 
     if os.environ.get("PCC_BENCH_SYNC", "block") == "d2h":
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(leaf).ravel()[:1]
+        leaves = jax.tree_util.tree_leaves(out)
+        if leaves:  # None/empty (zero-batch window) is a no-op like block
+            np.asarray(leaves[0]).ravel()[:1]
     else:
         jax.block_until_ready(out)
 

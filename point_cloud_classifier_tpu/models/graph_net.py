@@ -675,10 +675,10 @@ class GraphNet(nn.Module):
         x = act(x)
         x = bn(MaskedBatchNorm(), x, node_mask)
 
-        def mean_pool(h: jnp.ndarray) -> jnp.ndarray:
-            h32 = h.astype(jnp.float32) * node_mask[..., None]
+        def mean_pool(h: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+            h32 = h.astype(jnp.float32) * mask[..., None]
             total = jnp.sum(h32, axis=1)
-            counts = jnp.maximum(jnp.sum(node_mask, axis=1), 1.0)
+            counts = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
             return (total / counts[:, None]).astype(h.dtype)
 
         if self.deepchem_style:
@@ -705,17 +705,14 @@ class GraphNet(nn.Module):
                 h = TorchLinear(256)(h)
                 h = act(h)
                 h = bn(MaskedBatchNorm(), h, mask)
-                h32 = h.astype(jnp.float32) * mask[..., None]
-                total = jnp.sum(h32, axis=1)
-                counts = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
-                return (total / counts[:, None]).astype(h.dtype)
+                return mean_pool(h, mask)
 
             if os.environ.get("PCC_GRAPH_REMAT", "0") == "1":
                 x = nn.remat(_head)(self, x, node_mask)
             else:
                 x = _head(self, x, node_mask)
         else:
-            x = mean_pool(x)
+            x = mean_pool(x, node_mask)
             x = TorchLinear(256)(x)
             x = act(x)
             x = MaskedBatchNorm()(x, mask=batch.get("y_mask"), train=train)

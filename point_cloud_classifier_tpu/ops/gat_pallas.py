@@ -575,8 +575,24 @@ def _slot_vmem(m: int, c: int, d: int, gb: int) -> int:
 
 
 def _slot_gb(b: int, m: int, c: int, d: int, t: int) -> int:
-    """Graphs per grid step for the slot form, bounded by the VMEM cap."""
-    gb = _graphs_per_step(b, m, c, t)
+    """Graphs per grid step for the slot form, bounded by the VMEM cap.
+
+    PCC_GAT_GB (trace-time read): explicit unroll-cap override for
+    A/B'ing the per-grid-step fixed cost against trace size.  It
+    overrides _graphs_per_step's 6 MB allowance (which is 12 at bench
+    shapes, so a min(cap, allowance) form silently clamped gb=16/32
+    requests back to the default 8 and the first "16/32 neutral" A/B
+    compared three identical programs — code-review catch, 2026-08-19);
+    the override stays safe because the _slot_vmem halving below still
+    applies.  Slot form only — the dense form keeps the allowance (its
+    per-tile working set has no second check)."""
+    env = os.environ.get("PCC_GAT_GB")
+    if env is not None and t == m:
+        gb, cap = 1, max(int(env), 1)
+        while gb * 2 <= cap and b % (gb * 2) == 0:
+            gb *= 2
+    else:
+        gb = _graphs_per_step(b, m, c, t)
     while gb > 1 and _slot_vmem(m, c, d, gb) > _SLOT_VMEM_CAP:
         gb //= 2
     return gb
@@ -697,15 +713,8 @@ def _graphs_per_step(b: int, m: int, c: int, t: int) -> int:
     if t != m:
         return 1  # multi-row-tile shapes keep the simple per-graph grid
     allowance = (6 << 20) // max(m * c * 16, 1)
-    # PCC_GAT_GB: unroll-cap knob (trace-time read) for A/B'ing the
-    # per-grid-step fixed cost against trace size / VMEM (larger caps
-    # still shrink through _slot_gb's VMEM halving).  Measured NEUTRAL
-    # at bench shapes (M=256, D=4, same-window 2026-08-19: gb=8 98.0k /
-    # 16 98.1k / 32 98.0k graphs/sec) — steady-state block prefetch
-    # already hides the grid overhead; 8 keeps traces/compiles small
-    cap = int(os.environ.get("PCC_GAT_GB", "8"))
     g = 1
-    while g * 2 <= min(cap, allowance) and b % (g * 2) == 0:
+    while g * 2 <= min(8, allowance) and b % (g * 2) == 0:
         g *= 2
     return g
 

@@ -12,21 +12,31 @@ completion (absolute micro-timings are garbage even on-device — a
 This probe drove the 2026-08-19 GAT slot-kernel win (+22.7%: transposed
 thin-sublane score gathers) and killed two plausible-but-losing rewrites
 BEFORE implementation (weighted-adjacency aggregation, G-batch raising).
-Reference numbers it measured on v5e (f32 operands, DEFAULT precision,
-M=K=256):
+Reference numbers on v5e (f32 operands, DEFAULT precision, M=K=256),
+scaffold-corrected (each variant's rr-add + consume-sum overhead is
+measured separately and subtracted — the overhead is variant-sized, so
+raw numbers systematically over-charge large-output variants;
+code-review catch 2026-08-19):
 
-    full_256x128   0.084 us   row-form gather dot (the workhorse)
-    full_256x256   0.203 us
-    thin8_x256     0.029 us   thin-SUBLANE dots stream only real rows
-    thin32_x256    0.036 us
-    row_x8         0.086 us   thin-LANE dots pad to 128 — full price
-    kthin_dot      0.044 us   [T,8]@[8,C] (K-thin)
-    fma/select     0.040 us   one [256,256] VPU pass
-    exp            0.058 us
-    transpose      0.060 us   [256,128] -> [128,256]
-    sublane_sum    0.032 us   [256,256] -> [1,256]
+    op             net us   raw us   note
+    full_256x128    0.058    0.083   row-form gather dot (the workhorse)
+    full_256x256    0.151    0.176
+    thin8_x256      ~0.028   0.028   thin-SUBLANE dots stream real rows
+    thin32_x256     ~0.028   0.028   (scaffold sub-noise: read raw)
+    row_x8          0.049    0.074   thin-LANE dots pad to 128
+    full_128x256    0.063    0.080
+    kthin_dot       0.018    0.043   [T,8]@[8,C] (K-thin)
+    fma/select      0.010    0.034   one [256,256] VPU pass
+    exp             0.040    0.065
+    transpose       0.034    0.058   [256,128] -> [128,256]
+    sublane_sum     (op ~= scaffold; read raw 0.026)
 
-Run: ``python scripts/probe_mosaic_costs.py`` (needs the TPU; ~2 min).
+The decisions the raw table drove survive the correction: thin-sublane
+gathers stay ~2x cheaper than row-form, and the weighted-adjacency
+rewrite stays a wash (cheaper VPU selects, but the dots it saves got
+cheaper too).
+
+Run: ``python scripts/probe_mosaic_costs.py`` (needs the TPU; ~3 min).
 Each variant must consume its FULL result (jnp.sum) — slicing lets
 Mosaic narrow the dot — and must depend on the rep index, or loop-
 invariant code motion hoists the op out of the REPS loop entirely.
@@ -57,7 +67,17 @@ VPU_VARIANTS = ("fma_pass", "select_pass", "exp_pass", "kthin_dot",
                 "transpose", "sublane_sum")
 
 
-def _build(name: str, reps: int):
+def _build(name: str, reps: int, scaffold_only: bool = False):
+    """scaffold_only=True builds the same kernel with the op under test
+    removed (d = the rep-dependent operand itself): the rr-add that
+    defeats loop-invariant hoisting and the jnp.sum consume are
+    variant-SIZED, so their cost must be measured per variant and
+    subtracted — without that, large-output variants carry more
+    scaffolding in their reported 'op cost' (code-review catch,
+    2026-08-19).  The consume-sum shape still differs slightly between
+    scaffold ([rows, M]) and op output ([rows, cols]); treat corrected
+    values as ±~0.005 us."""
+
     def kernel(a_ref, b_ref, o_ref):
         a = a_ref[...]
         b = b_ref[...]
@@ -66,7 +86,10 @@ def _build(name: str, reps: int):
         sub = jax.lax.broadcasted_iota(jnp.int32, (M, T), 0).astype(jnp.float32)
         for r in range(reps):
             rr = jnp.float32(r) * 1e-7
-            if name in DOT_VARIANTS:
+            if scaffold_only:
+                rows = DOT_VARIANTS.get(name, (256,))[0]
+                d = a[:rows] + rr
+            elif name in DOT_VARIANTS:
                 rows, cols = DOT_VARIANTS[name]
                 x = a[:rows] + rr
                 d = jax.lax.dot_general(
@@ -120,11 +143,24 @@ def main() -> None:
     rng = np.random.default_rng(0)
     a = jnp.array(rng.standard_normal((M, T)), jnp.float32)
     b = jnp.array(rng.standard_normal((M, T)), jnp.float32)
-    print(f"{'op':16s} {'us/op':>8s}")
+    print(f"{'op':16s} {'us/op':>8s} {'raw':>8s} {'scaffold':>9s}")
+    scaffolds: dict = {}
     for name in list(DOT_VARIANTS) + list(VPU_VARIANTS):
         lo = _best_time(_build(name, 16), a, b)
         hi = _best_time(_build(name, 64), a, b)
-        print(f"{name:16s} {(hi - lo) / (48 * G) * 1e6:8.4f}")
+        raw = (hi - lo) / (48 * G)
+        rows = DOT_VARIANTS.get(name, (256,))[0]
+        if rows not in scaffolds:
+            s_lo = _best_time(_build(name, 16, scaffold_only=True), a, b)
+            s_hi = _best_time(_build(name, 64, scaffold_only=True), a, b)
+            # clamp: a sub-noise scaffold (thin rows) can measure negative
+            scaffolds[rows] = max((s_hi - s_lo) / (48 * G), 0.0)
+        net = max(raw - scaffolds[rows], 0.0)
+        # caveats: for reduction variants the op nearly IS the scaffold
+        # (sublane_sum net ~0 is an artifact); for thin-row variants the
+        # scaffold is sub-noise — compare RAW values at equal shapes there
+        print(f"{name:16s} {net * 1e6:8.4f} {raw * 1e6:8.4f} "
+              f"{scaffolds[rows] * 1e6:9.4f}")
 
 
 if __name__ == "__main__":
