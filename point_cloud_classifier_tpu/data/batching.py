@@ -359,6 +359,7 @@ class GraphLoader:
         length_sorted: bool = False,
         max_in_degree_wire: int = 32,
         emit_out_rows: bool = False,
+        dense_w_is_existence: bool = False,
     ):
         # "float16": fp16 features/weights + int16 ids on the wire (see
         # PointCloudLoader) — models upcast on device.  seg_encoding
@@ -606,6 +607,36 @@ class GraphLoader:
                 if use_weights
                 else np.ones_like(self.mult_wire)
             )
+        # dense_w_is_existence (set by the model factory for GAT +
+        # use_weights configs): the dense wire encodes edge EXISTENCE as
+        # w != 0, so a weighted dataset whose WIRE weights contain an
+        # exact zero (a gaussian weight underflowing f32 — or fp16 after
+        # the half cast, which is why the check runs on weights_wire, the
+        # post-merge wire-dtype store) would silently drop that edge from
+        # dense attention while the flat path keeps it.  Demote to flat
+        # only when a zero actually exists; real lineage data (strictly
+        # positive gaussian weights, utils/data.py:835-845 reference
+        # semantics) rides the dense layout.  The demotion happens AFTER
+        # the flat-fallback wires are built, so per-occurrence parity over
+        # a merged multigraph store is preserved exactly like an auto
+        # fallback batch.  Before this gate, the factory kept EVERY
+        # GAT+use_weights config flat (~40x slower attention) to protect
+        # against the rare zero.
+        if (
+            dense_w_is_existence
+            and layout in ("dense", "auto")
+            and use_weights
+            and bool((self.weights_wire == 0).any())
+        ):
+            import warnings
+
+            warnings.warn(
+                "GraphLoader: dataset contains an exact-zero edge weight; "
+                "dense attention would drop that edge (existence is w != 0)"
+                " — demoting layout to 'flat' for exactness",
+                stacklevel=2,
+            )
+            layout = self.layout = "flat"
         if layout in ("dense", "auto") and emit_out_rows:
             self.weights_o_wire = (
                 self.weights_o.astype(np.float16) if self.half else self.weights_o

@@ -181,6 +181,7 @@ class Step2PointGraph(DataModule):
         graph_layout: str = "flat",
         length_sorted: bool = False,
         emit_out_rows: bool = False,
+        dense_w_is_existence: bool = False,
         **kwargs,
     ):
         super().__init__(data_dir=data_dir, **kwargs)
@@ -195,6 +196,10 @@ class Step2PointGraph(DataModule):
         # "dense"/"auto": batched adjacency-matrix batches (message passing
         # as MXU matmuls, no gather/scatter) — see data/batching.GraphLoader
         self.graph_layout = graph_layout
+        # GAT + use_weights: dense edge existence is w != 0, so the loader
+        # checks for exact-zero wire weights and demotes to flat only when
+        # one exists (data/batching.GraphLoader)
+        self.dense_w_is_existence = dense_w_is_existence
         self.n_features = n_features
         self.parts = parts
         self.use_weights = use_weights
@@ -433,6 +438,7 @@ class Step2PointGraph(DataModule):
             layout=self.graph_layout,
             length_sorted=self.length_sorted and split == "train",
             emit_out_rows=self.emit_out_rows,
+            dense_w_is_existence=self.dense_w_is_existence,
         )
 
     def get_train_loader(self) -> GraphLoader:

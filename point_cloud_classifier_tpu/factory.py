@@ -61,10 +61,18 @@ def get_dataloader(dataset_name: str, config: dict):
             mdl = config.get("model", {})
             if mdl.get("use_gat", False):
                 # dense GAT masks on w != 0, so a weighted GAT (flat GAT
-                # ignores weights; torch_geometric's asserts on them) could
-                # drop underflowed-to-zero gaussian weights — keep those
-                # degenerate configs on the flat layout
-                eligible = not ds_cfg.get("use_weights", True)
+                # ignores weights; torch_geometric asserts on them) could
+                # drop an edge whose gaussian weight underflowed to an
+                # exact zero.  The LOADER now checks for that once at init
+                # (dense_w_is_existence) and demotes itself to flat only
+                # when a zero actually exists — real lineage data
+                # (strictly positive weights) keeps the dense layout and
+                # the slot-softmax kernel instead of paying the ~40x flat
+                # segment-softmax penalty on every GAT+use_weights sweep
+                # arm
+                eligible = True
+                if ds_cfg.get("use_weights", True):
+                    ds_cfg.setdefault("dense_w_is_existence", True)
             else:
                 # max stays flat BY DEFAULT: the dense in-row max exists
                 # (inrow_max_aggregate, exact flat parity) but its gather

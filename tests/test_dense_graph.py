@@ -693,3 +693,82 @@ def test_graph_remat_knob_keeps_grads_and_stats_exact(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(u0), jax.tree_util.tree_leaves(u1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.parametrize("sag_pool", [False, True])
+def test_weighted_gat_rides_dense_when_no_zero_weights(sag_pool):
+    """GAT + use_weights on strictly-positive weights (real lineage data)
+    now keeps the dense layout: flat GAT ignores the weight VALUES (GATv1
+    takes none) and dense GAT only gates existence on w != 0, so with no
+    exact-zero wire weight the two layouts are equivalent — the factory
+    previously kept every such config flat (~40x slower attention)."""
+    graphs = _random_graphs(n_graphs=8, seed=11)  # weights in [0.1, 1.0]
+    flat = GraphLoader(
+        graphs, batch_size=4, shuffle=False, layout="flat", use_weights=True
+    )
+    dense = GraphLoader(
+        graphs, batch_size=4, shuffle=False, layout="dense",
+        use_weights=True, dense_w_is_existence=True,
+    )
+    assert dense.layout == "dense"  # no zero weights -> no demotion
+    model = GraphNet(
+        input_dim=4, hidden_dim=16, output_dim=1, activation="tanh",
+        use_gat=True, gat_heads=4, sag_pool=sag_pool,
+    )
+    fb = next(iter(flat))
+    variables = model.init(jax.random.PRNGKey(0), fb, train=False)
+    for fbatch, dbatch in zip(flat, dense):
+        lf = model.apply(variables, fbatch, train=False)
+        ld = model.apply(variables, dbatch, train=False)
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(ld), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_weighted_gat_demotes_to_flat_on_exact_zero_weight():
+    """An exact-zero wire weight means dense attention would DROP that
+    edge (existence is w != 0) while the flat path keeps it — the loader
+    must demote itself to flat, and the demoted batches must match a
+    pure-flat loader exactly."""
+    graphs = _random_graphs(n_graphs=6, seed=12)
+    graphs[2]["weights"][0] = 0.0  # the hazard: a real but zero-weight edge
+    with pytest.warns(UserWarning, match="demoting layout to 'flat'"):
+        demoted = GraphLoader(
+            graphs, batch_size=3, shuffle=False, layout="auto",
+            use_weights=True, dense_w_is_existence=True,
+        )
+    assert demoted.layout == "flat"
+    flat = GraphLoader(
+        graphs, batch_size=3, shuffle=False, layout="flat", use_weights=True
+    )
+    model = GraphNet(
+        input_dim=4, hidden_dim=8, output_dim=1, activation="tanh",
+        use_gat=True, gat_heads=2,
+    )
+    fb = next(iter(flat))
+    variables = model.init(jax.random.PRNGKey(0), fb, train=False)
+    for fbatch, dbatch in zip(flat, demoted):
+        lf = model.apply(variables, fbatch, train=False)
+        ld = model.apply(variables, dbatch, train=False)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(ld))
+
+
+def test_factory_routes_weighted_gat_to_auto_dense():
+    """get_dataloader: GAT + use_weights configs now get layout='auto'
+    with the loader-side zero-weight existence check enabled, instead of
+    the old unconditional flat demotion."""
+    from point_cloud_classifier_tpu.factory import get_dataloader
+
+    config = {
+        "dataset": {"data_dir": "/nonexistent", "use_weights": True},
+        "model": {"use_gat": True},
+    }
+    try:
+        ds = get_dataloader("s2pg", config)
+    except FileNotFoundError:  # no cache on disk — construction-only test
+        import point_cloud_classifier_tpu.data.graph as graph_mod
+
+        ds = None
+    if ds is not None:
+        assert ds.graph_layout == "auto"
+        assert ds.dense_w_is_existence

@@ -253,8 +253,11 @@ def test_graph_layout_eligibility_sees_model_config(caches):
             "model": {"use_gat": True},
         },
     )
-    # weighted GAT (flat GAT ignores weights; the dense mask can't) stays flat
-    assert gat_w.graph_layout == "flat"
+    # weighted GAT rides dense too now — the LOADER demotes itself to flat
+    # only if an exact-zero wire weight exists (dense existence is w != 0;
+    # tests/test_dense_graph.py pins both demotion and no-demotion cases)
+    assert gat_w.graph_layout == "auto"
+    assert gat_w.dense_w_is_existence
 
 
 def test_pointcloud_layout_defaults_to_auto(caches):
