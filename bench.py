@@ -743,6 +743,71 @@ def measure_eval_throughput(
     return b * len(host_batches) * iters / dt
 
 
+def measure_graph_eval_throughput(
+    b: int, n: int, e: int, iters: int, warmup: int, dtype: str,
+    fuse: int = 1, use_gat: bool = False, resident: bool = True,
+):
+    """graph_net scoring throughput (graphs/sec) — the ``train.py
+    evaluate`` / ``infer`` path over the dense in-row wire, mirroring
+    :func:`measure_eval_throughput`'s two pipelines (resident = device
+    truth via the scan-fused eval program; stream = the full
+    ``_evaluate`` surface, tunnel-bound)."""
+    import jax
+
+    from point_cloud_classifier_tpu.models import GraphNet, ModelWrapper
+
+    model = GraphNet(
+        input_dim=4,
+        hidden_dim=128,
+        output_dim=1,
+        activation="tanh",
+        deepchem_style=True,
+        compute_dtype=dtype,
+        use_gat=use_gat,
+    )
+    wrapper = ModelWrapper(
+        model, learning_rate=1e-3, epochs=1,
+        fuse_steps=max(fuse, 2) if resident else fuse,
+    )
+    half = dtype == "bfloat16"
+    host_batches = [
+        _graph_batch_dense_inrow(b, n, e, 4, seed=s, half=half) for s in range(8)
+    ]
+    wrapper._ensure_initialized(host_batches[0])
+    if resident:
+        k = max(fuse, 1)
+        if k == 1:
+            resident_b = {
+                key: jax.device_put(v) for key, v in host_batches[0].items()
+            }
+            step = wrapper._eval_step
+        else:
+            resident_b = {
+                key: jax.device_put(
+                    np.stack(
+                        [host_batches[s % len(host_batches)][key] for s in range(k)]
+                    )
+                )
+                for key in host_batches[0]
+            }
+            step = wrapper._eval_step_fused
+        jax.block_until_ready(list(resident_b.values()))
+        for _ in range(warmup):
+            out = step(wrapper.params, wrapper.batch_stats, resident_b)
+        _window_sync(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step(wrapper.params, wrapper.batch_stats, resident_b)
+        _window_sync(out)
+        return b * k * iters / (time.perf_counter() - t0)
+    for _ in range(warmup):
+        wrapper._evaluate(host_batches)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        wrapper._evaluate(host_batches)
+    return b * len(host_batches) * iters / (time.perf_counter() - t0)
+
+
 def measure_torch_reference(b: int, p: int, f: int, iters: int, warmup: int) -> float:
     """Reference-semantics deep_sets train step in torch on CPU.
 
@@ -1090,6 +1155,29 @@ def main(argv=None) -> None:
     if args.eval_throughput or args.eval_device:
         # fuse groups cap at the 8-batch stream regardless of the resolved
         # default; `--fuse 1` is the per-batch baseline arm
+        if args.model == "graph_net":
+            if args.quant == "int8":
+                raise SystemExit("--quant int8 is the deep_sets phi path")
+            cps = measure_graph_eval_throughput(
+                b, p, 2 * p, max(3, iters // 8), warmup, args.dtype,
+                fuse=args.fuse, use_gat=args.gat, resident=args.eval_device,
+            )
+            metric = "graph_net_eval_graphs_per_sec" + (
+                "_gat" if args.gat else ""
+            )
+            if args.eval_device:
+                metric += "_device"
+            print(
+                json.dumps(
+                    {
+                        "metric": metric,
+                        "value": round(cps, 1),
+                        "unit": "graphs/sec",
+                        "vs_baseline": None,
+                    }
+                )
+            )
+            return
         cps = measure_eval_throughput(
             b, p, F, max(3, iters // 8), warmup, args.dtype, fuse=args.fuse,
             phi=args.phi, width=args.phi_width, resident=args.eval_device,

@@ -134,6 +134,11 @@ def main() -> None:
     # valid in any window
     record("eval_device", bench.measure_eval_throughput,
            B, P, 6, max(3, it // 8), wu, "bfloat16", fuse=16, resident=True)
+    record("graph_eval_device", bench.measure_graph_eval_throughput,
+           B, P, E, max(3, it // 8), wu, "bfloat16", fuse=16, resident=True)
+    record("gat_eval_device", bench.measure_graph_eval_throughput,
+           B, P, E, max(3, it // 8), wu, "bfloat16", fuse=16, use_gat=True,
+           resident=True)
 
     # ---- tunnel-bound rows (healthy windows only) ----
     if healthy or args.force:
