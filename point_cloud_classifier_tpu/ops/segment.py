@@ -168,8 +168,13 @@ def segment_rank_desc(
     big = jnp.finfo(score.dtype).max
     sort_key = jnp.where(valid > 0, -score, big)
     order = jnp.lexsort((sort_key, segment_ids))  # segment-major, score-desc
-    # position of each sorted element within its segment
-    seg_sorted = segment_ids[order]
+    # position of each sorted element within its segment.  jnp.asarray:
+    # ``order`` is a tracer, and numpy fancy-indexing a HOST ndarray by a
+    # tracer calls __array__ on it — unreachable inside jit (batches are
+    # tracers there) but real under jax.vmap over un-jitted numpy batches
+    # (vmap_sweep's vmapped model.init; found by a 24-run vmapped sweep
+    # soak on the SAG+max flat arm, 2026-08-19)
+    seg_sorted = jnp.asarray(segment_ids)[order]
     idx = jnp.arange(n)
     first_of_seg = jax.ops.segment_min(idx, seg_sorted, num_segments=num_segments)
     rank_sorted = idx - first_of_seg[seg_sorted]

@@ -233,6 +233,46 @@ def test_vmapped_graph_arms_dense_layout():
     assert all(0.0 <= a <= 1.0 for a in result["val_accs"])
 
 
+def test_vmapped_sag_max_flat_arms():
+    """SAG + max rides the FLAT layout, whose SAGPool calls
+    segment_rank_desc — regression for a TracerArrayConversionError under
+    the vmapped init (numpy host segment_ids fancy-indexed by a vmap
+    tracer inside the un-jitted model.init; found by a 24-run vmapped
+    sweep soak, 2026-08-19)."""
+    from point_cloud_classifier_tpu.data.batching import GraphLoader
+    from point_cloud_classifier_tpu.models import GraphNet
+
+    rng = np.random.default_rng(7)
+    graphs = []
+    for i in range(16):
+        n = int(rng.integers(3, 10))
+        pairs = sorted(
+            {(int(a), int(b)) for a, b in rng.integers(0, n, size=(2 * n, 2)) if a != b}
+        )
+        edges = np.array(pairs, dtype=np.int32).T.reshape(2, -1)
+        graphs.append(
+            {
+                "features": rng.normal(size=(n, 4)).astype(np.float32),
+                "edges": edges,
+                "weights": np.ones((edges.shape[1],), np.float32),
+                "label": float(i % 2),
+            }
+        )
+    train = GraphLoader(graphs[:12], batch_size=4, shuffle=False, layout="flat",
+                        use_weights=False)
+    val = GraphLoader(graphs[12:], batch_size=4, shuffle=False, layout="flat",
+                      use_weights=False)
+    model = GraphNet(
+        input_dim=4, hidden_dim=8, output_dim=1, activation="relu",
+        sag_pool=True, local_pooling="max", deepchem_style=False,
+    )
+    result = train_configs_vmapped(
+        model, [1e-2, 1e-3], "adamw", epochs=2, train_loader=train, val_loader=val
+    )
+    assert len(result["val_accs"]) == 2
+    assert all(0.0 <= a <= 1.0 for a in result["val_accs"])
+
+
 def test_run_search_vmapped_graph_net(tmp_path):
     """End-to-end vmapped search over graph_net arms: samplers may draw
     GAT/max/dense-eligible configs — every group must build a loader whose
