@@ -753,22 +753,25 @@ def test_weighted_gat_demotes_to_flat_on_exact_zero_weight():
         np.testing.assert_allclose(np.asarray(lf), np.asarray(ld))
 
 
-def test_factory_routes_weighted_gat_to_auto_dense():
+def test_factory_routes_weighted_gat_to_auto_dense(tmp_path, monkeypatch):
     """get_dataloader: GAT + use_weights configs now get layout='auto'
     with the loader-side zero-weight existence check enabled, instead of
-    the old unconditional flat demotion."""
-    from point_cloud_classifier_tpu.factory import get_dataloader
+    the old unconditional flat demotion.  (The cache-backed end-to-end
+    variant is test_orchestration.test_graph_layout_eligibility_sees_model_config;
+    this one pins the factory wiring without touching the filesystem.)"""
+    import point_cloud_classifier_tpu.factory as factory_mod
 
+    seen = {}
+
+    class _SpyDS:
+        def __init__(self, **kwargs):
+            seen.update(kwargs)
+
+    monkeypatch.setattr(factory_mod, "Step2PointGraph", _SpyDS)
     config = {
-        "dataset": {"data_dir": "/nonexistent", "use_weights": True},
+        "dataset": {"data_dir": str(tmp_path), "use_weights": True},
         "model": {"use_gat": True},
     }
-    try:
-        ds = get_dataloader("s2pg", config)
-    except FileNotFoundError:  # no cache on disk — construction-only test
-        import point_cloud_classifier_tpu.data.graph as graph_mod
-
-        ds = None
-    if ds is not None:
-        assert ds.graph_layout == "auto"
-        assert ds.dense_w_is_existence
+    factory_mod.get_dataloader("s2pg", config)
+    assert seen["graph_layout"] == "auto"
+    assert seen["dense_w_is_existence"] is True
