@@ -39,6 +39,8 @@ import numpy as np
 # reference-equivalent torch CPU throughput on this workload, measured via
 # --measure-baseline on the build host (see BASELINE.md)
 REFERENCE_CPU_CLOUDS_PER_SEC = 260.9
+# --model fully_connected_net --measure-baseline on the build host
+REFERENCE_CPU_FCN_EVENTS_PER_SEC = 22_794.3
 
 B, P, F = 256, 65_536, 6
 PHI, RHO = [256, 256], [256]
@@ -808,6 +810,139 @@ def measure_graph_eval_throughput(
     return b * len(host_batches) * iters / (time.perf_counter() - t0)
 
 
+def _tabular_batch(b: int, f: int, seed: int = 0):
+    """Synthetic tabular batch in the TabularLoader wire format
+    (``{"x" [B, F], "y" [B, 1], "y_mask" [B]}``, all f32 — the 9 engineered
+    features are scaler outputs, no fp16 wire)."""
+    rng = np.random.default_rng(seed)
+    return {
+        "x": rng.standard_normal((b, f), dtype=np.float32),
+        "y": (rng.random((b, 1)) < 0.5).astype(np.float32),
+        "y_mask": np.ones((b,), dtype=np.float32),
+    }
+
+
+def measure_fcn_jax(
+    b: int, f: int, iters: int, warmup: int, dtype: str = "bfloat16",
+    fuse: int = 256, pipeline: str = "resident",
+) -> float:
+    """fully_connected_net train throughput (events/sec) over the tabular
+    wire — configs/fully_connected_net.yaml exactly (9 features, hidden
+    [32, 32, 64], masked BatchNorm, adam @ 1e-3, batch 32).  The step is
+    microscopic ([B, 9] matmuls), so the row is dispatch-bound unless the
+    ``lax.scan`` step fusion amortizes the host round trip — which is the
+    point: the tabular family rides the same device-truth methodology as
+    the flagship (BASELINE.md)."""
+    import jax
+
+    from point_cloud_classifier_tpu.models import FullyConnectedNet, ModelWrapper
+
+    model = FullyConnectedNet(
+        input_dim=f,
+        hidden_layers=[32, 32, 64],
+        batch_normalization=True,
+        output_dim=1,
+        compute_dtype=dtype,
+    )
+    wrapper = ModelWrapper(
+        model, learning_rate=1e-3, epochs=1, optimizer="adam", fuse_steps=fuse
+    )
+    host_batches = [_tabular_batch(b, f, seed=s) for s in range(8)]
+    wrapper._ensure_initialized(host_batches[0])
+    if pipeline == "resident":
+        if fuse > 1:
+            stacked = {
+                k: jax.device_put(
+                    np.stack(
+                        [host_batches[i % len(host_batches)][k] for i in range(fuse)]
+                    )
+                )
+                for k in host_batches[0]
+            }
+            step = wrapper._train_step_fused
+        else:
+            stacked = {k: jax.device_put(v) for k, v in host_batches[0].items()}
+            step = wrapper._train_step
+
+        def run(n):
+            loss, trained = None, 0
+            for _ in range(max(1, n // max(fuse, 1))):
+                (
+                    wrapper.params,
+                    wrapper.batch_stats,
+                    wrapper.opt_state,
+                    loss,
+                ) = step(wrapper.params, wrapper.batch_stats, wrapper.opt_state, stacked)
+                trained += max(fuse, 1)
+            _window_sync(loss)
+            return trained
+
+        run(warmup)
+        best = 0.0
+        for _ in range(6):
+            t0 = time.perf_counter()
+            trained = run(iters)
+            best = max(best, b * trained / (time.perf_counter() - t0))
+        return best
+
+    def run(n):
+        loss, count = None, 0
+        stream = (host_batches[i % len(host_batches)] for i in range(n))
+        for batch in wrapper._batches(stream):
+            wrapper.params, wrapper.batch_stats, wrapper.opt_state, loss = (
+                wrapper._train_step(
+                    wrapper.params, wrapper.batch_stats, wrapper.opt_state, batch
+                )
+            )
+            count += 1
+        _window_sync(loss)
+        return count
+
+    run(warmup)
+    best = 0.0
+    for _ in range(6):
+        t0 = time.perf_counter()
+        trained = run(iters)
+        best = max(best, b * trained / (time.perf_counter() - t0))
+    return best
+
+
+def measure_torch_fcn_reference(b: int, f: int, iters: int, warmup: int) -> float:
+    """Reference fully_connected_net train step in torch on CPU — the
+    verbatim reference module (`models/fully_connected_net.py:5-29`:
+    Linear→BatchNorm1d→ReLU per hidden layer, bare output Linear) under
+    the reference trainer semantics (`models/wrapper.py:29-38`: adam @
+    1e-3, BCEWithLogitsLoss)."""
+    import torch
+    from torch import nn
+
+    torch.manual_seed(0)
+    layers, in_f = [], f
+    for hidden in [32, 32, 64]:
+        layers += [nn.Linear(in_f, hidden), nn.BatchNorm1d(hidden), nn.ReLU()]
+        in_f = hidden
+    layers.append(nn.Linear(in_f, 1))
+    net = nn.Sequential(*layers)
+    opt = torch.optim.Adam(net.parameters(), lr=1e-3)
+    loss_fn = nn.BCEWithLogitsLoss()
+    gen = torch.Generator().manual_seed(1)
+    xs = [torch.randn(b, f, generator=gen) for _ in range(8)]
+    ys = [(torch.rand(b, 1, generator=gen) < 0.5).float() for _ in range(8)]
+
+    def step(i):
+        opt.zero_grad()
+        loss = loss_fn(net(xs[i % 8]), ys[i % 8])
+        loss.backward()
+        opt.step()
+
+    for i in range(warmup):
+        step(i)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        step(i)
+    return b * iters / (time.perf_counter() - t0)
+
+
 def measure_torch_reference(b: int, p: int, f: int, iters: int, warmup: int) -> float:
     """Reference-semantics deep_sets train step in torch on CPU.
 
@@ -979,7 +1114,7 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--model",
         default="deep_sets",
-        choices=["deep_sets", "graph_net"],
+        choices=["deep_sets", "graph_net", "fully_connected_net"],
         help="which train-step workload to measure",
     )
     parser.add_argument(
@@ -1097,6 +1232,11 @@ def main(argv=None) -> None:
             # each at the flagship shape) -> fuse 4
             if args.model == "graph_net":
                 args.fuse = 4 if args.graph_layout == "dense-host" else 64
+            elif args.model == "fully_connected_net":
+                # the tabular step is microseconds, so only a very deep
+                # scan amortizes per-dispatch cost; batches are ~1.3 KB,
+                # 1024 of them stack to ~1.3 MB on the wire
+                args.fuse = 1024
             else:
                 args.fuse = 256
         else:
@@ -1150,6 +1290,14 @@ def main(argv=None) -> None:
         raise SystemExit(
             "--quant requires --latency or --eval-throughput/--eval-device "
             "(int8 is an inference path)"
+        )
+
+    if args.model == "fully_connected_net" and (
+        args.eval_throughput or args.eval_device or args.latency
+    ):
+        raise SystemExit(
+            "--model fully_connected_net measures train throughput only "
+            "(the serving rows bench the deep_sets / graph_net families)"
         )
 
     if args.eval_throughput or args.eval_device:
@@ -1217,6 +1365,30 @@ def main(argv=None) -> None:
         )
         return
 
+    if args.model == "fully_connected_net" and not args.measure_baseline:
+        # configs/fully_connected_net.yaml batch size, independent of the
+        # point-cloud workload's B/P
+        eps = measure_fcn_jax(
+            32, 9, iters, warmup, args.dtype, fuse=args.fuse,
+            pipeline=args.pipeline,
+        )
+        vs = (
+            round(eps / REFERENCE_CPU_FCN_EVENTS_PER_SEC, 2)
+            if (REFERENCE_CPU_FCN_EVENTS_PER_SEC and not args.smoke)
+            else None
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "fully_connected_net_train_events_per_sec",
+                    "value": round(eps, 2),
+                    "unit": "events/sec",
+                    "vs_baseline": vs,
+                }
+            )
+        )
+        return
+
     if args.model == "graph_net" and not args.measure_baseline:
         n, e = (p, 2 * p)
         cps = measure_graph_jax(
@@ -1253,6 +1425,20 @@ def main(argv=None) -> None:
             )
         if args.model == "graph_net":
             cps = measure_torch_graph_reference(b, p, 2 * p, 4, iters or 5, warmup)
+        elif args.model == "fully_connected_net":
+            cps = measure_torch_fcn_reference(32, 9, iters or 2000, 200)
+            print(
+                json.dumps(
+                    {
+                        "metric": "fully_connected_net_train_events_per_sec"
+                        "_torch_cpu_reference",
+                        "value": round(cps, 2),
+                        "unit": "events/sec",
+                        "vs_baseline": 1.0,
+                    }
+                )
+            )
+            return
         else:
             cps = measure_torch_reference(b, p, F, iters or 5, warmup)
         print(

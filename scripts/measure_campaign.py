@@ -140,6 +140,12 @@ def main() -> None:
            B, P, E, max(3, it // 8), wu, "bfloat16", fuse=16, use_gat=True,
            resident=True)
 
+    # 5) tabular family (fully_connected_net), resident + deep fuse: the
+    # [32, 9] step is microseconds, so only the 1024-step scan amortizes
+    # dispatch — device-truth like the rows above
+    record("fcn_resident", bench.measure_fcn_jax,
+           32, 9, 4096, 1024, "bfloat16", fuse=1024, pipeline="resident")
+
     # ---- tunnel-bound rows (healthy windows only) ----
     if healthy or args.force:
         record("eval_stream", bench.measure_eval_throughput,
