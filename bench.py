@@ -1299,6 +1299,16 @@ def main(argv=None) -> None:
             "--model fully_connected_net measures train throughput only "
             "(the serving rows bench the deep_sets / graph_net families)"
         )
+    if args.model == "fully_connected_net" and args.mesh:
+        # Refusing beats lying: the fcn row has no mesh path, and --mesh
+        # also flips the resolved fuse default to 1, so the combo would
+        # print a dispatch-bound single-device number under the same
+        # metric key as the real fuse-1024 row.
+        raise SystemExit(
+            "--mesh is not supported for --model fully_connected_net "
+            "(mesh rows bench the deep_sets family; the fcn step is "
+            "microseconds and gains nothing from sharding)"
+        )
 
     if args.eval_throughput or args.eval_device:
         # fuse groups cap at the 8-batch stream regardless of the resolved

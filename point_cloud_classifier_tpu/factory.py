@@ -52,6 +52,18 @@ def get_dataloader(dataset_name: str, config: dict):
         return Step2PointPointCloud(**ds_cfg)
     if dataset_name == "s2pg":
         ds_cfg = dict(config["dataset"])
+        mdl_gate = config.get("model", {})
+        if (
+            mdl_gate.get("use_gat", False)
+            and ds_cfg.get("use_weights", True)
+            and ds_cfg.get("graph_layout") != "flat"
+        ):
+            # Zero-weight exactness gate for weighted GAT (see the comment
+            # below): must apply even when the config pins graph_layout
+            # explicitly — dense GAT masks on w != 0, so without the
+            # loader's demotion check an exact-zero wire weight would
+            # silently drop an edge the flat path keeps.
+            ds_cfg.setdefault("dense_w_is_existence", True)
         if "graph_layout" not in ds_cfg:
             # default to the dense batched-adjacency layout whenever the
             # model can consume it (GraphConv add/mean and GAT, incl. SAG)

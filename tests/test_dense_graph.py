@@ -775,3 +775,39 @@ def test_factory_routes_weighted_gat_to_auto_dense(tmp_path, monkeypatch):
     factory_mod.get_dataloader("s2pg", config)
     assert seen["graph_layout"] == "auto"
     assert seen["dense_w_is_existence"] is True
+
+
+@pytest.mark.parametrize("layout", ["dense", "auto"])
+def test_factory_zero_weight_gate_survives_explicit_layout(
+    tmp_path, monkeypatch, layout
+):
+    """The dense_w_is_existence safety gate must apply even when the config
+    pins graph_layout explicitly — an explicit `graph_layout: dense` with
+    GAT + use_weights previously skipped the gate entirely, so an
+    exact-zero wire weight would silently drop an edge dense-side."""
+    import point_cloud_classifier_tpu.factory as factory_mod
+
+    seen = {}
+
+    class _SpyDS:
+        def __init__(self, **kwargs):
+            seen.update(kwargs)
+
+    monkeypatch.setattr(factory_mod, "Step2PointGraph", _SpyDS)
+    config = {
+        "dataset": {
+            "data_dir": str(tmp_path),
+            "use_weights": True,
+            "graph_layout": layout,
+        },
+        "model": {"use_gat": True},
+    }
+    factory_mod.get_dataloader("s2pg", config)
+    assert seen["graph_layout"] == layout
+    assert seen["dense_w_is_existence"] is True
+
+    # explicit flat needs no gate (flat GAT ignores weight values)
+    seen.clear()
+    config["dataset"]["graph_layout"] = "flat"
+    factory_mod.get_dataloader("s2pg", config)
+    assert "dense_w_is_existence" not in seen
