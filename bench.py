@@ -1417,9 +1417,9 @@ def main(argv=None) -> None:
         print(
             json.dumps(
                 {
-                    "metric": "graph_net_train_clouds_per_sec",
+                    "metric": "graph_net_train_graphs_per_sec",
                     "value": round(cps, 2),
-                    "unit": "clouds/sec",
+                    "unit": "graphs/sec",
                     "vs_baseline": None,
                 }
             )
@@ -1454,9 +1454,13 @@ def main(argv=None) -> None:
         print(
             json.dumps(
                 {
-                    "metric": f"{args.model}_train_clouds_per_sec_torch_cpu_reference",
+                    "metric": (
+                        f"{args.model}_train_"
+                        + ("graphs" if args.model == "graph_net" else "clouds")
+                        + "_per_sec_torch_cpu_reference"
+                    ),
                     "value": round(cps, 2),
-                    "unit": "clouds/sec",
+                    "unit": "graphs/sec" if args.model == "graph_net" else "clouds/sec",
                     "vs_baseline": 1.0,
                 }
             )
