@@ -360,6 +360,7 @@ class GraphLoader:
         max_in_degree_wire: int = 32,
         emit_out_rows: bool = False,
         dense_w_is_existence: bool = False,
+        require_inrow: bool = False,
     ):
         # "float16": fp16 features/weights + int16 ids on the wire (see
         # PointCloudLoader) — models upcast on device.  seg_encoding
@@ -409,6 +410,25 @@ class GraphLoader:
             raise ValueError(f"Unknown graph layout: {layout}")
         if adj_wire not in ("host", "device"):
             raise ValueError(f"Unknown adj_wire: {adj_wire}")
+        # require_inrow (set by the model factory for dense-layout max
+        # pooling): the consumer can only digest dense batches that carry
+        # the FULL in-row wire (in_src + out rows when emit_out_rows) —
+        # max aggregation doesn't factor through an adjacency matmul or
+        # the edge_slot fallback triples.  Batches whose in/out-degree
+        # overflows max_in_degree_wire ship the flat GLOBAL wire instead
+        # (the model's flat path supports max exactly), rather than a
+        # dense wire the model would reject mid-epoch.
+        self.require_inrow = bool(require_inrow)
+        self._warned_inrow_fallback = False
+        if self.require_inrow and layout in ("dense", "auto") and adj_wire == "host":
+            import warnings
+
+            warnings.warn(
+                "GraphLoader(require_inrow=True): the host adjacency wire "
+                "never carries in-row lists — demoting layout to 'flat'",
+                stacklevel=2,
+            )
+            layout = "flat"
         self.layout = layout
         self.adj_wire = adj_wire
         self.min_edge_bucket_dense = min_edge_bucket_dense
@@ -973,7 +993,35 @@ class GraphLoader:
                 m_pad = -(-m_pad // 8) * 8
                 adj_itemsize = 2 if self.half else 4
                 dense_bytes = b * m_pad * m_pad * adj_itemsize
-                if dense_bytes <= self.max_dense_bytes:
+                inrow_ok = True
+                if self.require_inrow:
+                    # the consumer needs the full in-row wire: a degree
+                    # outlier past max_in_degree_wire would make
+                    # _dense_wire_batch ship the edge_slot fallback (or
+                    # omit out rows), which dense max pooling cannot eat —
+                    # route this batch to the flat GLOBAL wire instead
+                    te = int(self.edge_counts[idx].sum())
+                    d_max = int(self.graph_max_indeg[idx].max()) if te else 0
+                    d_pad = max(4, 1 << (max(d_max, 1) - 1).bit_length())
+                    inrow_ok = d_pad <= self.max_in_degree_wire
+                    if inrow_ok and self.emit_out_rows:
+                        do_max = (
+                            int(self.graph_max_outdeg[idx].max()) if te else 0
+                        )
+                        do_pad = max(4, 1 << (max(do_max, 1) - 1).bit_length())
+                        inrow_ok = do_pad <= self.max_in_degree_wire
+                    if not inrow_ok and not self._warned_inrow_fallback:
+                        import warnings
+
+                        warnings.warn(
+                            "GraphLoader(require_inrow=True): a batch's "
+                            "in/out-degree overflows max_in_degree_wire "
+                            f"({self.max_in_degree_wire}) — shipping the "
+                            "flat layout for such batches",
+                            stacklevel=2,
+                        )
+                        self._warned_inrow_fallback = True
+                if dense_bytes <= self.max_dense_bytes and inrow_ok:
                     mk = (
                         self._dense_wire_batch
                         if self.adj_wire == "device"
@@ -981,7 +1029,7 @@ class GraphLoader:
                     )
                     yield mk(idx, k, b, m_pad, feat_dim)
                     continue
-                if self.layout == "dense":
+                if self.layout == "dense" and inrow_ok:
                     raise ValueError(
                         f"dense graph batch needs {dense_bytes/2**20:.0f} MB "
                         f"(B={b}, M={m_pad}) > max_dense_bytes "

@@ -182,6 +182,7 @@ class Step2PointGraph(DataModule):
         length_sorted: bool = False,
         emit_out_rows: bool = False,
         dense_w_is_existence: bool = False,
+        require_inrow: bool = False,
         **kwargs,
     ):
         super().__init__(data_dir=data_dir, **kwargs)
@@ -200,6 +201,9 @@ class Step2PointGraph(DataModule):
         # checks for exact-zero wire weights and demotes to flat only when
         # one exists (data/batching.GraphLoader)
         self.dense_w_is_existence = dense_w_is_existence
+        # dense max pooling: only full-in-row dense batches are digestible;
+        # degree-outlier batches ship the flat wire (data/batching)
+        self.require_inrow = require_inrow
         self.n_features = n_features
         self.parts = parts
         self.use_weights = use_weights
@@ -439,6 +443,7 @@ class Step2PointGraph(DataModule):
             length_sorted=self.length_sorted and split == "train",
             emit_out_rows=self.emit_out_rows,
             dense_w_is_existence=self.dense_w_is_existence,
+            require_inrow=self.require_inrow,
         )
 
     def get_train_loader(self) -> GraphLoader:

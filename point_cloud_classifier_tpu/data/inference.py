@@ -82,12 +82,20 @@ def inference_loader(dataset_name: str, config: dict, raw_path: str) -> Tuple[ob
         if module.feature_scaling:
             scaler = _load_scaler(module.data_dir, module.name)
             df[["energy"]] = scaler.transform(df[["energy"]])
+        # forward the full wire contract from the trained config — a model
+        # trained with factored event columns requires the 'event_feats'
+        # key in every batch (deep_sets.py factored_cols), and the layout/
+        # bucket knobs keep serving batches on the same wire the model was
+        # validated on (mirrors Step2PointPointCloud._make_loader)
         return frame_to_point_loader(
             df,
             batch_size=module.batch_size,
             shuffle=False,
             transfer_dtype=module.transfer_dtype,
             seg_encoding=module.seg_encoding,
+            factor_event_cols=module.factor_event_cols,
+            bucket_factor=module.bucket_factor,
+            layout=module.layout,
         )
 
     if dataset_name == "s2pg":
@@ -101,6 +109,10 @@ def inference_loader(dataset_name: str, config: dict, raw_path: str) -> Tuple[ob
                     np.asarray(g["features"], dtype=np.float64)
                 )
                 g["features"][:, 0:1] = scaler.transform(g["features"][:, 0:1])
+        # same wire contract as Step2PointGraph's cached-split loaders:
+        # serving batches ride the layout the model was trained/validated
+        # on (dense GAT on a flat wire would be correct but ~40x slower,
+        # and fused_inrow configs need the out-row wire)
         loader = GraphLoader(
             graphs,
             batch_size=module.batch_size,
@@ -109,6 +121,10 @@ def inference_loader(dataset_name: str, config: dict, raw_path: str) -> Tuple[ob
             n_features=module.n_features,
             transfer_dtype=module.transfer_dtype,
             seg_encoding=module.seg_encoding,
+            layout=module.graph_layout,
+            emit_out_rows=module.emit_out_rows,
+            dense_w_is_existence=module.dense_w_is_existence,
+            require_inrow=module.require_inrow,
         )
         return loader, np.asarray([g["event_id"] for g in graphs])
 

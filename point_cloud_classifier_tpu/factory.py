@@ -64,6 +64,29 @@ def get_dataloader(dataset_name: str, config: dict):
             # loader's demotion check an exact-zero wire weight would
             # silently drop an edge the flat path keeps.
             ds_cfg.setdefault("dense_w_is_existence", True)
+        if (
+            not mdl_gate.get("use_gat", False)
+            and mdl_gate.get("local_pooling", "add") == "max"
+            and not mdl_gate.get("sag_pool", False)
+            and ds_cfg.get("graph_layout") in ("dense", "auto")
+        ):
+            # dense max pooling (explicitly pinned layouts only — the
+            # default routing below keeps max flat) runs over the in-row
+            # wire WITH out rows (inrow_max_aggregate's backward); a batch
+            # the loader can only ship as edge_slot triples or without out
+            # rows must ride the flat wire instead of crashing the dense
+            # path mid-epoch.
+            ds_cfg.setdefault("emit_out_rows", True)
+            ds_cfg.setdefault("require_inrow", True)
+        if (
+            mdl_gate.get("fused_inrow", False)
+            and ds_cfg.get("graph_layout") != "flat"
+        ):
+            # the opt-in fused kernel's backward needs the out-row wire —
+            # applies whether the layout is defaulted below or pinned in
+            # the config (the same explicit-layout bypass class as the
+            # dense_w_is_existence gate above)
+            ds_cfg.setdefault("emit_out_rows", True)
         if "graph_layout" not in ds_cfg:
             # default to the dense batched-adjacency layout whenever the
             # model can consume it (GraphConv add/mean and GAT, incl. SAG)
@@ -94,9 +117,6 @@ def get_dataloader(dataset_name: str, config: dict):
                 eligible = mdl.get("local_pooling", "add") in ("add", "mean")
             eligible = eligible and not mdl.get("knn_k", 0)
             ds_cfg["graph_layout"] = "auto" if eligible else "flat"
-            if mdl.get("fused_inrow", False):
-                # the opt-in fused kernel's backward needs the out-row wire
-                ds_cfg.setdefault("emit_out_rows", True)
         return Step2PointGraph(**ds_cfg)
     raise ValueError(f"Unknown dataset: {dataset_name}")
 

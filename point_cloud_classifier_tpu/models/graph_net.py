@@ -193,27 +193,19 @@ class GATConv(nn.Module):
             s_dst = jnp.sum(
                 xw * att_dst.astype(x.dtype), axis=-1, dtype=jnp.float32
             )
-            # self-loops on every node (torch_geometric add_self_loops)
+            # self-loops on every node (torch_geometric add_self_loops);
+            # the masked-softmax math itself lives in ONE place —
+            # ops/gat_pallas.gat_attention_masked, shared with the
+            # kernel-parity oracle
+            from point_cloud_classifier_tpu.ops.gat_pallas import (
+                gat_attention_masked,
+            )
+
             mask = (adj_mask > 0) | jnp.eye(m, dtype=bool)[None]
-            outs = []
-            for head in range(h):  # head loop bounds the [B, M, M] transients
-                e = nn.leaky_relu(
-                    s_dst[:, :, None, head] + s_src[:, None, :, head],
-                    negative_slope=self.negative_slope,
-                )
-                e = jnp.where(mask, e, -jnp.inf)
-                e = e - jax.lax.stop_gradient(jnp.max(e, axis=2, keepdims=True))
-                p = jnp.exp(e) * mask
-                alpha = p / jnp.maximum(jnp.sum(p, axis=2, keepdims=True), 1e-16)
-                outs.append(
-                    jnp.einsum(
-                        "bij,bjd->bid",
-                        alpha.astype(x.dtype),
-                        xw[:, :, head],
-                        preferred_element_type=jnp.float32,
-                    ).astype(x.dtype)
-                )
-            out = jnp.stack(outs, axis=2).reshape(b, m, h * d)
+            out = gat_attention_masked(
+                s_dst, s_src, mask, xw.reshape(b, m, h * d),
+                slope=self.negative_slope,
+            ).astype(x.dtype)
             bias = self.param("bias", nn.initializers.zeros, (h * d,))
             return out + bias.astype(out.dtype)
 
@@ -242,7 +234,10 @@ class GATConv(nn.Module):
             (alpha[:, :, None] * xw[src_all]).reshape(-1, h * d), dst_all, n
         ).reshape(n, h * d)
         bias = self.param("bias", nn.initializers.zeros, (h * d,))
-        return out + bias
+        # back to the compute dtype: segment_sum accumulates f32, and
+        # returning f32 here would silently de-bf16 every downstream layer
+        # (the in-row and adj_mask branches both cast)
+        return out.astype(x.dtype) + bias.astype(x.dtype)
 
 
 class SAGPool(nn.Module):
@@ -479,7 +474,10 @@ class GraphNet(nn.Module):
             raise ValueError(
                 "dense graph layout supports GraphConv add/mean, GAT, and "
                 "max over the in-row device wire with out-rows "
-                "(GraphLoader(emit_out_rows=True), no SAG); use the flat "
+                "(GraphLoader(emit_out_rows=True, require_inrow=True) — "
+                "the factory sets both for pinned dense/auto max configs; "
+                "require_inrow routes degree-outlier batches to the flat "
+                "wire instead of this error — no SAG); use the flat "
                 "(edge list) layout otherwise / for knn_k"
             )
         dtype = resolve_dtype(self.compute_dtype)

@@ -26,6 +26,7 @@ import json
 import os
 import pickle
 import time
+import warnings
 from functools import partial
 from typing import Dict, Iterable, Optional
 
@@ -86,17 +87,6 @@ def _warm_transfer_async() -> None:
             pass
 
     threading.Thread(target=warm, daemon=True).start()
-
-
-def _stack_host(rows) -> np.ndarray:
-    """Stack per-batch arrays into ONE host array via one transfer.
-
-    Device rows (resident/mesh pipelines) stack on device then cross once;
-    host rows stack in numpy directly — jnp.stack on numpy inputs would
-    round-trip them through the device for nothing."""
-    if isinstance(rows[0], np.ndarray):
-        return np.stack(rows)
-    return np.asarray(jnp.stack(rows))
 
 
 def _shape_key(batch):
@@ -205,6 +195,19 @@ class ModelWrapper:
 
             mesh = make_mesh(n_model=n_model)
         self.mesh = mesh
+        if self.mesh is not None and self.fuse_steps > 1:
+            # fit() shards batches BEFORE stacking the fuse window, and the
+            # fused step declares no [K, ...] input shardings — the same
+            # combination _eval_dispatch forces to fuse=1 and bench.py
+            # rejects outright; silently running it would train under
+            # implementation-defined placement instead of the declared
+            # data-parallel sharding.
+            warnings.warn(
+                "fuse_steps > 1 is not supported under a mesh "
+                "(batches shard before stacking); forcing fuse_steps=1",
+                stacklevel=2,
+            )
+            self.fuse_steps = 1
         self.patience = 10
         self.best_val_loss = float("inf")
         self.early_stop_counter = 0

@@ -75,16 +75,19 @@ def _adj_mask_xla(in_src, in_w, m):
     return (adj > 0) | jnp.eye(m, dtype=bool)[None]
 
 
-def gat_attention_xla(s_dst, s_src, in_src, in_w, xw, slope: float = _SLOPE):
-    """Oracle: masked-matrix GATv1 attention (matches the flat segment
-    softmax on simple graphs — pinned by tests/test_dense_graph.py)."""
+def gat_attention_masked(s_dst, s_src, mask, xw, slope: float = _SLOPE):
+    """GATv1 attention over an explicit ``[B, M, M]`` bool mask (self-loops
+    already included): the ONE masked-softmax formulation — shared by the
+    in-row oracle below and `models/graph_net.GATConv`'s adj_mask branch,
+    so a numerics change (denominator floor, stop_gradient placement)
+    cannot silently diverge between the kernel-parity oracle and the
+    model path."""
     b, m, h = s_dst.shape
     c = xw.shape[-1]
     dh = c // h
-    mask = _adj_mask_xla(in_src, in_w, m)
     xwr = xw.reshape(b, m, h, dh)
     outs = []
-    for head in range(h):
+    for head in range(h):  # head loop bounds the [B, M, M] transients
         e = jax.nn.leaky_relu(
             s_dst[:, :, None, head].astype(jnp.float32)
             + s_src[:, None, :, head].astype(jnp.float32),
@@ -103,6 +106,13 @@ def gat_attention_xla(s_dst, s_src, in_src, in_w, xw, slope: float = _SLOPE):
             )
         )
     return jnp.stack(outs, axis=2).reshape(b, m, c).astype(xw.dtype)
+
+
+def gat_attention_xla(s_dst, s_src, in_src, in_w, xw, slope: float = _SLOPE):
+    """Oracle: masked-matrix GATv1 attention (matches the flat segment
+    softmax on simple graphs — pinned by tests/test_dense_graph.py)."""
+    mask = _adj_mask_xla(in_src, in_w, s_dst.shape[1])
+    return gat_attention_masked(s_dst, s_src, mask, xw, slope)
 
 
 def _mask_tile(src_ref, w_ref, t, m, d, row0, gi=0):

@@ -2,10 +2,11 @@
 
 Produces the same four PNG artifacts as the reference (`utils/plots.py:6-94`):
 row-normalized confusion-matrix heatmap, ROC curve with AUC, precision-recall
-curve with AUC, and the energy-vs-hits scatter for the tabular dataset.  All
-figures are written with matplotlib's non-interactive Agg backend (training
-runs headless on TPU hosts) unless ``save_dir`` is omitted, in which case the
-figure is shown interactively like the reference does.
+curve with AUC, and the energy-vs-hits scatter for the tabular dataset.
+``save_dir=None`` shows the figure interactively like the reference does —
+on hosts with a GUI backend; headless hosts (no ``DISPLAY``, no explicit
+``MPLBACKEND``) default to the non-interactive Agg backend, where ``show()``
+is a no-op and the figure is simply closed.
 """
 
 from __future__ import annotations
@@ -14,7 +15,11 @@ import os
 
 import matplotlib
 
-matplotlib.use("Agg")
+if not os.environ.get("MPLBACKEND") and not os.environ.get("DISPLAY"):
+    # headless default only — don't clobber an interactive host's backend
+    # (the unconditional pin made the documented save_dir=None interactive
+    # path a silent no-op everywhere)
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
 from sklearn.metrics import (
@@ -32,6 +37,7 @@ def _finish(fig, save_dir, filename):
         plt.close(fig)
     else:  # pragma: no cover - interactive use
         plt.show()
+        plt.close(fig)  # Agg's show() is a no-op; don't leak the figure
 
 
 def plot_data(dataset, sample_size=None, random_state=42, save_dir=None):

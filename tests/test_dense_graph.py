@@ -6,6 +6,7 @@ same logits (f32), same training artifacts. `data/batching.GraphLoader`
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -811,3 +812,164 @@ def test_factory_zero_weight_gate_survives_explicit_layout(
     config["dataset"]["graph_layout"] = "flat"
     factory_mod.get_dataloader("s2pg", config)
     assert "dense_w_is_existence" not in seen
+
+def test_require_inrow_routes_outlier_batches_to_flat():
+    """Under require_inrow (the factory's dense-max gate) a batch whose
+    in-degree overflows max_in_degree_wire ships the flat GLOBAL wire —
+    which the model's flat path consumes exactly — instead of the
+    edge_slot fallback triples that the dense max path rejects with a
+    mid-epoch ValueError."""
+    graphs = _random_graphs(n_graphs=8, seed=21)
+    # graph 2 gets one node with in-degree 40 > max_in_degree_wire (32)
+    rng = np.random.default_rng(5)
+    feats = rng.normal(size=(48, 4)).astype(np.float32)
+    srcs = np.arange(1, 41, dtype=np.int32)
+    graphs[2] = {
+        "features": feats,
+        "edges": np.stack([srcs, np.zeros_like(srcs)]),
+        "weights": np.full(40, 0.5, np.float32),
+        "label": 1.0,
+    }
+    with pytest.warns(UserWarning, match="require_inrow"):
+        loader = GraphLoader(
+            graphs, batch_size=4, shuffle=False, layout="auto",
+            require_inrow=True, emit_out_rows=True,
+        )
+        batches = list(loader)
+    assert len(batches) == 2
+    # the outlier batch (graphs 0-3) went flat; the other stays dense
+    assert "in_src" not in batches[0] and "edge_slot" not in batches[0]
+    assert "src" in batches[0]
+    assert "in_src" in batches[1] and "out_dst" in batches[1]
+
+    # GraphNet(max) consumes the mixed epoch, matching a pure-flat loader
+    model = GraphNet(
+        input_dim=4, hidden_dim=8, output_dim=1, activation="tanh",
+        local_pooling="max",
+    )
+    flat = GraphLoader(graphs, batch_size=4, shuffle=False, layout="flat")
+    fb = next(iter(flat))
+    variables = model.init(jax.random.PRNGKey(0), fb, train=False)
+    for fbatch, mbatch in zip(flat, batches):
+        lf = model.apply(variables, fbatch, train=False)
+        lm = model.apply(variables, mbatch, train=False)
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lm), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_require_inrow_gates_missing_out_rows():
+    """require_inrow + emit_out_rows also guards the OUT-degree cap: a
+    batch whose out-degree overflows (in-degree fine) must go flat rather
+    than ship in_src without out rows (which dense max rejects)."""
+    graphs = _random_graphs(n_graphs=4, seed=22)
+    rng = np.random.default_rng(6)
+    feats = rng.normal(size=(48, 4)).astype(np.float32)
+    dsts = np.arange(1, 41, dtype=np.int32)  # node 0 out-degree 40
+    graphs[1] = {
+        "features": feats,
+        "edges": np.stack([np.zeros_like(dsts), dsts]),
+        "weights": np.full(40, 0.5, np.float32),
+        "label": 0.0,
+    }
+    with pytest.warns(UserWarning, match="require_inrow"):
+        loader = GraphLoader(
+            graphs, batch_size=4, shuffle=False, layout="dense",
+            require_inrow=True, emit_out_rows=True,
+        )
+        batches = list(loader)
+    assert len(batches) == 1
+    assert "in_src" not in batches[0] and "src" in batches[0]
+
+
+def test_require_inrow_host_wire_demotes_to_flat():
+    graphs = _random_graphs(n_graphs=4, seed=23)
+    with pytest.warns(UserWarning, match="host adjacency"):
+        loader = GraphLoader(
+            graphs, batch_size=4, shuffle=False, layout="dense",
+            adj_wire="host", require_inrow=True,
+        )
+    assert loader.layout == "flat"
+
+
+def test_factory_dense_max_sets_inrow_gates(tmp_path, monkeypatch):
+    """Pinned dense/auto layout + max pooling gets emit_out_rows AND
+    require_inrow defaulted by the factory (the dense max path needs the
+    full in-row wire; degree-outlier batches must ride flat)."""
+    import point_cloud_classifier_tpu.factory as factory_mod
+
+    seen = {}
+
+    class _SpyDS:
+        def __init__(self, **kwargs):
+            seen.update(kwargs)
+
+    monkeypatch.setattr(factory_mod, "Step2PointGraph", _SpyDS)
+    config = {
+        "dataset": {"data_dir": str(tmp_path), "graph_layout": "dense"},
+        "model": {"local_pooling": "max"},
+    }
+    factory_mod.get_dataloader("s2pg", config)
+    assert seen["emit_out_rows"] is True
+    assert seen["require_inrow"] is True
+
+    # default routing keeps max flat: no gates
+    seen.clear()
+    factory_mod.get_dataloader(
+        "s2pg",
+        {"dataset": {"data_dir": str(tmp_path)}, "model": {"local_pooling": "max"}},
+    )
+    assert seen["graph_layout"] == "flat"
+    assert "require_inrow" not in seen
+
+    # GAT ignores local_pooling — no max gates
+    seen.clear()
+    factory_mod.get_dataloader(
+        "s2pg",
+        {
+            "dataset": {"data_dir": str(tmp_path), "graph_layout": "auto"},
+            "model": {"local_pooling": "max", "use_gat": True},
+        },
+    )
+    assert "require_inrow" not in seen
+
+
+def test_factory_fused_inrow_gate_survives_explicit_layout(tmp_path, monkeypatch):
+    """model.fused_inrow needs the out-row wire even when the config pins
+    graph_layout explicitly (same bypass class as dense_w_is_existence)."""
+    import point_cloud_classifier_tpu.factory as factory_mod
+
+    seen = {}
+
+    class _SpyDS:
+        def __init__(self, **kwargs):
+            seen.update(kwargs)
+
+    monkeypatch.setattr(factory_mod, "Step2PointGraph", _SpyDS)
+    factory_mod.get_dataloader(
+        "s2pg",
+        {
+            "dataset": {"data_dir": str(tmp_path), "graph_layout": "dense"},
+            "model": {"fused_inrow": True},
+        },
+    )
+    assert seen["emit_out_rows"] is True
+
+
+def test_flat_gatconv_returns_compute_dtype():
+    """Flat-wire GATConv must cast its f32 segment-sum output back to the
+    compute dtype — returning f32 silently de-bf16'd every downstream
+    layer of a bfloat16 config (the in-row and adj_mask branches cast)."""
+    from point_cloud_classifier_tpu.models.graph_net import GATConv
+
+    rng = np.random.default_rng(0)
+    n, e = 6, 10
+    x = jnp.asarray(rng.normal(size=(n, 8)), dtype=jnp.bfloat16)
+    src = jnp.asarray(rng.integers(0, n, e), dtype=jnp.int32)
+    dst = jnp.asarray(rng.integers(0, n, e), dtype=jnp.int32)
+    ev = jnp.ones((e,), jnp.float32)
+    nv = jnp.ones((n,), jnp.float32)
+    conv = GATConv(4, 2)
+    vs = conv.init(jax.random.PRNGKey(0), x, src, dst, ev, nv)
+    out = conv.apply(vs, x, src, dst, ev, nv)
+    assert out.dtype == jnp.bfloat16

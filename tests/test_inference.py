@@ -122,3 +122,16 @@ def test_inference_uses_saved_scaler(setup):
     np.testing.assert_allclose(
         loader.flat[:, 0], expected[:, 0].astype(np.float32), rtol=1e-5
     )
+
+def test_inference_loader_forwards_factored_cols(setup):
+    """A model trained with factored event columns requires the
+    'event_feats' wire key at serving time — the raw-inference loader
+    must forward factor_event_cols from the trained config (it used to
+    drop it, crashing every infer-raw/serve request on such runs)."""
+    data_dir, serve_path, _ = setup
+    config = load_config("configs/base.yaml", "configs/deep_sets.yaml")
+    config["dataset"]["data_dir"] = data_dir
+    config["dataset"]["factor_event_cols"] = [1]
+    loader, _ = inference_loader("s2ppc", config, serve_path)
+    batch = next(iter(loader))
+    assert "event_feats" in batch

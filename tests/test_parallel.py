@@ -234,3 +234,24 @@ def test_giant_event_spans_all_shards():
     single = run(None)
     sharded = run(make_mesh())  # 8-way: the giant event spans all 8 shards
     np.testing.assert_allclose(single, sharded, rtol=5e-4, atol=5e-5)
+
+def test_fuse_steps_clamped_under_mesh():
+    """fuse_steps > 1 with a mesh is unsupported (fit() shards batches
+    BEFORE stacking the fuse window and the fused step declares no
+    [K, ...] input shardings) — the wrapper must warn and clamp to 1,
+    matching _eval_dispatch's fuse=1 forcing and bench.py's refusal,
+    instead of silently training under implementation-defined placement."""
+    model = FullyConnectedNet(
+        input_dim=9, hidden_layers=(8,), batch_normalization=False, output_dim=1
+    )
+    with pytest.warns(UserWarning, match="fuse_steps"):
+        wrapper = ModelWrapper(
+            model, learning_rate=1e-3, epochs=1, seed=0,
+            mesh=make_mesh(), fuse_steps=16,
+        )
+    assert wrapper.fuse_steps == 1
+    # no mesh: fuse_steps passes through untouched
+    w2 = ModelWrapper(
+        model, learning_rate=1e-3, epochs=1, seed=0, fuse_steps=16
+    )
+    assert w2.fuse_steps == 16
