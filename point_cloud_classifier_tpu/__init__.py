@@ -18,3 +18,10 @@ Public subpackages
 """
 
 __version__ = "0.1.0"
+
+from point_cloud_classifier_tpu.utils.jit_cache import maybe_enable_from_env as _cc
+
+# honor PCC_COMPILE_CACHE before any jit compilation (no-op when unset;
+# does not import jax unless enabled)
+_cc()
+del _cc
