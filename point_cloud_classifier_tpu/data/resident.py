@@ -26,15 +26,30 @@ via ``PCC_RESIDENT_BUDGET_MB``).  If the budget trips mid-epoch the cache
 abandons itself and every iteration — current and future — streams from the
 underlying loader unchanged, so oversized datasets degrade to exactly the
 old behavior instead of an OOM.
+
+Upload batching: the first pass groups consecutive same-shape batches into
+chunks (``upload_chunk`` batches, ≤ ``_CHUNK_BYTES_CAP``), host-stacks each
+chunk with ``np.stack``, ships it as ONE ``device_put``, and splits it back
+into per-batch device arrays with one jitted slice program per chunk.  Same
+bytes, ~``upload_chunk``× fewer host→device transfers and dispatches — on
+tunneled TPU backends each small transfer can stall tens of ms (measured
+3.8 s/step first-epoch upload in a degraded window vs 66 ms/step for the
+stream pipeline's already-chunked transfers), so per-batch ``device_put``
+was the resident pipeline's cold-start bottleneck.  Under a mesh the
+per-batch ``shard_batch`` path is kept (a stacked [K, ...] chunk would need
+axis-1 shardings, and multi-host meshes don't ride the tunnel).
 """
 
 from __future__ import annotations
 
+import functools
 import os
-from typing import Dict, Iterable, Iterator, Optional
+from typing import Dict, Iterable, Iterator, List, Optional
 
 import jax
 import numpy as np
+
+_CHUNK_BYTES_CAP = 128 << 20  # transient stack+split ≤ 2× this per chunk
 
 
 def _default_budget_bytes() -> int:
@@ -42,8 +57,31 @@ def _default_budget_bytes() -> int:
     return int(mb) * (1 << 20) if mb else 2 << 30
 
 
+def _default_upload_chunk() -> int:
+    return max(1, int(os.environ.get("PCC_RESIDENT_UPLOAD_CHUNK", "64")))
+
+
 def _nbytes(batch: Dict[str, np.ndarray]) -> int:
     return int(sum(np.asarray(v).nbytes for v in batch.values()))
+
+
+def _shape_key(batch: Dict[str, np.ndarray]):
+    return tuple(
+        (k, np.asarray(v).shape, np.asarray(v).dtype.str)
+        for k, v in sorted(batch.items())
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _split_fn(k: int):
+    """One program that turns a [K, ...]-stacked batch dict into K batch
+    dicts — a single dispatch instead of K×len(keys) eager slices (each
+    eager dispatch costs real time on remote TPU transports)."""
+    return jax.jit(
+        lambda stacked: tuple(
+            {key: leaf[i] for key, leaf in stacked.items()} for i in range(k)
+        )
+    )
 
 
 class ResidentCache:
@@ -56,10 +94,18 @@ class ResidentCache:
         budget_bytes: Optional[int] = None,
         shuffle_seed: Optional[int] = None,
         epoch_offset: int = 0,
+        upload_chunk: Optional[int] = None,
     ):
         self.loader = loader
         self.budget_bytes = (
             _default_budget_bytes() if budget_bytes is None else budget_bytes
+        )
+        # stacked-upload only off-mesh: shard_batch shards per-batch leading
+        # dims, which a [K, ...] stack would misplace onto the data axis
+        self.upload_chunk = (
+            (_default_upload_chunk() if upload_chunk is None else max(1, upload_chunk))
+            if mesh is None
+            else 1
         )
         self.shuffle_seed = shuffle_seed
         # epoch_offset seeds the shuffle counter for RESUMED training: a
@@ -97,22 +143,52 @@ class ResidentCache:
             for i in order:
                 yield self._cached[i]
             return
-        # first pass: stream, place, and pin
+        # first pass: stream, place (chunk-stacked off-mesh), and pin
         pinned, used = [], 0
+        chunk: List[Dict[str, np.ndarray]] = []  # same-shape host batches
+        chunk_key, chunk_bytes = None, 0
         it = iter(self.loader)
+
+        def upload_chunk():
+            if len(chunk) == 1:
+                devs = [self._put(chunk[0])]
+            else:
+                stacked = jax.device_put(
+                    {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
+                )
+                devs = list(_split_fn(len(chunk))(stacked))
+            chunk.clear()
+            pinned.extend(devs)
+            return devs
+
         for batch in it:
-            used += _nbytes(batch)
+            nbytes = _nbytes(batch)
+            used += nbytes
             if used > self.budget_bytes:
                 # over budget: give up on caching entirely and fall back to
-                # pure streaming (this batch and the rest of the epoch
-                # straight from the loader; later epochs too)
+                # pure streaming (any chunked-but-unshipped batches, this
+                # batch, and the rest of the epoch straight from the loader;
+                # later epochs too)
                 self._abandoned = True
                 pinned.clear()
+                for held in chunk:
+                    yield self._put(held)
+                chunk.clear()
                 yield self._put(batch)
                 for rest in it:
                     yield self._put(rest)
                 return
-            dev = self._put(batch)
-            pinned.append(dev)
-            yield dev
+            key = _shape_key(batch) if self.upload_chunk > 1 else None
+            if chunk and (
+                len(chunk) >= self.upload_chunk
+                or key != chunk_key
+                or chunk_bytes >= _CHUNK_BYTES_CAP
+            ):
+                yield from upload_chunk()
+                chunk_bytes = 0
+            chunk_key = key
+            chunk_bytes += nbytes
+            chunk.append(batch)
+        if chunk:
+            yield from upload_chunk()
         self._cached = pinned

@@ -64,6 +64,58 @@ def test_cache_epoch_offset_resumes_shuffle_sequence():
     assert r4 == orders[3]  # continues the sequence, not a replay of e2
 
 
+def test_chunked_upload_matches_per_batch_upload_exactly():
+    """Stacked chunk upload (one device_put + one jitted split per chunk)
+    must reproduce the per-batch upload byte-for-byte, across mixed shapes
+    (shape changes force chunk flushes)."""
+    batches = [_tabular_batch(seed=s) for s in range(5)]
+    small = {k: np.asarray(v)[:3] for k, v in _tabular_batch(seed=9).items()}
+    batches.insert(2, small)  # mid-run shape change
+    a = ResidentCache(list(batches), upload_chunk=4)
+    b = ResidentCache(list(batches), upload_chunk=1)
+    ea = [{k: np.asarray(v) for k, v in x.items()} for x in a]
+    eb = [{k: np.asarray(v) for k, v in x.items()} for x in b]
+    assert a.cached and b.cached and len(ea) == len(eb) == 6
+    for xa, xb in zip(ea, eb):
+        for k in xa:
+            np.testing.assert_array_equal(xa[k], xb[k])
+    # replay epoch is identical too
+    for xa, xb in zip(a, eb):
+        for k in xb:
+            np.testing.assert_array_equal(np.asarray(xa[k]), xb[k])
+
+
+def test_chunked_upload_batches_transfers(monkeypatch):
+    """8 same-shape batches at upload_chunk=4 ship as 2 stacked device_puts,
+    not 8 per-batch ones — the whole point of the chunked path (per-batch
+    H2D stalls dominated resident cold-start on tunneled backends)."""
+    import jax as _jax
+
+    from point_cloud_classifier_tpu.data import resident as mod
+
+    calls = []
+    real = _jax.device_put
+    monkeypatch.setattr(mod.jax, "device_put", lambda x: calls.append(1) or real(x))
+    batches = [_tabular_batch(seed=s) for s in range(8)]
+    cache = mod.ResidentCache(batches, upload_chunk=4)
+    assert len(list(cache)) == 8 and cache.cached
+    assert len(calls) == 2
+
+
+def test_chunked_upload_budget_trip_mid_chunk_streams_everything():
+    """Budget tripping while a chunk is still host-held must yield the held
+    batches (placed) plus the rest — no batch lost, streaming thereafter."""
+    batches = [_tabular_batch(seed=s) for s in range(6)]
+    per = sum(np.asarray(v).nbytes for v in batches[0].values())
+    src = CountingLoader(batches)
+    # budget passes 3 batches, trips on the 4th (inside the first chunk of 8)
+    cache = ResidentCache(src, budget_bytes=int(per * 3.5), upload_chunk=8)
+    for epoch in range(1, 3):
+        got = list(cache)
+        assert len(got) == 6 and src.passes == epoch
+    assert not cache.cached
+
+
 def test_cache_budget_falls_back_to_streaming():
     src = CountingLoader([_tabular_batch(seed=s) for s in range(4)])
     cache = ResidentCache(src, budget_bytes=1)  # everything is over budget
