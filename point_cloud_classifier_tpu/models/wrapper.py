@@ -174,7 +174,13 @@ class ModelWrapper:
         # dispatched program.  Semantics identical to K sequential steps
         # (lax.scan carries the optimizer chain in order); the win is K-fold
         # fewer dispatches — decisive on high-latency transports, a modest
-        # Python-overhead cut everywhere else.
+        # Python-overhead cut everywhere else.  YAML: ``trainer.fuse_steps``
+        # (the shipped configs stay byte-compatible with the reference, so
+        # they never set it); env PCC_FUSE_STEPS force-overrides, mirroring
+        # PCC_RESIDENT.
+        env_fuse = os.environ.get("PCC_FUSE_STEPS")
+        if env_fuse is not None:
+            fuse_steps = int(env_fuse)
         self.fuse_steps = max(1, int(fuse_steps))
         # device-resident input pipeline: pin the (small) dataset in HBM on
         # the first epoch and replay it, eliminating per-epoch host→device
@@ -357,6 +363,20 @@ class ModelWrapper:
 
         eval_step = jax.jit(_eval_math)
 
+        def _stack_in_jit(batches):
+            # fused steps accept EITHER a pre-stacked [K, ...] batch dict
+            # (host path: one np.stack → one H2D transfer) OR a tuple of K
+            # per-batch dicts (device-resident path): stacking K pinned
+            # device arrays EAGERLY costs one dispatch per leaf per flush,
+            # which on high-latency transports erased the whole fusion win
+            # (measured: fuse-16 fit() 15× SLOWER per step than unfused in
+            # a degraded window) — inside the jit it is free XLA data
+            # movement and the flush stays ONE dispatch.  jit keys on the
+            # pytree structure, so both forms coexist per compile cache.
+            if isinstance(batches, tuple):
+                return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+            return batches
+
         @jax.jit
         def eval_step_fused(params, batch_stats, batches):
             """K eval steps in one program: scan over stacked batches.
@@ -369,7 +389,7 @@ class ModelWrapper:
             def body(carry, batch):
                 return carry, _eval_math(params, batch_stats, batch)
 
-            _, (losses, probs) = jax.lax.scan(body, None, batches)
+            _, (losses, probs) = jax.lax.scan(body, None, _stack_in_jit(batches))
             return losses, probs
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -382,7 +402,7 @@ class ModelWrapper:
                 return (p, stats, opt), loss
 
             (params, batch_stats, opt_state), losses = jax.lax.scan(
-                body, (params, batch_stats, opt_state), batches
+                body, (params, batch_stats, opt_state), _stack_in_jit(batches)
             )
             return params, batch_stats, opt_state, losses
 
@@ -535,13 +555,17 @@ class ModelWrapper:
                             )
                         )
                     else:
-                        # stack K batches leaf-wise → ONE scanned dispatch
+                        # K batches → ONE scanned dispatch.  Host batches
+                        # stack on the host (one H2D transfer instead of K);
+                        # device-resident batches pass through as a tuple and
+                        # stack INSIDE the jit (eager per-leaf stacks cost a
+                        # dispatch each — see _stack_in_jit)
                         if isinstance(next(iter(pending[0].values())), np.ndarray):
                             stacked = {
                                 k: np.stack([b[k] for b in pending]) for k in pending[0]
                             }
                         else:
-                            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *pending)
+                            stacked = tuple(pending)
                         self.params, self.batch_stats, self.opt_state, loss = (
                             self._train_step_fused(
                                 self.params, self.batch_stats, self.opt_state, stacked
@@ -693,7 +717,9 @@ class ModelWrapper:
                         k: np.stack([b[k] for b in pending]) for k in pending[0]
                     }
                 else:
-                    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *pending)
+                    # device-resident batches: stack inside the jit (eager
+                    # per-leaf stacks cost a dispatch each — _stack_in_jit)
+                    stacked = tuple(pending)
                 losses, probs = self._eval_step_fused(
                     self.params, self.batch_stats, stacked
                 )

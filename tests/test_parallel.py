@@ -255,3 +255,26 @@ def test_fuse_steps_clamped_under_mesh():
         model, learning_rate=1e-3, epochs=1, seed=0, fuse_steps=16
     )
     assert w2.fuse_steps == 16
+
+
+def test_fuse_steps_env_override(monkeypatch):
+    """PCC_FUSE_STEPS force-overrides the constructor arg (mirrors
+    PCC_RESIDENT) so CLI runs can enable step fusion without touching the
+    byte-compat configs; the mesh clamp still applies on top."""
+    model = FullyConnectedNet(
+        input_dim=9, hidden_layers=(8,), batch_normalization=False, output_dim=1
+    )
+    monkeypatch.setenv("PCC_FUSE_STEPS", "8")
+    w = ModelWrapper(model, learning_rate=1e-3, epochs=1, seed=0)
+    assert w.fuse_steps == 8
+    monkeypatch.setenv("PCC_FUSE_STEPS", "1")
+    w2 = ModelWrapper(
+        model, learning_rate=1e-3, epochs=1, seed=0, fuse_steps=16
+    )
+    assert w2.fuse_steps == 1
+    monkeypatch.setenv("PCC_FUSE_STEPS", "8")
+    with pytest.warns(UserWarning, match="fuse_steps"):
+        w3 = ModelWrapper(
+            model, learning_rate=1e-3, epochs=1, seed=0, mesh=make_mesh()
+        )
+    assert w3.fuse_steps == 1

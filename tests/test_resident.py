@@ -202,6 +202,73 @@ def test_resident_fit_matches_streaming_fit_exactly():
         np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
 
 
+def test_fused_tuple_path_matches_stacked():
+    """The tuple-of-device-batches fused form (stacking INSIDE the jit —
+    wrapper._stack_in_jit, used by the device-resident pipeline so a flush
+    is ONE dispatch with zero eager stacks) matches the pre-stacked host
+    form for both the train and eval fused steps.  One-ulp tolerance, not
+    bitwise: the two input pytrees compile to different programs (stack
+    inside vs outside), so XLA's fusion choices differ at float noise."""
+    import jax
+
+    train = [_tabular_batch(seed=s) for s in range(2)]
+
+    def fresh():
+        model = FullyConnectedNet(
+            input_dim=9, hidden_layers=[8], batch_normalization=True, output_dim=1
+        )
+        w = ModelWrapper(model, learning_rate=1e-2, epochs=1, seed=0, fuse_steps=2)
+        w._ensure_initialized(train[0])
+        return w
+
+    dev = tuple({k: jax.device_put(v) for k, v in b.items()} for b in train)
+    stacked = {k: np.stack([b[k] for b in train]) for k in train[0]}
+
+    wa, wb = fresh(), fresh()
+    outs_a = wa._train_step_fused(wa.params, wa.batch_stats, wa.opt_state, dev)
+    outs_b = wb._train_step_fused(wb.params, wb.batch_stats, wb.opt_state, stacked)
+    for xa, xb in zip(jax.tree.leaves(outs_a[:3]), jax.tree.leaves(outs_b[:3])):
+        np.testing.assert_allclose(
+            np.asarray(xa), np.asarray(xb), rtol=1e-6, atol=1e-7
+        )
+
+    # the train call DONATED wa.params/batch_stats — use the returned state
+    ea = wa._eval_step_fused(outs_a[0], outs_a[1], dev)
+    eb = wb._eval_step_fused(outs_b[0], outs_b[1], stacked)
+    for xa, xb in zip(jax.tree.leaves(ea), jax.tree.leaves(eb)):
+        np.testing.assert_allclose(
+            np.asarray(xa), np.asarray(xb), rtol=1e-6, atol=1e-7
+        )
+
+
+def test_resident_fused_matches_sequential():
+    """Device-resident + fuse_steps=K tracks the unfused run, including
+    partial end-of-epoch flushes.  Tolerance is LOOSE by design: the
+    scanned step and the standalone step compile to slightly different
+    fusions (~1e-9 full-state noise per flush, measured), and adam's
+    m/sqrt(v) normalization amplifies that over epochs — the test exists
+    to catch order/drop/semantic bugs (O(1) divergence), with the bitwise
+    guarantee covered by test_fused_tuple_path_bitwise_matches_stacked."""
+    train = [_tabular_batch(seed=s) for s in range(5)]
+    val = [_tabular_batch(seed=9)]
+
+    def run(fuse):
+        model = FullyConnectedNet(
+            input_dim=9, hidden_layers=[8], batch_normalization=True, output_dim=1
+        )
+        w = ModelWrapper(
+            model, learning_rate=1e-2, epochs=3, seed=0,
+            device_resident=True, fuse_steps=fuse,
+        )
+        w.fit(train, val)
+        _, probs = w.predict(val, return_prob=True)
+        return probs
+
+    np.testing.assert_allclose(run(1), run(2), rtol=2e-2, atol=5e-3)
+    # fuse window larger than the epoch: one partial flush per epoch
+    np.testing.assert_allclose(run(1), run(16), rtol=2e-2, atol=5e-3)
+
+
 def test_resident_env_override(monkeypatch):
     monkeypatch.setenv("PCC_RESIDENT", "1")
     w = ModelWrapper(
