@@ -623,17 +623,24 @@ class ModelWrapper:
                 # return at enqueue, so the dispatch-time sum would
                 # overstate throughput ~10x on short epochs (code-review
                 # finding).  p50 stays the dispatch-side percentile (its
-                # historical meaning); wall_ms_per_step is the honest
-                # amortized device+pipeline step cost
+                # historical meaning, per DISPATCH/flush); the throughput
+                # rows count micro-STEPS — a fused flush is one timed
+                # dispatch covering K optimizer steps, and reporting
+                # flushes as steps would overstate step cost K-fold
+                # shape metadata only — no per-loss device→host reads
+                n_steps = sum(
+                    int(l.shape[0]) if getattr(l, "ndim", 0) else 1
+                    for l in batch_losses
+                )
                 log.scalar(
                     "Throughput/steps_per_sec",
-                    perf["steps"] / max(epoch_wall, 1e-9),
+                    n_steps / max(epoch_wall, 1e-9),
                     epoch,
                 )
                 log.scalar("StepTime/p50_ms", perf["p50_ms"], epoch)
                 log.scalar(
                     "StepTime/wall_ms_per_step",
-                    1e3 * epoch_wall / perf["steps"],
+                    1e3 * epoch_wall / n_steps,
                     epoch,
                 )
 
