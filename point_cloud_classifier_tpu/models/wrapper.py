@@ -180,7 +180,12 @@ class ModelWrapper:
         # PCC_RESIDENT.
         env_fuse = os.environ.get("PCC_FUSE_STEPS")
         if env_fuse is not None:
-            fuse_steps = int(env_fuse)
+            try:
+                fuse_steps = int(env_fuse)
+            except ValueError as e:
+                raise ValueError(
+                    f"PCC_FUSE_STEPS must be an integer, got {env_fuse!r}"
+                ) from e
         self.fuse_steps = max(1, int(fuse_steps))
         # device-resident input pipeline: pin the (small) dataset in HBM on
         # the first epoch and replay it, eliminating per-epoch host→device
@@ -626,8 +631,9 @@ class ModelWrapper:
                 # historical meaning, per DISPATCH/flush); the throughput
                 # rows count micro-STEPS — a fused flush is one timed
                 # dispatch covering K optimizer steps, and reporting
-                # flushes as steps would overstate step cost K-fold
-                # shape metadata only — no per-loss device→host reads
+                # flushes as steps would overstate step cost K-fold.
+                # The n_steps sum below reads shape metadata only — no
+                # per-loss device→host reads.
                 n_steps = sum(
                     int(l.shape[0]) if getattr(l, "ndim", 0) else 1
                     for l in batch_losses

@@ -1,0 +1,53 @@
+#!/bin/bash
+# Healthy-window watcher: probes the stream smoke every 18 min
+# (scripts/tunnel_probe.sh); on the first HEALTHY window (smoke >=
+# 100k clouds/sec) runs the full tunnel-bound measurement queue into
+# $PCC_RECOVERY_LOG (default /tmp/recovery_runs.log), then exits.
+#
+# Usage:
+#   nohup bash scripts/on_recovery.sh & echo $! > /tmp/on_recovery.pid
+#   # ... later, BEFORE doing your own TPU work:
+#   kill $(cat /tmp/on_recovery.pid)   # verify with: ps aux | awk '/on_recovery/'
+#
+# Discipline (CLAUDE.md "Environment gotchas"): the tunnel serializes
+# TPU processes — never let the watcher and your own device work overlap.
+# Verify liveness with `ps aux | awk '/on_recovery/ && !/awk/'`, not the
+# pidfile (the watcher survives VM recycling only via this script; /tmp
+# copies die with the VM, which is why this lives in scripts/).
+#
+# The queue below is the tunnel-bound BASELINE.md backlog; edit it per
+# round.  Each row is timeout-bounded so a mid-run tunnel wedge cannot
+# hang the watcher forever.
+set -u
+cd "$(dirname "$0")/.."
+LOG=${PCC_RECOVERY_LOG:-/tmp/recovery_runs.log}
+echo "=== watcher armed $(date -u +%FT%TZ) rev=$(git rev-parse --short HEAD) ===" >> "$LOG"
+while true; do
+  if bash scripts/tunnel_probe.sh >> "$LOG" 2>&1; then
+    echo "=== HEALTHY window, running queue $(date -u +%FT%TZ) ===" >> "$LOG"
+    # 1) full campaign incl. tunnel-bound rows (stream, latency, mesh)
+    timeout 3000 python scripts/measure_campaign.py >> "$LOG" 2>&1
+    # 2) p50 latency rows: bf16 + int8 (completion-proof np.asarray timer)
+    timeout 420 python bench.py --latency >> "$LOG" 2>&1
+    timeout 420 python bench.py --latency --quant int8 >> "$LOG" 2>&1
+    # 3) eval-throughput scoring stream row
+    timeout 420 python bench.py --eval-throughput >> "$LOG" 2>&1
+    # 4) int8 crossover hunt: eval-device bf16-vs-int8 at widths 512/1024
+    #    (device-truth, but co-scheduled here so the pairs share a window)
+    for W in 512 1024; do
+      timeout 420 python bench.py --eval-device --phi-width "$W" >> "$LOG" 2>&1
+      timeout 420 python bench.py --eval-device --phi-width "$W" --quant int8 >> "$LOG" 2>&1
+    done
+    # 5) e2e healthy-window re-run (stream + resident, reuses cached data)
+    timeout 3000 python scripts/measure_e2e.py --events 10000 \
+      --skip-reference --keep /tmp/e2e_data >> "$LOG" 2>&1
+    # 6) trainer step-fusion A/B in the product path (unfused arm = row 5's
+    #    resident leg)
+    timeout 900 env PCC_FUSE_STEPS=16 python scripts/measure_e2e.py \
+      --events 10000 --skip-reference --skip-stream --keep /tmp/e2e_data \
+      >> "$LOG" 2>&1
+    echo "=== queue done $(date -u +%FT%TZ) ===" >> "$LOG"
+    exit 0
+  fi
+  sleep 1080
+done

@@ -247,8 +247,9 @@ def test_resident_fused_matches_sequential():
     scanned step and the standalone step compile to slightly different
     fusions (~1e-9 full-state noise per flush, measured), and adam's
     m/sqrt(v) normalization amplifies that over epochs — the test exists
-    to catch order/drop/semantic bugs (O(1) divergence), with the bitwise
-    guarantee covered by test_fused_tuple_path_bitwise_matches_stacked."""
+    to catch order/drop/semantic bugs (O(1) divergence), with the
+    close-match (one-ulp allclose) guarantee covered by
+    test_fused_tuple_path_matches_stacked."""
     train = [_tabular_batch(seed=s) for s in range(5)]
     val = [_tabular_batch(seed=9)]
 
