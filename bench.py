@@ -179,12 +179,6 @@ def measure_jax(
         ]
     wrapper._ensure_initialized(host_batches[0])
 
-    if fuse > 1 and mesh is not None:
-        raise SystemExit(
-            "--fuse with --mesh is not supported: fit() shards batches "
-            "before stacking; the bench would measure a different placement"
-        )
-
     if pipeline == "resident":
         # steady-state production pipeline for datasets ≪ HBM: the epoch is
         # pinned on device once (data/resident.py) and every later epoch
@@ -200,14 +194,23 @@ def measure_jax(
                 {k: jax.device_put(v) for k, v in hb.items()} for hb in host_batches
             ]
         if fuse > 1:
-            dev_stacked = {
-                k: jax.device_put(
-                    np.stack(
-                        [host_batches[i % len(host_batches)][k] for i in range(fuse)]
-                    )
+            if mesh is not None:
+                # mesh steady state: fit() holds per-batch SHARDED device
+                # arrays and stacks them inside the jit (_stack_in_jit's
+                # tuple path, which constrains the [K, ...] window to the
+                # data-parallel layout) — measure exactly that form
+                dev_stacked = tuple(
+                    dev_batches[i % len(dev_batches)] for i in range(fuse)
                 )
-                for k in host_batches[0]
-            }
+            else:
+                dev_stacked = {
+                    k: jax.device_put(
+                        np.stack(
+                            [host_batches[i % len(host_batches)][k] for i in range(fuse)]
+                        )
+                    )
+                    for k in host_batches[0]
+                }
 
         def run(n):
             loss = None
@@ -1216,12 +1219,13 @@ def main(argv=None) -> None:
     )
     args = parser.parse_args(argv)
     if args.fuse is None:
-        # fusion needs per-batch shardings under --mesh (unsupported); see
-        # the guard in measure_jax.  Host-wire dense graph batches carry a
-        # [B, M, M] adjacency (~134 MB each at the flagship shape), so cap
-        # their fused stack at 4 to bound the resident HBM footprint (the
-        # device-wire 'dense' layout ships only edge lists — full fusion)
-        if args.pipeline == "resident" and not args.mesh:
+        # Host-wire dense graph batches carry a [B, M, M] adjacency
+        # (~134 MB each at the flagship shape), so cap their fused stack
+        # at 4 to bound the resident HBM footprint (the device-wire
+        # 'dense' layout ships only edge lists — full fusion).  --mesh
+        # rides the same fused defaults: the fused steps constrain the
+        # stacked window to the data-parallel shardings (_stack_in_jit).
+        if args.pipeline == "resident":
             # deep fuse so the headline tracks the DEVICE even when the
             # tunnel inflates per-dispatch cost (measured in one degraded
             # window, deep_sets: fuse 16 -> 2.81 ms/step, 64 -> 1.40,

@@ -26,7 +26,6 @@ import json
 import os
 import pickle
 import time
-import warnings
 from functools import partial
 from typing import Dict, Iterable, Optional
 
@@ -206,19 +205,13 @@ class ModelWrapper:
 
             mesh = make_mesh(n_model=n_model)
         self.mesh = mesh
-        if self.mesh is not None and self.fuse_steps > 1:
-            # fit() shards batches BEFORE stacking the fuse window, and the
-            # fused step declares no [K, ...] input shardings — the same
-            # combination _eval_dispatch forces to fuse=1 and bench.py
-            # rejects outright; silently running it would train under
-            # implementation-defined placement instead of the declared
-            # data-parallel sharding.
-            warnings.warn(
-                "fuse_steps > 1 is not supported under a mesh "
-                "(batches shard before stacking); forcing fuse_steps=1",
-                stacklevel=2,
-            )
-            self.fuse_steps = 1
+        # fuse_steps > 1 under a mesh is supported: the fused steps
+        # constrain the stacked [K, ...] fuse window to the declared
+        # data-parallel shardings inside the jit (see _stack_in_jit /
+        # parallel.mesh.stacked_batch_sharding), so the scanned program is
+        # the same SPMD computation as K unfused steps — one dispatch
+        # instead of K, which is what makes multi-chip training
+        # transport-independent on high-latency links.
         self.patience = 10
         self.best_val_loss = float("inf")
         self.early_stop_counter = 0
@@ -314,8 +307,22 @@ class ModelWrapper:
             return (self._put_batch(b) for b in loader)
         return loader
 
+    def _mesh_cache_key(self):
+        """Hashable mesh fingerprint for the step cache.
+
+        The fused steps close over the mesh (their stacked-window sharding
+        constraints name its axes), so two wrappers only share compiled
+        steps when their meshes are the same shape over the same devices.
+        """
+        if self.mesh is None:
+            return None
+        return (
+            tuple(self.mesh.shape.items()),
+            tuple(d.id for d in self.mesh.devices.flat),
+        )
+
     def _build_steps(self) -> None:
-        key = (repr(self.model), self.optimizer_name)
+        key = (repr(self.model), self.optimizer_name, self._mesh_cache_key())
         if key in _STEP_CACHE:
             (
                 self._train_step,
@@ -325,7 +332,7 @@ class ModelWrapper:
                 self._eval_step_fused,
             ) = _STEP_CACHE[key]
             return
-        model, tx = self.model, self.tx
+        model, tx, mesh = self.model, self.tx, self.mesh
 
         def _step_math_full(params, batch_stats, opt_state, batch):
             def loss_fn(p):
@@ -378,9 +385,28 @@ class ModelWrapper:
             # a degraded window) — inside the jit it is free XLA data
             # movement and the flush stays ONE dispatch.  jit keys on the
             # pytree structure, so both forms coexist per compile cache.
+            #
+            # Under a mesh the stacked window is constrained to the
+            # declared data-parallel layout ([K, B/data, ...]): without the
+            # constraint the stack's sharding is whatever propagation
+            # infers, i.e. implementation-defined placement — the reason
+            # round-2 locked fused+mesh out entirely.
             if isinstance(batches, tuple):
-                return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
-            return batches
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+            else:
+                stacked = batches
+            if mesh is not None:
+                from point_cloud_classifier_tpu.parallel.mesh import (
+                    stacked_batch_sharding,
+                )
+
+                stacked = {
+                    k: jax.lax.with_sharding_constraint(
+                        v, stacked_batch_sharding(mesh, v)
+                    )
+                    for k, v in stacked.items()
+                }
+            return stacked
 
         @jax.jit
         def eval_step_fused(params, batch_stats, batches):
@@ -740,10 +766,9 @@ class ModelWrapper:
                 flags.append(True)
             pending.clear()
 
-        # under a mesh, stacked batches would need per-leaf [K, ...]
-        # shardings the fused program doesn't declare — same guard as the
-        # train-side fusion (bench.py measure_jax)
-        fuse = 1 if self.mesh is not None else self.fuse_steps
+        # fused eval works under a mesh too: _stack_in_jit constrains the
+        # stacked [K, ...] window to the declared data-parallel shardings
+        fuse = self.fuse_steps
         for batch in self._batches(loader):
             self._ensure_initialized(batch)
             if self._eval_step is None:

@@ -83,6 +83,23 @@ def batch_shardings(mesh: Mesh, batch: Dict[str, np.ndarray]) -> Dict[str, Named
     return out
 
 
+def stacked_batch_sharding(mesh: Mesh, x) -> NamedSharding:
+    """Sharding for one leaf of a ``[K, ...]`` fuse-window stack.
+
+    Step fusion (``ModelWrapper.fuse_steps``) stacks K loader batches on a
+    new leading fuse axis; under a mesh each batch was sharded by
+    ``batch_shardings`` BEFORE stacking, so the per-batch leading dim now
+    sits at axis 1.  The rule here mirrors ``batch_shardings`` one axis
+    over: axis 1 shards over ``data`` when divisible, the fuse axis K is
+    never sharded (``lax.scan`` consumes it sequentially), everything else
+    stays replicated.
+    """
+    n_data = mesh.shape["data"]
+    if getattr(x, "ndim", 0) >= 2 and x.shape[1] % n_data == 0 and x.shape[1] > 0:
+        return NamedSharding(mesh, P(None, "data", *([None] * (x.ndim - 2))))
+    return replicated(mesh)
+
+
 def param_shardings(mesh: Mesh, params) -> object:
     """Column-wise ``model`` sharding for big 2-D weights; replicate the rest.
 

@@ -235,32 +235,61 @@ def test_giant_event_spans_all_shards():
     sharded = run(make_mesh())  # 8-way: the giant event spans all 8 shards
     np.testing.assert_allclose(single, sharded, rtol=5e-4, atol=5e-5)
 
-def test_fuse_steps_clamped_under_mesh():
-    """fuse_steps > 1 with a mesh is unsupported (fit() shards batches
-    BEFORE stacking the fuse window and the fused step declares no
-    [K, ...] input shardings) — the wrapper must warn and clamp to 1,
-    matching _eval_dispatch's fuse=1 forcing and bench.py's refusal,
-    instead of silently training under implementation-defined placement."""
+def test_fused_steps_under_mesh_match_single_device():
+    """fuse_steps > 1 under a mesh == the unfused single-device run.
+
+    Round 2 locked fused+mesh out (the stacked [K, ...] window carried no
+    declared shardings); round 3 supports it — _stack_in_jit constrains
+    the window to the data-parallel layout
+    (parallel.mesh.stacked_batch_sharding), so the scanned program is the
+    same SPMD computation as K unfused steps.  Covers train (fit) AND the
+    fused eval dispatch (predict runs through _eval_dispatch with
+    fuse_steps > 1)."""
     model = FullyConnectedNet(
-        input_dim=9, hidden_layers=(8,), batch_normalization=False, output_dim=1
+        input_dim=9, hidden_layers=(8,), batch_normalization=True, output_dim=1
     )
-    with pytest.warns(UserWarning, match="fuse_steps"):
+
+    def run(mesh, fuse):
         wrapper = ModelWrapper(
-            model, learning_rate=1e-3, epochs=1, seed=0,
-            mesh=make_mesh(), fuse_steps=16,
+            model, learning_rate=1e-3, epochs=2, seed=0, mesh=mesh,
+            fuse_steps=fuse,
         )
-    assert wrapper.fuse_steps == 1
-    # no mesh: fuse_steps passes through untouched
-    w2 = ModelWrapper(
-        model, learning_rate=1e-3, epochs=1, seed=0, fuse_steps=16
-    )
-    assert w2.fuse_steps == 16
+        batches = [_tabular_batch(seed=s) for s in range(5)]
+        wrapper.fit(batches)
+        _, probs = wrapper.predict(
+            [_tabular_batch(seed=9), _tabular_batch(seed=10)], return_prob=True
+        )
+        return probs
+
+    single = run(None, 1)
+    fused_mesh = run(make_mesh(), 4)
+    np.testing.assert_allclose(single, fused_mesh, rtol=5e-4, atol=5e-5)
+    assert ModelWrapper(
+        model, learning_rate=1e-3, epochs=1, seed=0,
+        mesh=make_mesh(), fuse_steps=16,
+    ).fuse_steps == 16  # no clamp: fused+mesh is supported now
+
+
+def test_fused_window_sharding_rule():
+    """stacked_batch_sharding mirrors batch_shardings one axis over: the
+    per-batch leading dim (axis 1) shards over ``data``, the fuse axis
+    never does, indivisible leaves replicate."""
+    from point_cloud_classifier_tpu.parallel.mesh import stacked_batch_sharding
+
+    mesh = make_mesh()  # data=8
+    x = np.zeros((4, 32, 6), dtype=np.float32)  # [K, B, F], B % 8 == 0
+    spec = stacked_batch_sharding(mesh, x).spec
+    assert spec == P(None, "data", None)
+    odd = np.zeros((4, 3), dtype=np.float32)  # axis-1 not divisible
+    assert stacked_batch_sharding(mesh, odd).spec == P()
+    scalar = np.zeros((4,), dtype=np.float32)  # rank-1: fuse axis only
+    assert stacked_batch_sharding(mesh, scalar).spec == P()
 
 
 def test_fuse_steps_env_override(monkeypatch):
     """PCC_FUSE_STEPS force-overrides the constructor arg (mirrors
     PCC_RESIDENT) so CLI runs can enable step fusion without touching the
-    byte-compat configs; the mesh clamp still applies on top."""
+    byte-compat configs — with or without a mesh."""
     model = FullyConnectedNet(
         input_dim=9, hidden_layers=(8,), batch_normalization=False, output_dim=1
     )
@@ -273,8 +302,7 @@ def test_fuse_steps_env_override(monkeypatch):
     )
     assert w2.fuse_steps == 1
     monkeypatch.setenv("PCC_FUSE_STEPS", "8")
-    with pytest.warns(UserWarning, match="fuse_steps"):
-        w3 = ModelWrapper(
-            model, learning_rate=1e-3, epochs=1, seed=0, mesh=make_mesh()
-        )
-    assert w3.fuse_steps == 1
+    w3 = ModelWrapper(
+        model, learning_rate=1e-3, epochs=1, seed=0, mesh=make_mesh()
+    )
+    assert w3.fuse_steps == 8  # no mesh clamp: fused+mesh is supported
