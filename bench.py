@@ -510,9 +510,11 @@ def measure_graph_jax(
     layout: str = "dense",
     use_gat: bool = False,
     fused_inrow: bool = False,
+    sag_pool: bool = False,
 ) -> float:
     """graph_net train-step throughput (reference config: GraphConv h128 tanh;
-    --gat swaps in the GATConv variant, h128 over 4 heads)."""
+    --gat swaps in the GATConv variant, h128 over 4 heads; --sag adds
+    SAGPooling at the reference sweep's ratio 0.5)."""
     import jax
 
     from point_cloud_classifier_tpu.models import GraphNet, ModelWrapper
@@ -526,6 +528,7 @@ def measure_graph_jax(
         compute_dtype=dtype,
         use_gat=use_gat,
         fused_inrow=fused_inrow,
+        sag_pool=sag_pool,
     )
     wrapper = ModelWrapper(model, learning_rate=1e-3, epochs=1)
     half = dtype == "bfloat16"
@@ -1171,6 +1174,13 @@ def main(argv=None) -> None:
         help="graph_net workload uses GATConv (4 heads) instead of GraphConv",
     )
     parser.add_argument(
+        "--sag",
+        action="store_true",
+        help="graph_net workload adds SAGPooling (ratio 0.5, the reference "
+        "sweep's sag_pool=True arm) — pairs with --gat and --graph-layout "
+        "for the dense-vs-flat SAG A/B",
+    )
+    parser.add_argument(
         "--graph-layout",
         default="dense",
         choices=["dense", "dense-scatter", "dense-host", "flat"],
@@ -1314,6 +1324,20 @@ def main(argv=None) -> None:
             "microseconds and gains nothing from sharding)"
         )
 
+    if args.sag and (
+        args.model != "graph_net"
+        or args.eval_throughput
+        or args.eval_device
+        or args.latency
+    ):
+        # refusing beats silently benching a different model (same class as
+        # the --gat/--mesh guards): --sag exists for the graph_net TRAIN
+        # layout A/B
+        raise SystemExit(
+            "--sag is the graph_net train workload arm (pairs with --gat/"
+            "--graph-layout); it has no eval/latency row"
+        )
+
     if args.eval_throughput or args.eval_device:
         # fuse groups cap at the 8-batch stream regardless of the resolved
         # default; `--fuse 1` is the per-batch baseline arm
@@ -1417,11 +1441,13 @@ def main(argv=None) -> None:
             layout=args.graph_layout,
             use_gat=args.gat,
             fused_inrow=args.fused_inrow,
+            sag_pool=args.sag,
         )
         print(
             json.dumps(
                 {
-                    "metric": "graph_net_train_graphs_per_sec",
+                    "metric": "graph_net_train_graphs_per_sec"
+                    + ("_sag" if args.sag else ""),
                     "value": round(cps, 2),
                     "unit": "graphs/sec",
                     "vs_baseline": None,
@@ -1431,11 +1457,11 @@ def main(argv=None) -> None:
         return
 
     if args.measure_baseline:
-        if args.gat:
+        if args.gat or args.sag:
             raise SystemExit(
                 "--measure-baseline benches the reference GraphConv config; "
-                "a torch GAT reference is not implemented, so --gat would "
-                "make the comparison apples-to-oranges"
+                "torch GAT/SAG references are not implemented here, so "
+                "--gat/--sag would make the comparison apples-to-oranges"
             )
         if args.model == "graph_net":
             cps = measure_torch_graph_reference(b, p, 2 * p, 4, iters or 5, warmup)

@@ -522,7 +522,17 @@ class GraphNet(nn.Module):
         # VMEM from the in-row lists and runs softmax + aggregation there,
         # forward AND backward — no [B, M, M] in HBM, no gather/scatter,
         # no out-row mirror needed.  See docs/kernels.md for the A/B.
-        inrow_gat = self.use_gat and not self.sag_pool and "in_src" in batch
+        #
+        # SAG composes with the kernel: slot validity gates on w != 0 and
+        # the self-loop row is unconditional (_slot_prep/_mask_tile), so
+        # zeroing the in-row weights of edges touching dropped nodes
+        # reproduces the masked-adjacency semantics (adj·keep·keepᵀ | eye)
+        # exactly — conv2 keeps the slot-softmax kernel instead of falling
+        # back to the O(M²)-softmax dense-matrix GAT.  The adjacency is
+        # still materialised once for the SAG score conv (one unweighted
+        # compare-build + matmul, the same cost class as a dense GraphConv
+        # layer).
+        inrow_gat = self.use_gat and "in_src" in batch
         if fused:
             from point_cloud_classifier_tpu.ops.inrow_graph import inrow_aggregate
 
@@ -531,8 +541,8 @@ class GraphNet(nn.Module):
             f_out_dst = batch["out_dst"].astype(jnp.int32)
             f_out_w = batch["out_w"].astype(dtype)
             adj = None
-        elif inrow_gat or inrow_max:
-            adj = None  # never materialised
+        elif (inrow_gat and not self.sag_pool) or inrow_max:
+            adj = None  # never materialised (SAG needs it for its score conv)
         elif "adj" in batch:
             adj = batch["adj"].astype(dtype)
         else:
@@ -608,6 +618,11 @@ class GraphNet(nn.Module):
                 b, m, -1
             )
 
+        # mutable cell so the SAG block can swap in keep-masked weights for
+        # conv2 while conv1 reads the raw wire (nn.compact shares one conv
+        # closure across both calls)
+        gat_in_w = [batch["in_w"]] if inrow_gat else None
+
         def conv(h):
             if self.use_gat:
                 if inrow_gat:
@@ -616,7 +631,7 @@ class GraphNet(nn.Module):
                     )(
                         h,
                         in_src=batch["in_src"].astype(jnp.int32),
-                        in_w=batch["in_w"],
+                        in_w=gat_in_w[0],
                     )
                 return GATConv(self.hidden_dim // self.gat_heads, self.gat_heads)(
                     h, adj_mask=(adj != 0)
@@ -665,7 +680,27 @@ class GraphNet(nn.Module):
                 x, adj_unw=adj_unw, node_mask=node_mask.astype(dtype)
             )
             keep = keep.astype(jnp.float32)
-            adj = adj * keep[:, :, None].astype(dtype) * keep[:, None, :].astype(dtype)
+            if inrow_gat:
+                # zero the in-row weights of every edge touching a dropped
+                # node (src via a per-row gather of keep, dst via the row
+                # mask); slot validity is w != 0 and self-loops are
+                # unconditional, so conv2's kernel sees exactly the
+                # masked-adjacency graph (adj·keep·keepᵀ | eye)
+                in_src_i = batch["in_src"].astype(jnp.int32)
+                keep_src = jnp.take_along_axis(
+                    keep, in_src_i.reshape(b, -1), axis=1
+                ).reshape(in_src_i.shape)
+                gat_in_w[0] = (
+                    gat_in_w[0]
+                    * keep_src.astype(gat_in_w[0].dtype)
+                    * keep[:, :, None].astype(gat_in_w[0].dtype)
+                )
+            else:
+                adj = (
+                    adj
+                    * keep[:, :, None].astype(dtype)
+                    * keep[:, None, :].astype(dtype)
+                )
             node_mask = keep
             in_deg = None  # degrees changed; conv2 falls back to count-nonzero
 

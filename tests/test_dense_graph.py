@@ -382,7 +382,12 @@ def test_dense_gat_matches_flat_logits(sag_pool, deepchem_style):
         )
 
 
-def test_dense_gat_training_matches_flat():
+@pytest.mark.parametrize("sag_pool", [False, True])
+def test_dense_gat_training_matches_flat(sag_pool):
+    """sag_pool=True covers the inrow_gat+SAG path end-to-end: conv2 runs
+    the in-row attention on keep-masked weights (gradients flow through
+    the take_along_axis keep gather), which must train identically to the
+    flat segment-softmax arm."""
     from point_cloud_classifier_tpu.models import ModelWrapper
 
     graphs = _random_graphs(n_graphs=8, seed=9)
@@ -393,7 +398,7 @@ def test_dense_gat_training_matches_flat():
         )
         model = GraphNet(
             input_dim=4, hidden_dim=8, output_dim=1, activation="relu",
-            use_gat=True, gat_heads=2, deepchem_style=True,
+            use_gat=True, gat_heads=2, deepchem_style=True, sag_pool=sag_pool,
         )
         w = ModelWrapper(model, learning_rate=1e-2, epochs=2, seed=0)
         w.fit(loader)

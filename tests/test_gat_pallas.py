@@ -202,6 +202,35 @@ def test_isolated_nodes_attend_to_self_only():
     )
 
 
+@pytest.mark.parametrize("form", ["slot", "dense"])
+def test_sag_masked_wire_matches_oracle(monkeypatch, form):
+    """The SAG-masked wire (in_w zeroed for every edge touching a dropped
+    node — models/graph_net._dense_forward's inrow_gat+SAG path) must
+    match the oracle on the same masked wire, forward AND gradients:
+    dropped rows keep only their self-loop, survivors lose dropped
+    neighbours."""
+    monkeypatch.setenv("PCC_GAT_KERNEL", form)
+    s_dst, s_src, in_src, in_w, xw = _inputs(seed=5)
+    rng = np.random.default_rng(11)
+    keep = jnp.asarray((rng.random(s_dst.shape[:2]) < 0.5).astype(np.float32))
+    keep_src = jnp.take_along_axis(
+        keep, in_src.reshape(in_src.shape[0], -1), axis=1
+    ).reshape(in_src.shape)
+    in_w = in_w * keep_src * keep[:, :, None]
+
+    def loss(fn, *a):
+        return jnp.sum(fn(s_dst, s_src, in_src, in_w, a[0], 0.2, *a[1:]) ** 2)
+
+    want, wgrad = jax.value_and_grad(lambda x: loss(gat_attention_xla, x))(xw)
+    got, ggrad = jax.value_and_grad(
+        lambda x: loss(gat_attention_fused, x, True)
+    )(xw)
+    np.testing.assert_allclose(float(want), float(got), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(wgrad), np.asarray(ggrad), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_dispatch_falls_back_for_untileable_shapes():
     # m=52 is not 8-aligned → the dispatcher must use the oracle (any
     # 8-aligned M tiles since the rung-ladder relaxation; pow2 no longer
