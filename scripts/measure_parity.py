@@ -62,7 +62,10 @@ def _val_acc(log_dir: str) -> float:
         return json.load(f)["metrics"]["accuracy/val"]
 
 
-def train_ours(model_name: str, data_dir: str, run_root: str, seed: int, epochs):
+def train_ours(
+    model_name: str, data_dir: str, run_root: str, seed: int, epochs,
+    model_overrides=None, tag: str = "",
+):
     from point_cloud_classifier_tpu.utils.config import load_config
     from train import MODEL_DATASETS, train_model
 
@@ -71,7 +74,11 @@ def train_ours(model_name: str, data_dir: str, run_root: str, seed: int, epochs)
         os.path.join(REPO, "configs", f"{model_name}.yaml"),
     )
     config["dataset"]["data_dir"] = data_dir
-    config["logging"]["log_dir"] = os.path.join(run_root, f"ours_{model_name}_{seed}")
+    config["logging"]["log_dir"] = os.path.join(
+        run_root, f"ours_{model_name}{tag}_{seed}"
+    )
+    if model_overrides:
+        config["model"].update(model_overrides)
     if epochs and "trainer" in config:
         config["trainer"]["epochs"] = epochs
     if "trainer" in config:
@@ -142,9 +149,12 @@ def train_reference(model_name: str, data_dir: str, run_root: str, seed: int, ep
                 del sys.modules[mod]
 
 
-def train_reference_graph(data_dir: str, seed: int, epochs) -> float:
+def train_reference_graph(
+    data_dir: str, seed: int, epochs, use_gat: bool = False,
+    sag_pool: bool = False,
+) -> float:
     """Reference-semantics GraphNet trained in torch on the bit-identical
-    S2PG caches — the accuracy oracle for the one config whose actual
+    S2PG caches — the accuracy oracle for the configs whose actual
     reference cannot run here (torch_geometric absent).
 
     Mirrors `/root/reference/models/graph_net.py:8-103` at the default
@@ -157,6 +167,17 @@ def train_reference_graph(data_dir: str, seed: int, epochs) -> float:
     early stop, final val accuracy from the CURRENT weights like
     `train.py:168-169`), with the reference collate
     (`utils/data.py:1228-1261`: node-offset edges + membership).
+
+    ``use_gat``/``sag_pool`` swap in hand-written torch_geometric-semantics
+    GATv1 / SAGPooling oracles (the sweep samples these combos,
+    `/root/reference/sweep.py:107-133`): GATConv per
+    torch_geometric GATv1 (lin → per-head scores, LeakyReLU(0.2),
+    add_self_loops, per-destination softmax, concat heads + bias; edge
+    weights rejected by tg, so the oracle is unweighted like the
+    reference's working configs) and SAGPooling per tg (unweighted
+    GraphConv(→1) score GNN, per-graph top-``ceil(ratio·n)``, kept nodes
+    scaled by tanh(score), edges filtered+reindexed — tg COMPACTS rather
+    than masks; downstream BN/pool see kept nodes only either way).
     """
     import torch
     import torch.nn as nn
@@ -205,13 +226,90 @@ def train_reference_graph(data_dir: str, seed: int, epochs) -> float:
             agg.index_add_(0, dst, x[src])  # use_weights=False: w == 1
             return self.lin_rel(agg) + self.lin_root(x)
 
-    class RefGraphNet(nn.Module):
-        def __init__(self, hidden=128):
+    class RefGATConv(nn.Module):
+        """torch_geometric GATv1 semantics (tg nn/conv/gat_conv.py):
+        shared bias-free lin, per-head rank-1 attention scores,
+        LeakyReLU(0.2), self-loops added, softmax over incoming edges per
+        destination, concatenated heads + bias; glorot initialisation."""
+
+        def __init__(self, dim_in, out_per_head, heads):
             super().__init__()
-            self.conv1 = RefGraphConv(4, hidden)
+            self.h, self.c = heads, out_per_head
+            self.lin = nn.Linear(dim_in, heads * out_per_head, bias=False)
+            nn.init.xavier_uniform_(self.lin.weight)
+            self.att_src = nn.Parameter(torch.empty(1, heads, out_per_head))
+            self.att_dst = nn.Parameter(torch.empty(1, heads, out_per_head))
+            nn.init.xavier_uniform_(self.att_src)
+            nn.init.xavier_uniform_(self.att_dst)
+            self.bias = nn.Parameter(torch.zeros(heads * out_per_head))
+
+        def forward(self, x, src, dst):
+            n = x.shape[0]
+            loops = torch.arange(n, dtype=src.dtype)
+            src = torch.cat([src, loops])
+            dst = torch.cat([dst, loops])
+            xw = self.lin(x).view(n, self.h, self.c)
+            a_src = (xw * self.att_src).sum(-1)  # [N, H]
+            a_dst = (xw * self.att_dst).sum(-1)
+            e = nn.functional.leaky_relu(a_src[src] + a_dst[dst], 0.2)
+            # per-destination softmax: scatter-max shift, exp, scatter-sum
+            mx = torch.full((n, self.h), -torch.inf)
+            mx.scatter_reduce_(0, dst[:, None].expand_as(e), e, "amax")
+            p = torch.exp(e - mx[dst])
+            denom = torch.zeros(n, self.h)
+            denom.index_add_(0, dst, p)
+            alpha = p / denom.clamp(min=1e-16)[dst]
+            out = torch.zeros(n, self.h, self.c)
+            out.index_add_(0, dst, alpha[:, :, None] * xw[src])
+            return out.reshape(n, self.h * self.c) + self.bias
+
+    class RefSAGPool(nn.Module):
+        """torch_geometric SAGPooling semantics: unweighted GraphConv(→1)
+        score GNN, per-graph top-ceil(ratio·n) by score, kept nodes scaled
+        by tanh(score), edges filtered to kept endpoints and reindexed
+        (tg compacts the graph; membership follows the kept nodes)."""
+
+        def __init__(self, hidden, ratio=0.5):
+            super().__init__()
+            self.gnn = RefGraphConv(hidden, 1)
+            self.ratio = ratio
+
+        def forward(self, x, src, dst, membership):
+            score = self.gnn(x, src, dst).squeeze(-1)  # [N]
+            keep_idx = []
+            for g in torch.unique(membership):
+                nodes = (membership == g).nonzero(as_tuple=True)[0]
+                k = int(np.ceil(self.ratio * len(nodes)))
+                top = torch.topk(score[nodes], k).indices
+                keep_idx.append(nodes[top])
+            perm = torch.cat(keep_idx)
+            # stable order by original index (tg sorts per graph by score;
+            # node ORDER only affects nothing downstream — BN/pool/conv are
+            # permutation-invariant — but keep it deterministic)
+            perm = perm.sort().values
+            new_id = torch.full((x.shape[0],), -1, dtype=torch.long)
+            new_id[perm] = torch.arange(len(perm))
+            e_keep = (new_id[src] >= 0) & (new_id[dst] >= 0)
+            x = x[perm] * torch.tanh(score[perm])[:, None]
+            return (
+                x,
+                new_id[src[e_keep]],
+                new_id[dst[e_keep]],
+                membership[perm],
+            )
+
+    class RefGraphNet(nn.Module):
+        def __init__(self, hidden=128, use_gat=False, sag_pool=False, heads=4):
+            super().__init__()
+            if use_gat:
+                self.conv1 = RefGATConv(4, hidden // heads, heads)
+                self.conv2 = RefGATConv(hidden, hidden // heads, heads)
+            else:
+                self.conv1 = RefGraphConv(4, hidden)
+                self.conv2 = RefGraphConv(hidden, hidden)
             self.bn1 = nn.BatchNorm1d(hidden)
-            self.conv2 = RefGraphConv(hidden, hidden)
             self.bn2 = nn.BatchNorm1d(hidden)
+            self.pool1 = RefSAGPool(hidden) if sag_pool else None
             self.fc1 = nn.Linear(hidden, 256)
             self.bn3 = nn.BatchNorm1d(256)
             self.fc2 = nn.Linear(256, 1)
@@ -219,6 +317,8 @@ def train_reference_graph(data_dir: str, seed: int, epochs) -> float:
         def forward(self, x, membership, edges, batch_size):
             src, dst = edges[0], edges[1]
             x = self.bn1(torch.tanh(self.conv1(x, src, dst)))
+            if self.pool1 is not None:
+                x, src, dst, membership = self.pool1(x, src, dst, membership)
             x = self.bn2(torch.tanh(self.conv2(x, src, dst)))
             x = self.bn3(torch.tanh(self.fc1(x)))  # deepchem_style
             pooled = torch.zeros(batch_size, x.shape[1])
@@ -226,7 +326,7 @@ def train_reference_graph(data_dir: str, seed: int, epochs) -> float:
             counts = torch.bincount(membership, minlength=batch_size).clamp(min=1)
             return self.fc2(pooled / counts[:, None].float())
 
-    model = RefGraphNet()
+    model = RefGraphNet(use_gat=use_gat, sag_pool=sag_pool)
     opt = torch.optim.Adam(model.parameters(), lr=1e-3)
     criterion = nn.BCEWithLogitsLoss()
     rng = np.random.default_rng(seed)
@@ -288,18 +388,42 @@ def main() -> None:
     print(f"work dir: {work}")
     _prepare_data(data_dir, args.events, seed=0)
 
+    # sweep-space graph variants (reference sweep.py:107-133 samples
+    # use_gat/sag_pool): "graph_net_gat", "graph_net_sag",
+    # "graph_net_gat_sag" run ours with the model override vs the
+    # matching torch oracle on the same caches
+    variants = {
+        "graph_net_gat": {"use_gat": True},
+        "graph_net_sag": {"sag_pool": True},
+        "graph_net_gat_sag": {"use_gat": True, "sag_pool": True},
+    }
+
     results = {}
     for model in args.models:
         ours, ref = [], []
         for r in range(args.repeats):
-            if model == "graph_net":
+            if model == "graph_net" or model in variants:
                 # the installed reference cannot train graph_net
                 # (torch_geometric absent) — use the reference-semantics
                 # torch oracle on the same bit-identical caches
-                ref.append(train_reference_graph(data_dir, seed=r, epochs=args.epochs))
+                over = variants.get(model, {})
+                ref.append(
+                    train_reference_graph(
+                        data_dir, seed=r, epochs=args.epochs,
+                        use_gat=over.get("use_gat", False),
+                        sag_pool=over.get("sag_pool", False),
+                    )
+                )
+                ours.append(
+                    train_ours(
+                        "graph_net", data_dir, run_root, seed=r,
+                        epochs=args.epochs, model_overrides=over,
+                        tag=model.replace("graph_net", ""),
+                    )
+                )
             else:
                 ref.append(train_reference(model, data_dir, run_root, seed=r, epochs=args.epochs))
-            ours.append(train_ours(model, data_dir, run_root, seed=r, epochs=args.epochs))
+                ours.append(train_ours(model, data_dir, run_root, seed=r, epochs=args.epochs))
             print(f"  {model} seed {r}: ref={ref[-1]:.4f} ours={ours[-1]:.4f}")
         results[model] = {
             "reference_val_acc": float(np.mean(ref)),
