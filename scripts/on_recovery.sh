@@ -38,6 +38,11 @@ while true; do
       timeout 420 python bench.py --eval-device --phi-width "$W" >> "$LOG" 2>&1
       timeout 420 python bench.py --eval-device --phi-width "$W" --quant int8 >> "$LOG" 2>&1
     done
+    # 4b) SAG layout A/B (round-3: SAG rides the dense wire + slot kernel;
+    #     device-truth rows, co-scheduled for same-window ratios)
+    timeout 600 python bench.py --model graph_net --sag >> "$LOG" 2>&1
+    timeout 600 python bench.py --model graph_net --sag --graph-layout flat >> "$LOG" 2>&1
+    timeout 600 python bench.py --model graph_net --sag --gat >> "$LOG" 2>&1
     # 5) e2e healthy-window re-run (stream + resident, reuses cached data)
     timeout 3000 python scripts/measure_e2e.py --events 10000 \
       --skip-reference --keep /tmp/e2e_data >> "$LOG" 2>&1
