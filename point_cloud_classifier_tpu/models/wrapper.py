@@ -200,6 +200,22 @@ class ModelWrapper:
         # line, `models/wrapper.py:22`); here batches shard over the ``data``
         # axis and wide weights over ``model``, with XLA emitting the ICI
         # collectives (see parallel/mesh.py).
+        # env overrides mirror PCC_RESIDENT/PCC_FUSE_STEPS: CLI runs can go
+        # data-parallel (PCC_DATA_PARALLEL=1) or tensor-parallel
+        # (PCC_N_MODEL=K) without touching the byte-compat configs; YAML
+        # can still set trainer.data_parallel / trainer.n_model directly
+        # (the trainer section is splatted into this constructor).
+        env_dp = os.environ.get("PCC_DATA_PARALLEL")
+        if env_dp is not None:
+            data_parallel = env_dp == "1"
+        env_nm = os.environ.get("PCC_N_MODEL")
+        if env_nm is not None:
+            try:
+                n_model = int(env_nm)
+            except ValueError as e:
+                raise ValueError(
+                    f"PCC_N_MODEL must be an integer, got {env_nm!r}"
+                ) from e
         if mesh is None and (data_parallel or n_model > 1):
             from point_cloud_classifier_tpu.parallel.mesh import make_mesh
 
