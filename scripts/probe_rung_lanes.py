@@ -52,6 +52,7 @@ H, C = 8, 128
 VARIANTS = [
     "score_256", "score_288", "score_384",
     "score_288_chunkK", "score_288_chunkT",
+    "scoresub_256", "scoresub_288", "scoresub_384",
     "feat_256", "feat_288", "feat_384",
     "vpu_exp_256", "vpu_exp_288", "vpu_exp_384",
 ]
@@ -91,6 +92,17 @@ def _build(name: str, reps: int):
                         lhs, rhs[:, :m], (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
+            elif name.startswith("scoresub_"):
+                # sublane-contraction form: ss [M, H] (scores shipped
+                # UNtransposed) @ oh [M, T] over dim 0 — K rides sublanes
+                # (8-granular) instead of lanes (128-granular), so only
+                # the T output lanes pay the 128-quantization at M=288
+                m = int(name.split("_")[1])
+                lhs = a[:m, :H] + rr  # [m, H]
+                d = jax.lax.dot_general(
+                    lhs, b[:m, :m], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [H, T]
             elif name.startswith("feat_"):
                 m = int(name.split("_")[1])
                 oh = a[:m, :m] + rr  # [M, T] one-hot stand-in
