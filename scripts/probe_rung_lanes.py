@@ -146,8 +146,12 @@ def main() -> None:
     rng = np.random.default_rng(0)
     a = jnp.array(rng.standard_normal((MMAX, MMAX)), jnp.float32)
     b = jnp.array(rng.standard_normal((MMAX, MMAX)), jnp.float32)
+    # PCC_PROBE_ONLY=name1,name2: subset (degraded-window compiles are
+    # slow; the full 14-variant list can exceed a 15-min budget)
+    only = os.environ.get("PCC_PROBE_ONLY")
+    variants = only.split(",") if only else VARIANTS
     print(f"{'variant':20s} {'us/op':>8s}")
-    for name in VARIANTS:
+    for name in variants:
         lo = _best_time(_build(name, 16), a, b)
         hi = _best_time(_build(name, 64), a, b)
         print(f"{name:20s} {(hi - lo) / (48 * G) * 1e6:8.4f}")
