@@ -69,6 +69,33 @@ from point_cloud_classifier_tpu.ops.inrow_graph import inrow_adjacency_xla
 _SLOPE = 0.2  # torch_geometric GATConv default negative_slope
 
 
+def _lane_chunks(t: int):
+    """``[0, t)`` in 128-lane pieces (the last may be a remainder tile)."""
+    return [(c0, min(c0 + 128, t)) for c0 in range(0, t, 128)]
+
+
+def _score_chunk(t: int) -> bool:
+    """Trace-time gate for 128-lane-chunked score gathers.
+
+    The rung-lane probe (`scripts/probe_rung_lanes.py`, 2026-08-20)
+    measured the monolithic ``ssT [H, M] @ oh [M, T]`` score gather at
+    0.025-0.027 us/dot while the same dot issued as exact-128-lane
+    column chunks ran 0.0032-0.0133 us — the chunked form streams its
+    one-hot columns tile-by-tile instead of scheduling one T-wide pass.
+    The FEATURE gathers do NOT benefit (chunkT 0.1463 vs monolithic
+    0.1482 us: their cost is K-rows x lane-tile count, pure tile
+    arithmetic) so only the score dots chunk.  PCC_GAT_SCORE_CHUNK =
+    auto | on | off; default decided by whole-step A/B (see
+    docs/kernels.md).
+    """
+    mode = os.environ.get("PCC_GAT_SCORE_CHUNK", "auto")
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    return t > 128
+
+
 def _adj_mask_xla(in_src, in_w, m):
     """[B, M, M] bool adjacency-or-self-loop mask from the in-row lists."""
     adj = inrow_adjacency_xla(in_src, (in_w != 0).astype(jnp.float32), m, jnp.float32)
@@ -399,16 +426,33 @@ def _slot_prep(sdT_ref, ssT_ref, srcT_ref, wT_ref, xw_ref,
     # [T, D*H] transpose), and the row-form s_src operand drops off the
     # wire entirely.  Whole-step: 98,010 vs 79,878 graphs/sec (+22.7%,
     # same-window resident A/B, fwd + bwd-recompute both benefit).
+    chunk_scores = _score_chunk(t)
     sgT_rows, xwg = [], []
     for dd in range(d):
         o = oh(dd)
-        sgT_rows.append(
-            jax.lax.dot_general(
-                ssT, o, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=exact,
-            )
-        )  # [H, T]
+        if chunk_scores:
+            # exact-128-lane column chunks of the one-hot: measured
+            # 2-8x cheaper per dot than the T-wide monolithic form
+            # (probe_rung_lanes 2026-08-20; lane slices at 128-aligned
+            # offsets are tile views, and Mosaic CSEs the shared o)
+            parts = [
+                jax.lax.dot_general(
+                    ssT, o[:, c0:c1],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=exact,
+                )
+                for c0, c1 in _lane_chunks(t)
+            ]
+            sgT_rows.append(jnp.concatenate(parts, axis=1))
+        else:
+            sgT_rows.append(
+                jax.lax.dot_general(
+                    ssT, o, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=exact,
+                )
+            )  # [H, T]
         xwg.append(
             jax.lax.dot_general(
                 o, xwf, dimension_numbers=(((0,), (0,)), ((), ())),

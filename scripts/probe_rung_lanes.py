@@ -54,8 +54,15 @@ VARIANTS = [
     "score_288_chunkK", "score_288_chunkT",
     "scoresub_256", "scoresub_288", "scoresub_384",
     "feat_256", "feat_288", "feat_384",
+    "feat_256_chunkT", "feat_288_chunkT",
+    "score_256_chunkT",
     "vpu_exp_256", "vpu_exp_288", "vpu_exp_384",
 ]
+
+
+def _lane_chunks(m: int):
+    """[0, m) in 128-lane pieces (the last may be a remainder)."""
+    return [(c0, min(c0 + 128, m)) for c0 in range(0, m, 128)]
 
 
 def _build(name: str, reps: int):
@@ -84,7 +91,7 @@ def _build(name: str, reps: int):
                             lhs, rhs[:, c0:c1], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
-                        for c0, c1 in ((0, 128), (128, 256), (256, 288))
+                        for c0, c1 in _lane_chunks(m)
                     ]
                     d = jnp.concatenate(parts, axis=1)
                 else:
@@ -107,10 +114,23 @@ def _build(name: str, reps: int):
                 m = int(name.split("_")[1])
                 oh = a[:m, :m] + rr  # [M, T] one-hot stand-in
                 xw = b[:m, :C]
-                d = jax.lax.dot_general(
-                    oh, xw, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [T, C]
+                if name.endswith("chunkT"):
+                    # chunk the one-hot's T LANES to exact 128-tiles: each
+                    # part streams [M, 128] with no lane padding; outputs
+                    # concat on the [T, C] sublane axis
+                    parts = [
+                        jax.lax.dot_general(
+                            oh[:, c0:c1], xw, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        for c0, c1 in _lane_chunks(m)
+                    ]
+                    d = jnp.concatenate(parts, axis=0)
+                else:
+                    d = jax.lax.dot_general(
+                        oh, xw, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [T, C]
             else:  # vpu_exp_*
                 m = int(name.split("_")[2])
                 d = jnp.exp((a[:H, :m] + rr) * 1e-3)

@@ -62,6 +62,22 @@ def test_gb_knob_keeps_slot_kernel_exact(monkeypatch, gb):
     )
 
 
+@pytest.mark.parametrize("chunk", ["on", "off"])
+def test_score_chunk_knob_keeps_slot_kernel_exact(monkeypatch, chunk):
+    """PCC_GAT_SCORE_CHUNK (128-lane-chunked score gathers, see
+    `_score_chunk`) must not change numerics: each chunk dot contracts
+    the same f32 rows, only the lane tiling of the one-hot differs.
+    M=288 exercises the remainder chunk (128+128+32)."""
+    monkeypatch.setenv("PCC_GAT_KERNEL", "slot")
+    monkeypatch.setenv("PCC_GAT_SCORE_CHUNK", chunk)
+    s_dst, s_src, in_src, in_w, xw = _inputs(seed=5, b=2, m=288)
+    want = gat_attention_xla(s_dst, s_src, in_src, in_w, xw, 0.2)
+    got = gat_attention_fused(s_dst, s_src, in_src, in_w, xw, 0.2, True)
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(got), rtol=1e-5, atol=1e-5
+    )
+
+
 @pytest.mark.parametrize("form", ["slot", "dense"])
 @pytest.mark.parametrize("m", [72, 288])
 def test_kernel_at_rung_m_matches_oracle(monkeypatch, m, form):
