@@ -77,23 +77,23 @@ def _lane_chunks(t: int):
 def _score_chunk(t: int) -> bool:
     """Trace-time gate for 128-lane-chunked score gathers.
 
-    The rung-lane probe (`scripts/probe_rung_lanes.py`, 2026-08-20)
-    measured the monolithic ``ssT [H, M] @ oh [M, T]`` score gather at
-    0.025-0.027 us/dot while the same dot issued as exact-128-lane
-    column chunks ran 0.0032-0.0133 us — the chunked form streams its
-    one-hot columns tile-by-tile instead of scheduling one T-wide pass.
-    The FEATURE gathers do NOT benefit (chunkT 0.1463 vs monolithic
-    0.1482 us: their cost is K-rows x lane-tile count, pure tile
-    arithmetic) so only the score dots chunk.  PCC_GAT_SCORE_CHUNK =
-    auto | on | off; default decided by whole-step A/B (see
-    docs/kernels.md).
+    MEASURED NEGATIVE RESULT (kept as an A/B knob + parity test).  The
+    rung-lane probe (`scripts/probe_rung_lanes.py`, 2026-08-20) measured
+    the monolithic ``ssT [H, M] @ oh [M, T]`` score gather at
+    0.025-0.027 us/dot vs 0.0032-0.0133 us issued as exact-128-lane
+    column chunks — but the whole-step A/B is NEUTRAL (same window,
+    resident: M=288 67,135 off vs 66,911 on; M=256 99,196 off vs 98,812
+    on graphs/sec): the score dots are already overlapped in Mosaic's
+    schedule, so their isolated cost is not on the critical path.  The
+    FEATURE gathers — the dots that actually dominate the M=288 cliff —
+    cannot benefit at all (probe chunkT 0.1463 vs monolithic 0.1482
+    us/dot: their cost is K-rows x lane-tile count, pure tile
+    arithmetic).  Default off; PCC_GAT_SCORE_CHUNK = auto | on | off.
     """
     mode = os.environ.get("PCC_GAT_SCORE_CHUNK", "auto")
     if mode == "on":
         return True
-    if mode == "off":
-        return False
-    return t > 128
+    return False
 
 
 def _adj_mask_xla(in_src, in_w, m):
