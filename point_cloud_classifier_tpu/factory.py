@@ -154,6 +154,37 @@ def get_model(model_name: str, config: dict, model_dir: str = None):
     return model
 
 
+# Measured int8-vs-bf16 eval-device crossover (2026-08-20, same-window
+# `bench --eval-device --phi-width W [--quant int8]`, clouds/sec):
+#   W=256:  959,774 int8 vs 1,407,664 bf16  (0.68x — int8 loses)
+#   W=512:  577,399 int8 vs   657,156 bf16  (0.88x — int8 loses)
+#   W=1024: 242,354 int8 vs   215,674 bf16  (1.12x — int8 WINS)
+# Below the crossover the per-row dynamic quantize/dequantize passes cost
+# more than the halved matmul time; at W>=1024 the 2x-peak s8 MXU and the
+# halved activation traffic win.  ``quant="auto"`` gates on this.
+_INT8_AUTO_MIN_WIDTH = 1024
+
+
+def resolve_quant(config: dict, model_name: str, quant: str) -> str:
+    """Resolve a ``--quant`` request to the path that will actually run.
+
+    ``"auto"`` → ``"int8"`` iff the model is deep_sets AND its widest φ
+    layer is ≥ ``_INT8_AUTO_MIN_WIDTH`` (the measured win regime — table
+    above), else ``"none"``; auto never escalates an unsupported model
+    to an error.  Explicit values pass through for validation.
+    """
+    if quant in (None, "none"):
+        return "none"
+    if quant == "auto":
+        if model_name != "deep_sets":
+            return "none"
+        widths = config.get("model", {}).get("phi_layers") or []
+        if not widths or max(widths) < _INT8_AUTO_MIN_WIDTH:
+            return "none"
+        return "int8"
+    return quant
+
+
 def apply_quant(config: dict, model_name: str, quant: str) -> None:
     """Route eval/serving to the int8 MXU path (``ops/quant.py``).
 
@@ -161,8 +192,13 @@ def apply_quant(config: dict, model_name: str, quant: str) -> None:
     eval step.  DeepSets-only (the one model whose forward is dominated by
     the per-point matmul chain); layer_norm configs fall back to float
     inside the model (``DeepSets._phi_mode``).
+
+    ``quant="auto"`` resolves by the measured crossover: int8 iff the
+    widest φ layer is ≥ ``_INT8_AUTO_MIN_WIDTH`` (see the table above),
+    else float — so the flag is safe to pass unconditionally.
     """
-    if quant in (None, "none"):
+    quant = resolve_quant(config, model_name, quant)
+    if quant == "none":
         return
     if model_name != "deep_sets":
         raise ValueError(

@@ -96,7 +96,11 @@ def export_run(
     import jax
     import jax.export as jex
 
-    from point_cloud_classifier_tpu.factory import get_dataloader, get_model
+    from point_cloud_classifier_tpu.factory import (
+        get_dataloader,
+        get_model,
+        resolve_quant,
+    )
     from point_cloud_classifier_tpu.ops.dispatch import force_xla
     from point_cloud_classifier_tpu.utils.config import load_config
 
@@ -108,6 +112,7 @@ def export_run(
             "export covers the jit'd network models"
         )
     dataset_name = config["meta"]["dataset_name"]
+    quant = resolve_quant(config, model_name, quant)
     wrapper = get_model(model_name=model_name, config=config, model_dir=model_dir)
     if loaders is None:
         loaders = [get_dataloader(dataset_name, config).get_test_loader()]

@@ -196,3 +196,24 @@ def test_deep_sets_int8_eval_on_dense_wire():
     np.testing.assert_allclose(
         np.asarray(out_dense), np.asarray(ref_flat), atol=0.05
     )
+
+
+def test_resolve_quant_auto_gates_on_measured_crossover():
+    """``--quant auto`` resolves by the measured int8 crossover (factory
+    table, 2026-08-20: int8 loses at φ width 256/512, wins +12% at 1024):
+    int8 iff deep_sets with max φ width ≥ 1024; never an error path."""
+    from point_cloud_classifier_tpu.factory import apply_quant, resolve_quant
+
+    small = {"model": {"phi_layers": [256, 256]}}
+    big = {"model": {"phi_layers": [512, 1024]}}
+    assert resolve_quant(small, "deep_sets", "auto") == "none"
+    assert resolve_quant(big, "deep_sets", "auto") == "int8"
+    # auto on an unsupported model resolves to none instead of raising
+    assert resolve_quant(big, "graph_net", "auto") == "none"
+    cfg = {"model": {}}
+    apply_quant(cfg, "graph_net", "auto")
+    assert "quant" not in cfg["model"]
+    # explicit int8 still validates (and still errors off-model)
+    assert resolve_quant(small, "deep_sets", "int8") == "int8"
+    apply_quant(big, "deep_sets", "auto")
+    assert big["model"]["quant"] == "int8"

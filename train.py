@@ -265,12 +265,14 @@ def _build_parser() -> argparse.ArgumentParser:
 
     quant_help = (
         "int8: score on the s8 MXU path (dynamic per-row activation × "
-        "per-channel weight quantization, ops/quant.py); deep_sets only"
+        "per-channel weight quantization, ops/quant.py); deep_sets only.  "
+        "auto: int8 iff the measured crossover says it wins (φ width ≥ 1024, "
+        "factory.resolve_quant), else float — safe on any model"
     )
     ep = sub.add_parser("evaluate", help="evaluate a finished run dir")
     ep.add_argument("model_dir")
     ep.add_argument("--save-dir", default=None, help="default: <model_dir>/eval")
-    ep.add_argument("--quant", default="none", choices=["none", "int8"], help=quant_help)
+    ep.add_argument("--quant", default="none", choices=["none", "int8", "auto"], help=quant_help)
 
     rp = sub.add_parser("resume", help="resume an interrupted run dir")
     rp.add_argument("model_dir")
@@ -279,7 +281,7 @@ def _build_parser() -> argparse.ArgumentParser:
     ip.add_argument("model_dir")
     ip.add_argument("--split", default="test", choices=["train", "val", "test"])
     ip.add_argument("--output", default=None)
-    ip.add_argument("--quant", default="none", choices=["none", "int8"], help=quant_help)
+    ip.add_argument("--quant", default="none", choices=["none", "int8", "auto"], help=quant_help)
 
     irp = sub.add_parser(
         "infer-raw", help="serve predictions for a raw shower HDF5 file"
@@ -287,7 +289,7 @@ def _build_parser() -> argparse.ArgumentParser:
     irp.add_argument("model_dir")
     irp.add_argument("--input", required=True, help="raw .h5 shower file")
     irp.add_argument("--output", default=None)
-    irp.add_argument("--quant", default="none", choices=["none", "int8"], help=quant_help)
+    irp.add_argument("--quant", default="none", choices=["none", "int8", "auto"], help=quant_help)
 
     sv = sub.add_parser(
         "serve",
@@ -297,7 +299,7 @@ def _build_parser() -> argparse.ArgumentParser:
     sv.add_argument("model_dir")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8000)
-    sv.add_argument("--quant", default="none", choices=["none", "int8"], help=quant_help)
+    sv.add_argument("--quant", default="none", choices=["none", "int8", "auto"], help=quant_help)
 
     xp = sub.add_parser(
         "export",
@@ -306,7 +308,7 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     xp.add_argument("model_dir")
     xp.add_argument("--out-dir", default=None, help="default: <model_dir>/exported")
-    xp.add_argument("--quant", default="none", choices=["none", "int8"], help=quant_help)
+    xp.add_argument("--quant", default="none", choices=["none", "int8", "auto"], help=quant_help)
     xp.add_argument(
         "--platforms", nargs="+", default=None,
         help="target platforms (e.g. cpu tpu); default: current backend",
