@@ -32,21 +32,13 @@ while true; do
     timeout 420 python bench.py --latency --quant int8 >> "$LOG" 2>&1
     # 3) eval-throughput scoring stream row
     timeout 420 python bench.py --eval-throughput >> "$LOG" 2>&1
-    # 4) int8 crossover hunt: eval-device bf16-vs-int8 at widths 512/1024
-    #    (device-truth, but co-scheduled here so the pairs share a window)
-    for W in 512 1024; do
-      timeout 420 python bench.py --eval-device --phi-width "$W" >> "$LOG" 2>&1
-      timeout 420 python bench.py --eval-device --phi-width "$W" --quant int8 >> "$LOG" 2>&1
-    done
-    # 4b) SAG layout A/B (round-3: SAG rides the dense wire + slot kernel;
-    #     device-truth rows, co-scheduled for same-window ratios)
-    timeout 600 python bench.py --model graph_net --sag >> "$LOG" 2>&1
-    timeout 600 python bench.py --model graph_net --sag --graph-layout flat >> "$LOG" 2>&1
-    timeout 600 python bench.py --model graph_net --sag --gat >> "$LOG" 2>&1
-    # 5) e2e healthy-window re-run (stream + resident, reuses cached data)
+    # (round-3 session 2 already landed the int8 eval-device crossover and
+    # the SAG layout A/B — device-truth rows, measured 2026-08-20 in a
+    # degraded window; see BASELINE.md.  Only truly tunnel-bound rows stay.)
+    # 4) e2e healthy-window re-run (stream + resident, reuses cached data)
     timeout 3000 python scripts/measure_e2e.py --events 10000 \
       --skip-reference --keep /tmp/e2e_data >> "$LOG" 2>&1
-    # 6) trainer step-fusion A/B in the product path (unfused arm = row 5's
+    # 5) trainer step-fusion A/B in the product path (unfused arm = row 4's
     #    resident leg)
     timeout 900 env PCC_FUSE_STEPS=16 python scripts/measure_e2e.py \
       --events 10000 --skip-reference --skip-stream --keep /tmp/e2e_data \
