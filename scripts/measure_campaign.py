@@ -97,6 +97,13 @@ def main() -> None:
            B, P, E, iters=it, warmup=wu, dtype="bfloat16",
            pipeline="resident", fuse=64, layout="flat")
 
+    # 2b) SAG-pool arm on the dense wire (round 3 lifted the flat-only
+    # gate; dense measured 12.4x flat 2026-08-20 — the flat arm is not
+    # re-run here, it costs 10x the row's information)
+    record("sag_dense", bench.measure_graph_jax,
+           B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
+           pipeline="resident", fuse=64, layout="dense", sag_pool=True)
+
     # 3) GAT: slot-softmax kernel (default) vs dense-form kernel vs the
     # XLA matrix formulation.  fuse 64 — the bench default for dense graph
     # workloads: the 2026-08-19 campaign measured the fuse-16 slot row
