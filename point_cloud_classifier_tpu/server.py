@@ -38,14 +38,20 @@ class Scorer:
     """Load a run dir once; score raw shower files thread-safely."""
 
     def __init__(self, model_dir: str, quant: str = "none"):
-        from point_cloud_classifier_tpu.factory import apply_quant, get_model
+        from point_cloud_classifier_tpu.factory import (
+            apply_quant,
+            get_model,
+            resolve_quant,
+        )
         from point_cloud_classifier_tpu.utils.config import load_config
 
         self.config = load_config(os.path.join(model_dir, "config.yaml"))
         self.model_name = self.config["meta"]["model_name"]
         self.dataset_name = self.config["meta"]["dataset_name"]
-        self.quant = quant
-        apply_quant(self.config, self.model_name, quant)
+        # store the RESOLVED path ("auto" → int8/none by the measured
+        # crossover) so /health's quant_active never reports "auto"
+        self.quant = resolve_quant(self.config, self.model_name, quant)
+        apply_quant(self.config, self.model_name, self.quant)
         self.model = get_model(
             model_name=self.model_name, config=self.config, model_dir=model_dir
         )

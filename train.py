@@ -189,14 +189,26 @@ def resume_training(model_dir: str):
     return model
 
 
-def evaluate_model(model_dir: str, save_dir: str, quant: str = "none"):
-    """Reload a finished run and score all splits (reference `train.py:88-139`)."""
+def evaluate_model(model_dir: str, save_dir: str = None, quant: str = "none"):
+    """Reload a finished run and score all splits (reference `train.py:88-139`).
+
+    ``save_dir=None`` resolves to ``<model_dir>/eval`` for the float path
+    and ``<model_dir>/eval_int8`` for a quantized one — decided AFTER
+    ``--quant auto`` resolution, so auto-that-resolves-to-float writes the
+    plain ``eval/`` artifacts (and never an ``eval_auto/``)."""
+    from point_cloud_classifier_tpu.factory import resolve_quant
+
     config_path = os.path.join(model_dir, "config.yaml")
     config = load_config(config_path)
 
     model_name = config["meta"]["model_name"]
     dataset_name = config["meta"]["dataset_name"]
+    quant = resolve_quant(config, model_name, quant)
     _apply_quant(config, model_name, quant)
+    if save_dir is None:
+        sub = "eval" if quant == "none" else f"eval_{quant}"
+        save_dir = os.path.join(model_dir, sub)
+    os.makedirs(save_dir, exist_ok=True)
 
     dataloader = get_dataloader(dataset_name=dataset_name, config=config)
     model = get_model(model_name=model_name, config=config, model_dir=model_dir)
@@ -357,11 +369,12 @@ def main(argv=None) -> None:
     if args.command == "evaluate":
         # quantized eval gets its own default dir: writing into eval/
         # would silently overwrite the float baseline's metrics.json with
-        # int8-path numbers and leave no marker of which path produced them
-        default_eval = "eval" if args.quant == "none" else f"eval_{args.quant}"
-        save_dir = args.save_dir or os.path.join(args.model_dir, default_eval)
-        os.makedirs(save_dir, exist_ok=True)
-        evaluate_model(model_dir=args.model_dir, save_dir=save_dir, quant=args.quant)
+        # int8-path numbers and leave no marker of which path produced
+        # them.  evaluate_model owns the choice — it must happen AFTER
+        # --quant auto resolves against the run's config
+        evaluate_model(
+            model_dir=args.model_dir, save_dir=args.save_dir, quant=args.quant
+        )
         return
 
     if args.command == "resume":
