@@ -178,7 +178,12 @@ def resolve_quant(config: dict, model_name: str, quant: str) -> str:
     if quant == "auto":
         if model_name != "deep_sets":
             return "none"
-        widths = config.get("model", {}).get("phi_layers") or []
+        model_cfg = config.get("model", {})
+        if model_cfg.get("layer_norm"):
+            # DeepSets._phi_mode falls back to float under layer_norm, so
+            # "int8" here would only mislabel artifacts that ran float
+            return "none"
+        widths = model_cfg.get("phi_layers") or []
         if not widths or max(widths) < _INT8_AUTO_MIN_WIDTH:
             return "none"
         return "int8"

@@ -74,7 +74,7 @@ def _lane_chunks(t: int):
     return [(c0, min(c0 + 128, t)) for c0 in range(0, t, 128)]
 
 
-def _score_chunk(t: int) -> bool:
+def _score_chunk() -> bool:
     """Trace-time gate for 128-lane-chunked score gathers.
 
     MEASURED NEGATIVE RESULT (kept as an A/B knob + parity test).  The
@@ -88,12 +88,16 @@ def _score_chunk(t: int) -> bool:
     FEATURE gathers — the dots that actually dominate the M=288 cliff —
     cannot benefit at all (probe chunkT 0.1463 vs monolithic 0.1482
     us/dot: their cost is K-rows x lane-tile count, pure tile
-    arithmetic).  Default off; PCC_GAT_SCORE_CHUNK = auto | on | off.
+    arithmetic).  Default off; PCC_GAT_SCORE_CHUNK = on | off.
     """
-    mode = os.environ.get("PCC_GAT_SCORE_CHUNK", "auto")
-    if mode == "on":
-        return True
-    return False
+    mode = os.environ.get("PCC_GAT_SCORE_CHUNK", "off")
+    if mode not in ("on", "off"):
+        # an unrecognized value silently measuring the default arm is how
+        # the gb-knob A/B went void (docs/kernels.md) — fail loudly
+        raise ValueError(
+            f"PCC_GAT_SCORE_CHUNK must be 'on' or 'off', got {mode!r}"
+        )
+    return mode == "on"
 
 
 def _adj_mask_xla(in_src, in_w, m):
@@ -426,7 +430,7 @@ def _slot_prep(sdT_ref, ssT_ref, srcT_ref, wT_ref, xw_ref,
     # [T, D*H] transpose), and the row-form s_src operand drops off the
     # wire entirely.  Whole-step: 98,010 vs 79,878 graphs/sec (+22.7%,
     # same-window resident A/B, fwd + bwd-recompute both benefit).
-    chunk_scores = _score_chunk(t)
+    chunk_scores = _score_chunk()
     sgT_rows, xwg = [], []
     for dd in range(d):
         o = oh(dd)

@@ -6,7 +6,7 @@ trained run over HTTP with the run's own preprocessing pipeline and the
 persisted dataset-creation scalers, so a production client POSTs the raw
 instrument file and gets per-event probabilities back:
 
-    python train.py serve log/version_0 --port 8000 [--quant int8]
+    python train.py serve log/version_0 --port 8000 [--quant int8|auto]
 
     POST /predict   body = raw shower HDF5 bytes → JSON predictions
     GET  /health    → {"status": "ok", "model": ..., "quant": ...}

@@ -59,10 +59,12 @@ VARIANTS = [
     "vpu_exp_256", "vpu_exp_288", "vpu_exp_384",
 ]
 
+# the production kernel's chunk helper — probe and kernel provably tile
+# the same way
+import sys  # noqa: E402
 
-def _lane_chunks(m: int):
-    """[0, m) in 128-lane pieces (the last may be a remainder)."""
-    return [(c0, min(c0 + 128, m)) for c0 in range(0, m, 128)]
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from point_cloud_classifier_tpu.ops.gat_pallas import _lane_chunks  # noqa: E402
 
 
 def _build(name: str, reps: int):
@@ -167,9 +169,18 @@ def main() -> None:
     a = jnp.array(rng.standard_normal((MMAX, MMAX)), jnp.float32)
     b = jnp.array(rng.standard_normal((MMAX, MMAX)), jnp.float32)
     # PCC_PROBE_ONLY=name1,name2: subset (degraded-window compiles are
-    # slow; the full 14-variant list can exceed a 15-min budget)
+    # slow; the full 17-variant list can exceed a 15-min budget)
     only = os.environ.get("PCC_PROBE_ONLY")
-    variants = only.split(",") if only else VARIANTS
+    if only:
+        variants = [v.strip() for v in only.split(",") if v.strip()]
+        unknown = [v for v in variants if v not in VARIANTS]
+        if unknown:
+            raise SystemExit(
+                f"PCC_PROBE_ONLY: unknown variant(s) {unknown}; "
+                f"choose from {VARIANTS}"
+            )
+    else:
+        variants = VARIANTS
     print(f"{'variant':20s} {'us/op':>8s}")
     for name in variants:
         lo = _best_time(_build(name, 16), a, b)

@@ -217,3 +217,7 @@ def test_resolve_quant_auto_gates_on_measured_crossover():
     assert resolve_quant(small, "deep_sets", "int8") == "int8"
     apply_quant(big, "deep_sets", "auto")
     assert big["model"]["quant"] == "int8"
+    # layer_norm configs run the float phi path inside DeepSets, so auto
+    # must not label them int8 (the artifacts would be float numbers)
+    ln = {"model": {"phi_layers": [1024], "layer_norm": True}}
+    assert resolve_quant(ln, "deep_sets", "auto") == "none"
