@@ -686,10 +686,29 @@ class GraphNet(nn.Module):
                 # mask); slot validity is w != 0 and self-loops are
                 # unconditional, so conv2's kernel sees exactly the
                 # masked-adjacency graph (adj·keep·keepᵀ | eye)
+                # keep[src] WITHOUT a gather: jnp.take_along_axis here
+                # lowered to an XLA scalar gather at ~14 ns/element —
+                # profiled 2.67 ms/step, 44% of the WHOLE GAT+SAG step
+                # (fusion.263, 2026-08-20; same pathology as the round-1
+                # scatter finding).  D broadcast-compare+reduce passes —
+                # the in-step adjacency build's trick — compute the
+                # identical 0/1 values for ~an adjacency-build's cost.
                 in_src_i = batch["in_src"].astype(jnp.int32)
-                keep_src = jnp.take_along_axis(
-                    keep, in_src_i.reshape(b, -1), axis=1
-                ).reshape(in_src_i.shape)
+                iota = jnp.arange(m, dtype=jnp.int32)[None, None, :]
+                keep_src = jnp.stack(
+                    [
+                        jnp.sum(
+                            jnp.where(
+                                in_src_i[:, :, dd, None] == iota,
+                                keep[:, None, :],
+                                0.0,
+                            ),
+                            axis=-1,
+                        )
+                        for dd in range(in_src_i.shape[-1])
+                    ],
+                    axis=-1,
+                )
                 gat_in_w[0] = (
                     gat_in_w[0]
                     * keep_src.astype(gat_in_w[0].dtype)

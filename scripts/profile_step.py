@@ -39,7 +39,10 @@ def capture(args) -> str:
     import bench
     from point_cloud_classifier_tpu.models import DeepSets, GraphNet, ModelWrapper
 
-    outdir = args.out or f"/tmp/trace_{args.model}{'_gat' if args.gat else ''}"
+    outdir = args.out or (
+        f"/tmp/trace_{args.model}{'_gat' if args.gat else ''}"
+        f"{'_sag' if args.sag else ''}"
+    )
     shutil.rmtree(outdir, ignore_errors=True)
 
     fuse = args.fuse
@@ -48,6 +51,7 @@ def capture(args) -> str:
         model = GraphNet(
             input_dim=4, hidden_dim=128, output_dim=1, activation="tanh",
             deepchem_style=True, compute_dtype="bfloat16", use_gat=args.gat,
+            sag_pool=args.sag,
         )
         batches = [
             bench._graph_batch_dense_inrow(b, n, e, 4, seed=s, half=True)
@@ -174,6 +178,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="deep_sets", choices=["deep_sets", "graph_net"])
     ap.add_argument("--gat", action="store_true")
+    ap.add_argument("--sag", action="store_true")
     ap.add_argument("--fuse", type=int, default=16)
     ap.add_argument("--tiny", action="store_true", help="CPU-sized smoke shapes")
     ap.add_argument("--top", type=int, default=20)
