@@ -103,6 +103,10 @@ def main() -> None:
     record("sag_dense", bench.measure_graph_jax,
            B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
            pipeline="resident", fuse=64, layout="dense", sag_pool=True)
+    record("gat_sag_dense", bench.measure_graph_jax,
+           B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
+           pipeline="resident", fuse=64, layout="dense", use_gat=True,
+           sag_pool=True)
 
     # 3) GAT: slot-softmax kernel (default) vs dense-form kernel vs the
     # XLA matrix formulation.  fuse 64 — the bench default for dense graph
