@@ -85,6 +85,19 @@ def main() -> None:
            B, P, 6, iters=it, warmup=wu, dtype="bfloat16",
            pipeline="resident", fuse=256, pc_layout="flat")
 
+    # 1b) mesh step-fusion A/B (round 3: fusion works under a mesh) —
+    # resident + sharded per-batch device arrays, so device-truth; on the
+    # single real chip the mesh is (1, 1) and the pair isolates the
+    # fusion mechanism's overhead (measured 2.31x fused-vs-unfused with
+    # the unfused arm dispatch-bound, 1.5% off the meshless arm,
+    # 2026-08-20)
+    record("deep_sets_mesh_fuse16", bench.measure_jax,
+           B, P, 6, iters=it, warmup=wu, dtype="bfloat16",
+           pipeline="resident", fuse=16, pc_layout="dense", use_mesh=True)
+    record("deep_sets_mesh_fuse1", bench.measure_jax,
+           B, P, 6, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
+           pipeline="resident", fuse=1, pc_layout="dense", use_mesh=True)
+
     # 2) graph_net: dense in-row (default) and flat.  fuse 64 (the bench
     # default depth): the 2026-08-18 campaign measured fuse-16 graph rows
     # ~40% low in a window whose per-dispatch cost had quadrupled while
