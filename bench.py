@@ -511,10 +511,13 @@ def measure_graph_jax(
     use_gat: bool = False,
     fused_inrow: bool = False,
     sag_pool: bool = False,
+    local_pooling: str = "add",
 ) -> float:
     """graph_net train-step throughput (reference config: GraphConv h128 tanh;
     --gat swaps in the GATConv variant, h128 over 4 heads; --sag adds
-    SAGPooling at the reference sweep's ratio 0.5)."""
+    SAGPooling at the reference sweep's ratio 0.5; --graph-pooling max
+    measures the in-row one-hot max arm the sweep's local_pooling=max
+    configs ride)."""
     import jax
 
     from point_cloud_classifier_tpu.models import GraphNet, ModelWrapper
@@ -529,6 +532,7 @@ def measure_graph_jax(
         use_gat=use_gat,
         fused_inrow=fused_inrow,
         sag_pool=sag_pool,
+        local_pooling=local_pooling,
     )
     wrapper = ModelWrapper(model, learning_rate=1e-3, epochs=1)
     half = dtype == "bfloat16"
@@ -1191,6 +1195,14 @@ def main(argv=None) -> None:
         "flat edge lists",
     )
     parser.add_argument(
+        "--graph-pooling",
+        default="add",
+        choices=["add", "mean", "max"],
+        help="graph_net GraphConv local_pooling (the reference sweep "
+        "samples all three; max rides per-slot one-hot einsums on the "
+        "dense wire since round 3)",
+    )
+    parser.add_argument(
         "--phi",
         default="auto",
         choices=["auto", "on", "off", "tail"],
@@ -1442,12 +1454,14 @@ def main(argv=None) -> None:
             use_gat=args.gat,
             fused_inrow=args.fused_inrow,
             sag_pool=args.sag,
+            local_pooling=args.graph_pooling,
         )
         print(
             json.dumps(
                 {
                     "metric": "graph_net_train_graphs_per_sec"
-                    + ("_sag" if args.sag else ""),
+                    + ("_sag" if args.sag else "")
+                    + (f"_{args.graph_pooling}" if args.graph_pooling != "add" else ""),
                     "value": round(cps, 2),
                     "unit": "graphs/sec",
                     "vs_baseline": None,

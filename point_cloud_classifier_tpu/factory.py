@@ -70,13 +70,11 @@ def get_dataloader(dataset_name: str, config: dict):
             and not mdl_gate.get("sag_pool", False)
             and ds_cfg.get("graph_layout") in ("dense", "auto")
         ):
-            # dense max pooling (explicitly pinned layouts only — the
-            # default routing below keeps max flat) runs over the in-row
-            # wire WITH out rows (inrow_max_aggregate's backward); a batch
-            # the loader can only ship as edge_slot triples or without out
-            # rows must ride the flat wire instead of crashing the dense
-            # path mid-epoch.
-            ds_cfg.setdefault("emit_out_rows", True)
+            # dense max pooling runs over the in-row wire (per-slot
+            # one-hot einsums since round 3 — no out-row mirror needed); a
+            # batch the loader can only ship as edge_slot triples must
+            # ride the flat wire instead of crashing the dense path
+            # mid-epoch.
             ds_cfg.setdefault("require_inrow", True)
         if (
             mdl_gate.get("fused_inrow", False)
@@ -109,12 +107,23 @@ def get_dataloader(dataset_name: str, config: dict):
                 if ds_cfg.get("use_weights", True):
                     ds_cfg.setdefault("dense_w_is_existence", True)
             else:
-                # max stays flat BY DEFAULT: the dense in-row max exists
-                # (inrow_max_aggregate, exact flat parity) but its gather
-                # backward measured 0.6x the flat segment_max on TPU
-                # (10.2k vs 16.8k graphs/sec same-window) — layout
-                # portability, not a training default
-                eligible = mdl.get("local_pooling", "add") in ("add", "mean")
+                # max rides dense BY DEFAULT since round 3: the first-cut
+                # inrow_max_aggregate used a take_along_axis gather and
+                # measured 0.6x the flat segment_max (10.2k vs 16.8k
+                # graphs/sec) — demoted; the one-hot-einsum rewrite
+                # measured **129,716 vs 24,445 flat (5.3x)** same-window
+                # 2026-08-20 (add-dense anchor 290.8k reproduced the
+                # headline, so the window is comparable)
+                eligible = mdl.get("local_pooling", "add") in (
+                    "add", "mean", "max",
+                )
+                if mdl.get("local_pooling", "add") == "max":
+                    # SAG+max stays flat (the model's dense gate: SAG's
+                    # rank-and-mask drops would need a second gathered
+                    # mask); edge_slot-triple-only batches fall back to
+                    # flat instead of crashing the in-row max mid-epoch
+                    eligible = eligible and not mdl.get("sag_pool", False)
+                    ds_cfg.setdefault("require_inrow", True)
             eligible = eligible and not mdl.get("knn_k", 0)
             ds_cfg["graph_layout"] = "auto" if eligible else "flat"
         return Step2PointGraph(**ds_cfg)

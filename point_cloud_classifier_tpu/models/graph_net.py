@@ -457,16 +457,16 @@ class GraphNet(nn.Module):
         # local_pooling is irrelevant under GAT (the reference picks GATConv
         # OR GraphConv(aggr=local_pooling), `models/graph_net.py:46-51`).
         # max dense-ifies via the in-row lists (it doesn't factor through an
-        # adjacency matmul): needs the in-row wire + out-row mirror for the
-        # gather backward, and stays flat under SAG (whose rank-and-mask
-        # edge drops would need a second gathered mask).
+        # adjacency matmul): per-slot one-hot einsums gather the neighbour
+        # features (ops/inrow_graph.inrow_max_aggregate — no out-row mirror
+        # needed since the round-3 rewrite; autodiff emits transpose
+        # einsums, not scatters).  Stays flat under SAG (whose rank-and-
+        # mask edge drops would need a second gathered mask).
         inrow_max = (
             not self.use_gat
             and self.local_pooling == "max"
             and not self.sag_pool
             and "in_src" in batch
-            and "out_dst" in batch
-            and "out_pos" in batch
         )
         if self.knn_k > 0 or (
             self.local_pooling == "max" and not self.use_gat and not inrow_max
@@ -642,12 +642,7 @@ class GraphNet(nn.Module):
                 )
 
                 agg = inrow_max_aggregate(
-                    h,
-                    batch["in_src"].astype(jnp.int32),
-                    batch["in_w"],
-                    batch["out_dst"].astype(jnp.int32),
-                    batch["out_pos"].astype(jnp.int32),
-                    batch["out_w"],
+                    h, batch["in_src"].astype(jnp.int32), batch["in_w"]
                 )
                 return GraphConv(self.hidden_dim, self.local_pooling)(h, agg=agg)
             if fused:

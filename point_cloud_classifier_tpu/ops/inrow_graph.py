@@ -268,23 +268,40 @@ def _inrow_gather_bwd(residuals, g):
 inrow_gather.defvjp(_inrow_gather_fwd, _inrow_gather_bwd)
 
 
-def inrow_max_aggregate(h, in_src, in_w, out_dst, out_pos, out_w):
+def inrow_max_aggregate(h, in_src, in_w, out_dst=None, out_pos=None,
+                        out_w=None):
     """Masked neighbour max over the in-row lists: ``agg[b,i] = max_d
     in_w[b,i,d] · h[b, in_src[b,i,d]]`` with padding slots (w=0) excluded
     and all-masked rows returning 0 (the flat path's isfinite guard,
     models/graph_net.GraphConv).
 
     Dense-ifies ``local_pooling="max"`` — max doesn't factor through an
-    adjacency contraction, so the adjacency is never built; the gather's
-    backward rides the out-row mirror (only argmax slots carry cotangent,
-    and those are always valid slots, satisfying :func:`inrow_gather`'s
-    contract).  Parity with the flat layout is exact on simple graphs; a
-    duplicate-merged multigraph takes max over UNIQUE edges with summed
-    weight/multiplicity (documented divergence, like the dense-GAT w≠0
-    caveat — the lineage builder's graphs are simple).
+    adjacency contraction, so per-slot neighbour features are gathered as
+    D ONE-HOT EINSUMS (``[B, M, M] @ [B, M, C]`` — each one-hot row has
+    exactly one nonzero, so the f32-accumulated contraction reproduces
+    the gathered value exactly) and the running max folds slot by slot.
+    The first cut used ``inrow_gather`` (``take_along_axis`` + the
+    out-row-mirror backward) and measured 0.6x the FLAT segment_max
+    (10.2k vs 16.8k graphs/sec) — an XLA gather pathology of the same
+    family as the round-3 GAT+SAG keep-mask find (14 ns/element; see
+    docs/kernels.md).  The one-hot form needs no out-row mirror (its
+    backward is the transpose einsums XLA autodiff emits — MXU work, no
+    scatter); ``out_dst``/``out_pos``/``out_w`` are accepted and ignored
+    for call compatibility.  Parity with the flat layout is exact on
+    simple graphs; a duplicate-merged multigraph takes max over UNIQUE
+    edges with summed weight/multiplicity (documented divergence, like
+    the dense-GAT w≠0 caveat — the lineage builder's graphs are simple).
     """
-    gathered = inrow_gather(h, in_src, out_dst, out_pos, out_w)  # [B, M, D, C]
-    msg = gathered.astype(jnp.float32) * in_w[..., None].astype(jnp.float32)
-    masked = jnp.where(in_w[..., None] != 0, msg, -jnp.inf)
-    agg = jnp.max(masked, axis=2)
+    b, m, _ = h.shape
+    src = in_src.astype(jnp.int32)
+    iota = jnp.arange(m, dtype=jnp.int32)[None, None, :]
+    agg = None
+    for d in range(in_src.shape[-1]):
+        oh = (src[:, :, d, None] == iota).astype(h.dtype)  # [B, M, M]
+        g_d = jnp.einsum(
+            "bij,bjf->bif", oh, h, preferred_element_type=jnp.float32
+        )  # exact per-slot gather on the MXU
+        w_d = in_w[:, :, d, None].astype(jnp.float32)
+        m_d = jnp.where(w_d != 0, g_d * w_d, -jnp.inf)
+        agg = m_d if agg is None else jnp.maximum(agg, m_d)
     return jnp.where(jnp.isfinite(agg), agg, 0.0).astype(h.dtype)

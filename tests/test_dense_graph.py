@@ -122,10 +122,10 @@ def test_dense_auto_falls_back_for_oversized_batches():
 
 
 def test_dense_rejects_max_aggregation():
-    """max needs the in-row wire + out-row mirror (no adjacency
-    factorisation); without them the dense layout rejects it.  GAT runs
-    dense regardless (its use of local_pooling is vacuous, like the
-    reference's)."""
+    """max rides the in-row wire via per-slot one-hot einsums (round-3
+    rewrite — no out-row mirror needed), so a plain dense batch RUNS;
+    only SAG+max stays flat.  GAT runs dense regardless (its use of
+    local_pooling is vacuous, like the reference's)."""
     graphs = _random_graphs(n_graphs=2, seed=2)
     dense = GraphLoader(graphs, batch_size=2, shuffle=False, layout="dense")
     batch = next(iter(dense))  # no out rows
@@ -133,8 +133,7 @@ def test_dense_rejects_max_aggregation():
         input_dim=4, hidden_dim=8, output_dim=1, activation="tanh",
         local_pooling="max",
     )
-    with pytest.raises(ValueError, match="dense graph layout"):
-        model.init(jax.random.PRNGKey(0), batch, train=False)
+    model.init(jax.random.PRNGKey(0), batch, train=False)  # fine since r3
     # SAG keeps max on the flat layout even with the full wire
     full = next(iter(GraphLoader(
         graphs, batch_size=2, shuffle=False, layout="dense", emit_out_rows=True
@@ -898,9 +897,10 @@ def test_require_inrow_host_wire_demotes_to_flat():
 
 
 def test_factory_dense_max_sets_inrow_gates(tmp_path, monkeypatch):
-    """Pinned dense/auto layout + max pooling gets emit_out_rows AND
-    require_inrow defaulted by the factory (the dense max path needs the
-    full in-row wire; degree-outlier batches must ride flat)."""
+    """Max-pooling configs get require_inrow defaulted by the factory on
+    both pinned and default-routed layouts (the dense max path needs the
+    in-row wire; edge-triple / degree-outlier batches must ride flat),
+    and SAG+max stays flat."""
     import point_cloud_classifier_tpu.factory as factory_mod
 
     seen = {}
@@ -915,17 +915,30 @@ def test_factory_dense_max_sets_inrow_gates(tmp_path, monkeypatch):
         "model": {"local_pooling": "max"},
     }
     factory_mod.get_dataloader("s2pg", config)
-    assert seen["emit_out_rows"] is True
     assert seen["require_inrow"] is True
+    # the one-hot-einsum max (round 3) needs no out-row mirror
+    assert "emit_out_rows" not in seen
 
-    # default routing keeps max flat: no gates
+    # default routing also rides dense since round 3 (129.7k vs 24.4k
+    # flat), with the same edge-triple fallback gate
     seen.clear()
     factory_mod.get_dataloader(
         "s2pg",
         {"dataset": {"data_dir": str(tmp_path)}, "model": {"local_pooling": "max"}},
     )
+    assert seen["graph_layout"] == "auto"
+    assert seen["require_inrow"] is True
+
+    # SAG+max stays flat (the model's dense gate rejects the combo)
+    seen.clear()
+    factory_mod.get_dataloader(
+        "s2pg",
+        {
+            "dataset": {"data_dir": str(tmp_path)},
+            "model": {"local_pooling": "max", "sag_pool": True},
+        },
+    )
     assert seen["graph_layout"] == "flat"
-    assert "require_inrow" not in seen
 
     # GAT ignores local_pooling — no max gates
     seen.clear()

@@ -236,16 +236,26 @@ def test_cli_infer_quant_int8(caches, tmp_path):
 
 
 def test_graph_layout_eligibility_sees_model_config(caches):
-    """get_dataloader must downgrade to the flat layout for max aggregation
-    (and the vmapped sweep must pass the model section through — a max
-    group fed dense batches would crash every arm into status_log)."""
+    """get_dataloader must see the model section to route layouts (the
+    vmapped sweep passes it through — a mis-routed group would crash every
+    arm into status_log).  Since round 3 max ALSO rides dense (one-hot
+    einsum aggregation, 5.3× flat) with the in-row fallback gate; SAG+max
+    is the remaining flat-locked combo."""
     from train import get_dataloader
 
     base = {"data_dir": caches, "batch_size": 4}
     flat = get_dataloader(
-        "s2pg", {"dataset": dict(base), "model": {"local_pooling": "max"}}
+        "s2pg",
+        {
+            "dataset": dict(base),
+            "model": {"local_pooling": "max", "sag_pool": True},
+        },
     )
     assert flat.graph_layout == "flat"
+    max_dense = get_dataloader(
+        "s2pg", {"dataset": dict(base), "model": {"local_pooling": "max"}}
+    )
+    assert max_dense.graph_layout == "auto"
     dense = get_dataloader(
         "s2pg", {"dataset": dict(base), "model": {"local_pooling": "add"}}
     )
