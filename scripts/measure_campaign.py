@@ -116,6 +116,9 @@ def main() -> None:
     record("sag_dense", bench.measure_graph_jax,
            B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
            pipeline="resident", fuse=64, layout="dense", sag_pool=True)
+    record("max_dense", bench.measure_graph_jax,
+           B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
+           pipeline="resident", fuse=64, layout="dense", local_pooling="max")
     record("gat_sag_dense", bench.measure_graph_jax,
            B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
            pipeline="resident", fuse=64, layout="dense", use_gat=True,
