@@ -1253,11 +1253,14 @@ def main(argv=None) -> None:
             # window, deep_sets: fuse 16 -> 2.81 ms/step, 64 -> 1.40,
             # 256 -> 1.03 = the healthy-window device truth).  deep_sets
             # batches are ~0.7 MB on the wire, so 256 of them sit fine in
-            # HBM; graph in-row batches are ~4 MB -> fuse 64; host-wire
-            # dense graph batches carry a [B, M, M] adjacency (~134 MB
-            # each at the flagship shape) -> fuse 4
+            # HBM; graph in-row batches are ~4 MB -> 256 stack to ~1 GB,
+            # still fine (fuse 64 measured 288.4k vs 256's 322.8k
+            # graphs/sec same-window 2026-08-20 — ~11% residual dispatch
+            # cost at 64 in degraded windows; GAT/SAG/max rows gain 3-6%
+            # too); host-wire dense graph batches carry a [B, M, M]
+            # adjacency (~134 MB each at the flagship shape) -> fuse 4
             if args.model == "graph_net":
-                args.fuse = 4 if args.graph_layout == "dense-host" else 64
+                args.fuse = 4 if args.graph_layout == "dense-host" else 256
             elif args.model == "fully_connected_net":
                 # the tabular step is microseconds, so only a very deep
                 # scan amortizes per-dispatch cost; batches are ~1.3 KB,
