@@ -98,30 +98,30 @@ def main() -> None:
            B, P, 6, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
            pipeline="resident", fuse=1, pc_layout="dense", use_mesh=True)
 
-    # 2) graph_net: dense in-row (default) and flat.  fuse 64 (the bench
-    # default depth): the 2026-08-18 campaign measured fuse-16 graph rows
-    # ~40% low in a window whose per-dispatch cost had quadrupled while
-    # the fuse-256 deep_sets row held — shallow fuse is NOT device-truth
-    # in dispatch-degraded windows
+    # 2) graph_net: dense in-row (default) and flat.  fuse 256 (the bench
+    # default since round 3: fuse-64 graph rows still carried ~11%
+    # dispatch cost in degraded windows — 288.4k vs 322.8k same-window
+    # 2026-08-20; the 2026-08-18 campaign had already measured fuse-16
+    # graph rows ~40% low in a dispatch-degraded window)
     record("graph_net_dense_inrow", bench.measure_graph_jax,
            B, P, E, iters=it, warmup=wu, dtype="bfloat16",
-           pipeline="resident", fuse=64, layout="dense")
+           pipeline="resident", fuse=256, layout="dense")
     record("graph_net_flat", bench.measure_graph_jax,
            B, P, E, iters=it, warmup=wu, dtype="bfloat16",
-           pipeline="resident", fuse=64, layout="flat")
+           pipeline="resident", fuse=256, layout="flat")
 
     # 2b) SAG-pool arm on the dense wire (round 3 lifted the flat-only
     # gate; dense measured 12.4x flat 2026-08-20 — the flat arm is not
     # re-run here, it costs 10x the row's information)
     record("sag_dense", bench.measure_graph_jax,
            B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
-           pipeline="resident", fuse=64, layout="dense", sag_pool=True)
+           pipeline="resident", fuse=256, layout="dense", sag_pool=True)
     record("max_dense", bench.measure_graph_jax,
            B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
-           pipeline="resident", fuse=64, layout="dense", local_pooling="max")
+           pipeline="resident", fuse=256, layout="dense", local_pooling="max")
     record("gat_sag_dense", bench.measure_graph_jax,
            B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
-           pipeline="resident", fuse=64, layout="dense", use_gat=True,
+           pipeline="resident", fuse=256, layout="dense", use_gat=True,
            sag_pool=True)
 
     # 3) GAT: slot-softmax kernel (default) vs dense-form kernel vs the
@@ -131,7 +131,7 @@ def main() -> None:
     # (dispatch inflation, same failure mode as the graph rows above)
     record("gat_slot_kernel", bench.measure_graph_jax,
            B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
-           pipeline="resident", fuse=64, layout="dense", use_gat=True)
+           pipeline="resident", fuse=256, layout="dense", use_gat=True)
     import point_cloud_classifier_tpu.models.wrapper as mw
     import point_cloud_classifier_tpu.ops.gat_pallas as gp
 
@@ -140,7 +140,7 @@ def main() -> None:
     try:
         record("gat_dense_kernel", bench.measure_graph_jax,
                B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
-               pipeline="resident", fuse=64, layout="dense", use_gat=True)
+               pipeline="resident", fuse=256, layout="dense", use_gat=True)
     finally:
         os.environ.pop("PCC_GAT_KERNEL", None)
         mw._STEP_CACHE.clear()
@@ -151,7 +151,7 @@ def main() -> None:
     try:
         record("gat_matrix", bench.measure_graph_jax,
                B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
-               pipeline="resident", fuse=64, layout="dense", use_gat=True)
+               pipeline="resident", fuse=256, layout="dense", use_gat=True)
     finally:
         gp._shapes_ok = shapes_ok
         mw._STEP_CACHE.clear()
