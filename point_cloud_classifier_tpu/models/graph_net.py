@@ -473,12 +473,12 @@ class GraphNet(nn.Module):
         ):
             raise ValueError(
                 "dense graph layout supports GraphConv add/mean, GAT, and "
-                "max over the in-row device wire with out-rows "
-                "(GraphLoader(emit_out_rows=True, require_inrow=True) — "
-                "the factory sets both for pinned dense/auto max configs; "
-                "require_inrow routes degree-outlier batches to the flat "
-                "wire instead of this error — no SAG); use the flat "
-                "(edge list) layout otherwise / for knn_k"
+                "max over the in-row device wire "
+                "(GraphLoader(require_inrow=True) — the factory sets it "
+                "for pinned dense/auto max configs; require_inrow routes "
+                "degree-outlier batches to the flat wire instead of this "
+                "error); use the flat (edge list) layout otherwise / for "
+                "knn_k"
             )
         dtype = resolve_dtype(self.compute_dtype)
         x = batch["nodes"].astype(dtype)

@@ -207,6 +207,12 @@ class ModelWrapper:
         # (the trainer section is splatted into this constructor).
         env_dp = os.environ.get("PCC_DATA_PARALLEL")
         if env_dp is not None:
+            # strict 0/1 like PCC_FUSE_STEPS/PCC_N_MODEL: a silently
+            # ignored "true"/"yes" would void a mesh A/B
+            if env_dp not in ("0", "1"):
+                raise ValueError(
+                    f"PCC_DATA_PARALLEL must be '0' or '1', got {env_dp!r}"
+                )
             data_parallel = env_dp == "1"
         env_nm = os.environ.get("PCC_N_MODEL")
         if env_nm is not None:

@@ -22,10 +22,10 @@ class TrainingLogger:
         self.model_name = model_name
         self.dataset_name = dataset_name
         self.save_dir = log_dir
-        self.version = self._calculate_version()
-        self._setup_log()
+        self.version = self._next_free_version()
+        self._create_run_dir()
 
-    def _calculate_version(self) -> str:
+    def _next_free_version(self) -> str:
         version = 0
         while os.path.exists(os.path.join(self.save_dir, f"version_{version}")):
             version += 1
@@ -38,7 +38,7 @@ class TrainingLogger:
     def version_dir(self) -> str:
         return os.path.join(self.save_dir, f"version_{self.version}")
 
-    def _setup_log(self) -> None:
+    def _create_run_dir(self) -> None:
         os.makedirs(self.version_dir)
         metainfo = {
             "dataset": self.dataset_name,

@@ -385,8 +385,9 @@ def test_dense_gat_matches_flat_logits(sag_pool, deepchem_style):
 def test_dense_gat_training_matches_flat(sag_pool):
     """sag_pool=True covers the inrow_gat+SAG path end-to-end: conv2 runs
     the in-row attention on keep-masked weights (gradients flow through
-    the take_along_axis keep gather), which must train identically to the
-    flat segment-softmax arm."""
+    the broadcast-compare keep[src] masking — the round-3 rewrite that
+    replaced the take_along_axis gather), which must train identically to
+    the flat segment-softmax arm."""
     from point_cloud_classifier_tpu.models import ModelWrapper
 
     graphs = _random_graphs(n_graphs=8, seed=9)
