@@ -118,11 +118,11 @@ def get_dataloader(dataset_name: str, config: dict):
                     "add", "mean", "max",
                 )
                 if mdl.get("local_pooling", "add") == "max":
-                    # SAG+max stays flat (the model's dense gate: SAG's
-                    # rank-and-mask drops would need a second gathered
-                    # mask); edge_slot-triple-only batches fall back to
-                    # flat instead of crashing the in-row max mid-epoch
-                    eligible = eligible and not mdl.get("sag_pool", False)
+                    # SAG+max rides dense since round 4 (conv2's in-row
+                    # weights are keep-masked via the broadcast-compare
+                    # keep[src] trick — the same composition as GAT+SAG);
+                    # edge_slot-triple-only batches fall back to flat
+                    # instead of crashing the in-row max mid-epoch
                     ds_cfg.setdefault("require_inrow", True)
             eligible = eligible and not mdl.get("knn_k", 0)
             ds_cfg["graph_layout"] = "auto" if eligible else "flat"

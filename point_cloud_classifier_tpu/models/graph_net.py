@@ -449,10 +449,12 @@ class GraphNet(nn.Module):
         adjacency mask plus one matmul per head (see :class:`GATConv`); the
         dense wire encodes edge existence as w ≠ 0, so a weighted GAT
         (which torch_geometric's GATConv rejects outright) would treat
-        zero-weight edges as absent.  Max aggregation (no SAG) runs over
-        the in-row lists directly (``ops/inrow_graph.inrow_max_aggregate``
-        — max doesn't factor through an adjacency contraction, so the
-        adjacency is never built); under SAG it keeps the flat layout.
+        zero-weight edges as absent.  Max aggregation runs over the in-row
+        lists directly (``ops/inrow_graph.inrow_max_aggregate`` — max
+        doesn't factor through an adjacency contraction, so the adjacency
+        is never built without SAG; under SAG it is built once for the
+        score conv and conv2's in-row weights are keep-masked, exactly as
+        in the GAT+SAG composition).
         """
         # local_pooling is irrelevant under GAT (the reference picks GATConv
         # OR GraphConv(aggr=local_pooling), `models/graph_net.py:46-51`).
@@ -460,12 +462,14 @@ class GraphNet(nn.Module):
         # adjacency matmul): per-slot one-hot einsums gather the neighbour
         # features (ops/inrow_graph.inrow_max_aggregate — no out-row mirror
         # needed since the round-3 rewrite; autodiff emits transpose
-        # einsums, not scatters).  Stays flat under SAG (whose rank-and-
-        # mask edge drops would need a second gathered mask).
+        # einsums, not scatters).  SAG composes the same way it does with
+        # the GAT slot kernel: the aggregate's w==0 slot gate means
+        # zeroing the in-row weights of edges touching dropped nodes
+        # (broadcast-compare keep[src] · keep[dst], never a gather)
+        # reproduces the flat path's edge filtering exactly.
         inrow_max = (
             not self.use_gat
             and self.local_pooling == "max"
-            and not self.sag_pool
             and "in_src" in batch
         )
         if self.knn_k > 0 or (
@@ -541,7 +545,7 @@ class GraphNet(nn.Module):
             f_out_dst = batch["out_dst"].astype(jnp.int32)
             f_out_w = batch["out_w"].astype(dtype)
             adj = None
-        elif (inrow_gat and not self.sag_pool) or inrow_max:
+        elif (inrow_gat or inrow_max) and not self.sag_pool:
             adj = None  # never materialised (SAG needs it for its score conv)
         elif "adj" in batch:
             adj = batch["adj"].astype(dtype)
@@ -618,10 +622,11 @@ class GraphNet(nn.Module):
                 b, m, -1
             )
 
-        # mutable cell so the SAG block can swap in keep-masked weights for
+        # mutable cells so the SAG block can swap in keep-masked weights for
         # conv2 while conv1 reads the raw wire (nn.compact shares one conv
         # closure across both calls)
         gat_in_w = [batch["in_w"]] if inrow_gat else None
+        max_in_w = [batch["in_w"]] if inrow_max else None
 
         def conv(h):
             if self.use_gat:
@@ -642,7 +647,7 @@ class GraphNet(nn.Module):
                 )
 
                 agg = inrow_max_aggregate(
-                    h, batch["in_src"].astype(jnp.int32), batch["in_w"]
+                    h, batch["in_src"].astype(jnp.int32), max_in_w[0]
                 )
                 return GraphConv(self.hidden_dim, self.local_pooling)(h, agg=agg)
             if fused:
@@ -675,14 +680,15 @@ class GraphNet(nn.Module):
                 x, adj_unw=adj_unw, node_mask=node_mask.astype(dtype)
             )
             keep = keep.astype(jnp.float32)
-            if inrow_gat:
+            if inrow_gat or inrow_max:
                 # zero the in-row weights of every edge touching a dropped
                 # node (src via a per-row gather of keep, dst via the row
-                # mask); slot validity is w != 0 and self-loops are
-                # unconditional, so conv2's kernel sees exactly the
-                # masked-adjacency graph (adj·keep·keepᵀ | eye)
-                # keep[src] WITHOUT a gather: jnp.take_along_axis here
-                # lowered to an XLA scalar gather at ~14 ns/element —
+                # mask); slot validity is w != 0 (the GAT kernel's
+                # _slot_prep gate and inrow_max_aggregate's where(w != 0)
+                # alike), so conv2 sees exactly the masked-adjacency graph
+                # (adj·keep·keepᵀ, | eye for GAT's unconditional self-loop
+                # row).  keep[src] WITHOUT a gather: jnp.take_along_axis
+                # here lowered to an XLA scalar gather at ~14 ns/element —
                 # profiled 2.67 ms/step, 44% of the WHOLE GAT+SAG step
                 # (fusion.263, 2026-08-20; same pathology as the round-1
                 # scatter finding).  D broadcast-compare+reduce passes —
@@ -704,10 +710,11 @@ class GraphNet(nn.Module):
                     ],
                     axis=-1,
                 )
-                gat_in_w[0] = (
-                    gat_in_w[0]
-                    * keep_src.astype(gat_in_w[0].dtype)
-                    * keep[:, :, None].astype(gat_in_w[0].dtype)
+                cell = gat_in_w if inrow_gat else max_in_w
+                cell[0] = (
+                    cell[0]
+                    * keep_src.astype(cell[0].dtype)
+                    * keep[:, :, None].astype(cell[0].dtype)
                 )
             else:
                 adj = (

@@ -123,9 +123,11 @@ def test_dense_auto_falls_back_for_oversized_batches():
 
 def test_dense_rejects_max_aggregation():
     """max rides the in-row wire via per-slot one-hot einsums (round-3
-    rewrite — no out-row mirror needed), so a plain dense batch RUNS;
-    only SAG+max stays flat.  GAT runs dense regardless (its use of
-    local_pooling is vacuous, like the reference's)."""
+    rewrite — no out-row mirror needed), so a plain dense batch RUNS,
+    with or without SAG (round 4 keep-masks conv2's in-row weights).
+    Only a dense batch WITHOUT the in-row wire (adj_wire="host") rejects.
+    GAT runs dense regardless (its use of local_pooling is vacuous, like
+    the reference's)."""
     graphs = _random_graphs(n_graphs=2, seed=2)
     dense = GraphLoader(graphs, batch_size=2, shuffle=False, layout="dense")
     batch = next(iter(dense))  # no out rows
@@ -134,16 +136,18 @@ def test_dense_rejects_max_aggregation():
         local_pooling="max",
     )
     model.init(jax.random.PRNGKey(0), batch, train=False)  # fine since r3
-    # SAG keeps max on the flat layout even with the full wire
-    full = next(iter(GraphLoader(
-        graphs, batch_size=2, shuffle=False, layout="dense", emit_out_rows=True
-    )))
+    # SAG+max rides dense too since round 4
     sag_max = GraphNet(
         input_dim=4, hidden_dim=8, output_dim=1, activation="tanh",
         local_pooling="max", sag_pool=True,
     )
+    sag_max.init(jax.random.PRNGKey(0), batch, train=False)  # fine since r4
+    # ... but the host-adjacency wire has no in-row lists to max over
+    host = next(iter(GraphLoader(
+        graphs, batch_size=2, shuffle=False, layout="dense", adj_wire="host"
+    )))
     with pytest.raises(ValueError, match="dense graph layout"):
-        sag_max.init(jax.random.PRNGKey(0), full, train=False)
+        model.init(jax.random.PRNGKey(0), host, train=False)
     gat_max = GraphNet(
         input_dim=4, hidden_dim=8, output_dim=1, activation="tanh",
         local_pooling="max", use_gat=True,
@@ -151,16 +155,19 @@ def test_dense_rejects_max_aggregation():
     gat_max.init(jax.random.PRNGKey(0), batch, train=False)  # fine
 
 
+@pytest.mark.parametrize("sag_pool", [False, True])
 @pytest.mark.parametrize("use_weights", [False, True])
-def test_inrow_max_matches_flat(use_weights):
+def test_inrow_max_matches_flat(use_weights, sag_pool):
     """Dense in-row max (ops/inrow_graph.inrow_max_aggregate) == flat
-    segment_max, logits and training updates."""
+    segment_max, logits and training updates; sag_pool=True covers the
+    round-4 keep-masked conv2 weights (the broadcast-compare keep[src]
+    composition) against the flat path's edge filtering."""
     from point_cloud_classifier_tpu.models import ModelWrapper
 
     graphs = _random_graphs(n_graphs=8, seed=13)
     model = GraphNet(
         input_dim=4, hidden_dim=16, output_dim=1, activation="tanh",
-        local_pooling="max", deepchem_style=True,
+        local_pooling="max", deepchem_style=True, sag_pool=sag_pool,
     )
     flat = GraphLoader(
         graphs, batch_size=4, shuffle=False, layout="flat", use_weights=use_weights
@@ -901,7 +908,7 @@ def test_factory_dense_max_sets_inrow_gates(tmp_path, monkeypatch):
     """Max-pooling configs get require_inrow defaulted by the factory on
     both pinned and default-routed layouts (the dense max path needs the
     in-row wire; edge-triple / degree-outlier batches must ride flat),
-    and SAG+max stays flat."""
+    incl. the round-4 SAG+max dense routing."""
     import point_cloud_classifier_tpu.factory as factory_mod
 
     seen = {}
@@ -930,7 +937,7 @@ def test_factory_dense_max_sets_inrow_gates(tmp_path, monkeypatch):
     assert seen["graph_layout"] == "auto"
     assert seen["require_inrow"] is True
 
-    # SAG+max stays flat (the model's dense gate rejects the combo)
+    # SAG+max rides dense too since round 4 (keep-masked in-row weights)
     seen.clear()
     factory_mod.get_dataloader(
         "s2pg",
@@ -939,7 +946,8 @@ def test_factory_dense_max_sets_inrow_gates(tmp_path, monkeypatch):
             "model": {"local_pooling": "max", "sag_pool": True},
         },
     )
-    assert seen["graph_layout"] == "flat"
+    assert seen["graph_layout"] == "auto"
+    assert seen["require_inrow"] is True
 
     # GAT ignores local_pooling — no max gates
     seen.clear()

@@ -239,17 +239,23 @@ def test_graph_layout_eligibility_sees_model_config(caches):
     """get_dataloader must see the model section to route layouts (the
     vmapped sweep passes it through — a mis-routed group would crash every
     arm into status_log).  Since round 3 max ALSO rides dense (one-hot
-    einsum aggregation, 5.3× flat) with the in-row fallback gate; SAG+max
-    is the remaining flat-locked combo."""
+    einsum aggregation, 5.3× flat) with the in-row fallback gate, and
+    since round 4 SAG+max does too (keep-masked in-row weights); knn_k
+    is the remaining flat-locked knob."""
     from train import get_dataloader
 
     base = {"data_dir": caches, "batch_size": 4}
-    flat = get_dataloader(
+    sag_max = get_dataloader(
         "s2pg",
         {
             "dataset": dict(base),
             "model": {"local_pooling": "max", "sag_pool": True},
         },
+    )
+    assert sag_max.graph_layout == "auto"
+    flat = get_dataloader(
+        "s2pg",
+        {"dataset": dict(base), "model": {"knn_k": 4}},
     )
     assert flat.graph_layout == "flat"
     max_dense = get_dataloader(
