@@ -512,15 +512,24 @@ def measure_graph_jax(
     fused_inrow: bool = False,
     sag_pool: bool = False,
     local_pooling: str = "add",
+    use_mesh: bool = False,
 ) -> float:
     """graph_net train-step throughput (reference config: GraphConv h128 tanh;
     --gat swaps in the GATConv variant, h128 over 4 heads; --sag adds
     SAGPooling at the reference sweep's ratio 0.5; --graph-pooling max
     measures the in-row one-hot max arm the sweep's local_pooling=max
-    configs ride)."""
+    configs ride; --mesh runs the same step data-parallel over the
+    (data, model) mesh — the graph-family DP evidence VERDICT r3 item 4
+    asked for, measured at the production fuse depth)."""
     import jax
 
     from point_cloud_classifier_tpu.models import GraphNet, ModelWrapper
+
+    mesh = None
+    if use_mesh:
+        from point_cloud_classifier_tpu.parallel import default_mesh
+
+        mesh = default_mesh()
 
     model = GraphNet(
         input_dim=4,
@@ -534,7 +543,7 @@ def measure_graph_jax(
         sag_pool=sag_pool,
         local_pooling=local_pooling,
     )
-    wrapper = ModelWrapper(model, learning_rate=1e-3, epochs=1)
+    wrapper = ModelWrapper(model, learning_rate=1e-3, epochs=1, mesh=mesh)
     half = dtype == "bfloat16"
     from functools import partial as _partial
 
@@ -548,18 +557,32 @@ def measure_graph_jax(
     wrapper._ensure_initialized(host_batches[0])
 
     if pipeline == "resident":
+        if mesh is not None:
+            from point_cloud_classifier_tpu.parallel.mesh import shard_batch
+
+            dev_batches = [shard_batch(mesh, hb) for hb in host_batches]
+        else:
+            dev_batches = [
+                {k: jax.device_put(v) for k, v in hb.items()} for hb in host_batches
+            ]
         if fuse > 1:
-            dev_stacked = {
-                k: jax.device_put(
-                    np.stack(
-                        [host_batches[i % len(host_batches)][k] for i in range(fuse)]
-                    )
+            if mesh is not None:
+                # fit()'s mesh steady state: per-batch sharded dicts
+                # stacked inside the jit (_stack_in_jit's tuple path,
+                # constraining the [K, ...] window to the DP layout) —
+                # same form measure_jax's mesh arm measures
+                dev_stacked = tuple(
+                    dev_batches[i % len(dev_batches)] for i in range(fuse)
                 )
-                for k in host_batches[0]
-            }
-        dev_batches = [
-            {k: jax.device_put(v) for k, v in hb.items()} for hb in host_batches
-        ]
+            else:
+                dev_stacked = {
+                    k: jax.device_put(
+                        np.stack(
+                            [host_batches[i % len(host_batches)][k] for i in range(fuse)]
+                        )
+                    )
+                    for k in host_batches[0]
+                }
 
         def run(k):
             loss = None
@@ -1458,6 +1481,7 @@ def main(argv=None) -> None:
             fused_inrow=args.fused_inrow,
             sag_pool=args.sag,
             local_pooling=args.graph_pooling,
+            use_mesh=args.mesh,
         )
         print(
             json.dumps(

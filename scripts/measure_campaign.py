@@ -97,6 +97,12 @@ def main() -> None:
     record("deep_sets_mesh_fuse1", bench.measure_jax,
            B, P, 6, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
            pipeline="resident", fuse=1, pc_layout="dense", use_mesh=True)
+    # production fuse depth under the mesh (VERDICT r3 item 4: the 1.5%
+    # mesh-overhead claim was measured only at fuse 16) — pair with
+    # deep_sets_resident_f256 for the same-window overhead ratio
+    record("deep_sets_mesh_fuse256", bench.measure_jax,
+           B, P, 6, iters=it, warmup=wu, dtype="bfloat16",
+           pipeline="resident", fuse=256, pc_layout="dense", use_mesh=True)
 
     # 2) graph_net: dense in-row (default) and flat.  fuse 256 (the bench
     # default since round 3: fuse-64 graph rows still carried ~11%
@@ -109,6 +115,11 @@ def main() -> None:
     record("graph_net_flat", bench.measure_graph_jax,
            B, P, E, iters=it, warmup=wu, dtype="bfloat16",
            pipeline="resident", fuse=256, layout="flat")
+    # graph-family DP evidence at the production fuse depth (VERDICT r3
+    # item 4) — pair with graph_net_dense_inrow for the overhead ratio
+    record("graph_net_mesh_fuse256", bench.measure_graph_jax,
+           B, P, E, iters=it, warmup=wu, dtype="bfloat16",
+           pipeline="resident", fuse=256, layout="dense", use_mesh=True)
 
     # 2b) SAG-pool arm on the dense wire (round 3 lifted the flat-only
     # gate; dense measured 12.4x flat 2026-08-20 — the flat arm is not
@@ -119,6 +130,11 @@ def main() -> None:
     record("max_dense", bench.measure_graph_jax,
            B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
            pipeline="resident", fuse=256, layout="dense", local_pooling="max")
+    # round 4: SAG+max rides dense (the last flat-locked sweep cell)
+    record("sag_max_dense", bench.measure_graph_jax,
+           B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
+           pipeline="resident", fuse=256, layout="dense", sag_pool=True,
+           local_pooling="max")
     record("gat_sag_dense", bench.measure_graph_jax,
            B, P, E, iters=max(10, it // 3), warmup=3, dtype="bfloat16",
            pipeline="resident", fuse=256, layout="dense", use_gat=True,
