@@ -64,7 +64,7 @@ def _val_acc(log_dir: str) -> float:
 
 def train_ours(
     model_name: str, data_dir: str, run_root: str, seed: int, epochs,
-    model_overrides=None, tag: str = "",
+    model_overrides=None, tag: str = "", dataset_overrides=None,
 ):
     from point_cloud_classifier_tpu.utils.config import load_config
     from train import MODEL_DATASETS, train_model
@@ -79,6 +79,8 @@ def train_ours(
     )
     if model_overrides:
         config["model"].update(model_overrides)
+    if dataset_overrides:
+        config["dataset"].update(dataset_overrides)
     if epochs and "trainer" in config:
         config["trainer"]["epochs"] = epochs
     if "trainer" in config:
@@ -151,7 +153,8 @@ def train_reference(model_name: str, data_dir: str, run_root: str, seed: int, ep
 
 def train_reference_graph(
     data_dir: str, seed: int, epochs, use_gat: bool = False,
-    sag_pool: bool = False,
+    sag_pool: bool = False, use_weights: bool = False,
+    local_pooling: str = "add",
 ) -> float:
     """Reference-semantics GraphNet trained in torch on the bit-identical
     S2PG caches — the accuracy oracle for the configs whose actual
@@ -178,6 +181,16 @@ def train_reference_graph(
     GraphConv(→1) score GNN, per-graph top-``ceil(ratio·n)``, kept nodes
     scaled by tanh(score), edges filtered+reindexed — tg COMPACTS rather
     than masks; downstream BN/pool see kept nodes only either way).
+
+    ``use_weights`` ships the cache's Gaussian edge weights
+    (`/root/reference/utils/data.py:835-845` computes them, `:1256-1259`
+    collates them) into the convs per torch_geometric GraphConv
+    edge_weight semantics — ``aggr(w_e · x_src)`` with mean = sum/count
+    (`/root/reference/models/graph_net.py:73-84` threads them; under SAG
+    they ride as edge_attr, are filtered with the kept edges, and the
+    score GNN stays unweighted, all per tg SAGPooling).  ``local_pooling``
+    picks the conv aggregation (the sweep samples add/mean/max,
+    `/root/reference/sweep.py:118`).
     """
     import torch
     import torch.nn as nn
@@ -192,19 +205,22 @@ def train_reference_graph(
     val_g = ds._load_split_graphs("val")
 
     def collate(graphs):
-        xs, membership, edges, ys = [], [], [], []
+        xs, membership, edges, ws, ys = [], [], [], [], []
         offset = 0
         for i, g in enumerate(graphs):
             feats = np.asarray(g["features"], np.float32)[:, :4]
             xs.append(feats)
             membership.append(np.full(len(feats), i, np.int64))
             edges.append(np.asarray(g["edges"], np.int64) + offset)
+            if use_weights:
+                ws.append(np.asarray(g["weights"], np.float32).reshape(-1))
             ys.append([float(g["label"])])
             offset += len(feats)
         return (
             torch.from_numpy(np.concatenate(xs)),
             torch.from_numpy(np.concatenate(membership)),
             torch.from_numpy(np.concatenate(edges, axis=1)),
+            torch.from_numpy(np.concatenate(ws)) if use_weights else None,
             torch.from_numpy(np.asarray(ys, np.float32)),
         )
 
@@ -216,14 +232,32 @@ def train_reference_graph(
             yield collate([graphs[i] for i in idx[s : s + 32]])
 
     class RefGraphConv(nn.Module):
-        def __init__(self, dim_in, dim_out):
+        """torch_geometric GraphConv: ``W_rel·aggr(w_e · x_src) + W_root·x``
+        with aggr ∈ add/mean/max (mean = sum/in-degree count; max over the
+        weighted messages with empty neighbourhoods → 0)."""
+
+        def __init__(self, dim_in, dim_out, aggr="add"):
             super().__init__()
             self.lin_rel = nn.Linear(dim_in, dim_out)
             self.lin_root = nn.Linear(dim_in, dim_out, bias=False)
+            self.aggr = aggr
 
-        def forward(self, x, src, dst):
-            agg = torch.zeros(x.shape[0], x.shape[1])
-            agg.index_add_(0, dst, x[src])  # use_weights=False: w == 1
+        def forward(self, x, src, dst, w=None):
+            msg = x[src] if w is None else w[:, None] * x[src]
+            if self.aggr == "max":
+                agg = torch.full((x.shape[0], x.shape[1]), -torch.inf)
+                agg.scatter_reduce_(
+                    0, dst[:, None].expand_as(msg), msg, "amax"
+                )
+                agg = torch.where(torch.isfinite(agg), agg, 0.0)
+            else:
+                agg = torch.zeros(x.shape[0], x.shape[1])
+                agg.index_add_(0, dst, msg)
+                if self.aggr == "mean":
+                    counts = torch.bincount(
+                        dst, minlength=x.shape[0]
+                    ).clamp(min=1)
+                    agg = agg / counts[:, None].float()
             return self.lin_rel(agg) + self.lin_root(x)
 
     class RefGATConv(nn.Module):
@@ -274,8 +308,8 @@ def train_reference_graph(
             self.gnn = RefGraphConv(hidden, 1)
             self.ratio = ratio
 
-        def forward(self, x, src, dst, membership):
-            score = self.gnn(x, src, dst).squeeze(-1)  # [N]
+        def forward(self, x, src, dst, w, membership):
+            score = self.gnn(x, src, dst).squeeze(-1)  # [N] (unweighted GNN)
             keep_idx = []
             for g in torch.unique(membership):
                 nodes = (membership == g).nonzero(as_tuple=True)[0]
@@ -295,18 +329,20 @@ def train_reference_graph(
                 x,
                 new_id[src[e_keep]],
                 new_id[dst[e_keep]],
+                None if w is None else w[e_keep],  # tg filters edge_attr
                 membership[perm],
             )
 
     class RefGraphNet(nn.Module):
-        def __init__(self, hidden=128, use_gat=False, sag_pool=False, heads=4):
+        def __init__(self, hidden=128, use_gat=False, sag_pool=False, heads=4,
+                     aggr="add"):
             super().__init__()
             if use_gat:
                 self.conv1 = RefGATConv(4, hidden // heads, heads)
                 self.conv2 = RefGATConv(hidden, hidden // heads, heads)
             else:
-                self.conv1 = RefGraphConv(4, hidden)
-                self.conv2 = RefGraphConv(hidden, hidden)
+                self.conv1 = RefGraphConv(4, hidden, aggr)
+                self.conv2 = RefGraphConv(hidden, hidden, aggr)
             self.bn1 = nn.BatchNorm1d(hidden)
             self.bn2 = nn.BatchNorm1d(hidden)
             self.pool1 = RefSAGPool(hidden) if sag_pool else None
@@ -314,19 +350,27 @@ def train_reference_graph(
             self.bn3 = nn.BatchNorm1d(256)
             self.fc2 = nn.Linear(256, 1)
 
-        def forward(self, x, membership, edges, batch_size):
+        def forward(self, x, membership, edges, w, batch_size):
             src, dst = edges[0], edges[1]
-            x = self.bn1(torch.tanh(self.conv1(x, src, dst)))
+            if isinstance(self.conv1, RefGATConv):
+                w = None  # tg GATConv rejects edge weights outright
+            x = self.bn1(torch.tanh(self.conv1(x, src, dst)
+                                    if w is None
+                                    else self.conv1(x, src, dst, w)))
             if self.pool1 is not None:
-                x, src, dst, membership = self.pool1(x, src, dst, membership)
-            x = self.bn2(torch.tanh(self.conv2(x, src, dst)))
+                x, src, dst, w, membership = self.pool1(
+                    x, src, dst, w, membership
+                )
+            x = self.bn2(torch.tanh(self.conv2(x, src, dst)
+                                    if w is None
+                                    else self.conv2(x, src, dst, w)))
             x = self.bn3(torch.tanh(self.fc1(x)))  # deepchem_style
             pooled = torch.zeros(batch_size, x.shape[1])
             pooled.index_add_(0, membership, x)
             counts = torch.bincount(membership, minlength=batch_size).clamp(min=1)
             return self.fc2(pooled / counts[:, None].float())
 
-    model = RefGraphNet(use_gat=use_gat, sag_pool=sag_pool)
+    model = RefGraphNet(use_gat=use_gat, sag_pool=sag_pool, aggr=local_pooling)
     opt = torch.optim.Adam(model.parameters(), lr=1e-3)
     criterion = nn.BCEWithLogitsLoss()
     rng = np.random.default_rng(seed)
@@ -334,17 +378,17 @@ def train_reference_graph(
     best_val, patience_ctr = float("inf"), 0
     for _ in range(epochs or 15):
         model.train()
-        for x, mem, edges, y in batches(train_g, True, rng):
+        for x, mem, edges, w, y in batches(train_g, True, rng):
             opt.zero_grad()
-            loss = criterion(model(x, mem, edges, len(y)), y)
+            loss = criterion(model(x, mem, edges, w, len(y)), y)
             loss.backward()
             opt.step()
         model.eval()
         val_losses = []
         with torch.no_grad():
-            for x, mem, edges, y in batches(val_g, False, rng):
+            for x, mem, edges, w, y in batches(val_g, False, rng):
                 val_losses.append(
-                    criterion(model(x, mem, edges, len(y)), y).item()
+                    criterion(model(x, mem, edges, w, len(y)), y).item()
                 )
         val_loss = sum(val_losses) / len(val_losses)
         if val_loss < best_val:
@@ -357,8 +401,10 @@ def train_reference_graph(
     model.eval()
     correct, total = 0, 0
     with torch.no_grad():
-        for x, mem, edges, y in batches(val_g, False, rng):
-            preds = (torch.sigmoid(model(x, mem, edges, len(y))) >= 0.5).float()
+        for x, mem, edges, w, y in batches(val_g, False, rng):
+            preds = (
+                torch.sigmoid(model(x, mem, edges, w, len(y))) >= 0.5
+            ).float()
             correct += int((preds == y).sum())
             total += len(y)
     return correct / max(total, 1)
@@ -389,13 +435,29 @@ def main() -> None:
     _prepare_data(data_dir, args.events, seed=0)
 
     # sweep-space graph variants (reference sweep.py:107-133 samples
-    # use_gat/sag_pool): "graph_net_gat", "graph_net_sag",
-    # "graph_net_gat_sag" run ours with the model override vs the
-    # matching torch oracle on the same caches
+    # use_gat/sag_pool/use_weights/local_pooling): each runs ours with the
+    # model/dataset overrides vs the matching torch oracle on the same
+    # caches.  The weighted arms close VERDICT r3 item 5 — every boolean
+    # the reference sweep samples gets a trained-parity number
+    # (GAT+weights is the documented crash-parity cell: tg GATConv
+    # rejects edge weights).
     variants = {
-        "graph_net_gat": {"use_gat": True},
-        "graph_net_sag": {"sag_pool": True},
-        "graph_net_gat_sag": {"use_gat": True, "sag_pool": True},
+        "graph_net_gat": {"model": {"use_gat": True}},
+        "graph_net_sag": {"model": {"sag_pool": True}},
+        "graph_net_gat_sag": {"model": {"use_gat": True, "sag_pool": True}},
+        "graph_net_weighted": {"dataset": {"use_weights": True}},
+        "graph_net_weighted_mean": {
+            "model": {"local_pooling": "mean"},
+            "dataset": {"use_weights": True},
+        },
+        "graph_net_weighted_max": {
+            "model": {"local_pooling": "max"},
+            "dataset": {"use_weights": True},
+        },
+        "graph_net_weighted_sag": {
+            "model": {"sag_pool": True},
+            "dataset": {"use_weights": True},
+        },
     }
 
     results = {}
@@ -407,17 +469,22 @@ def main() -> None:
                 # (torch_geometric absent) — use the reference-semantics
                 # torch oracle on the same bit-identical caches
                 over = variants.get(model, {})
+                m_over = over.get("model", {})
+                d_over = over.get("dataset", {})
                 ref.append(
                     train_reference_graph(
                         data_dir, seed=r, epochs=args.epochs,
-                        use_gat=over.get("use_gat", False),
-                        sag_pool=over.get("sag_pool", False),
+                        use_gat=m_over.get("use_gat", False),
+                        sag_pool=m_over.get("sag_pool", False),
+                        use_weights=d_over.get("use_weights", False),
+                        local_pooling=m_over.get("local_pooling", "add"),
                     )
                 )
                 ours.append(
                     train_ours(
                         "graph_net", data_dir, run_root, seed=r,
-                        epochs=args.epochs, model_overrides=over,
+                        epochs=args.epochs, model_overrides=m_over,
+                        dataset_overrides=d_over,
                         tag=model.replace("graph_net", ""),
                     )
                 )
