@@ -42,6 +42,7 @@ def capture(args) -> str:
     outdir = args.out or (
         f"/tmp/trace_{args.model}{'_gat' if args.gat else ''}"
         f"{'_sag' if args.sag else ''}"
+        + (f"_{args.graph_pooling}" if args.graph_pooling != "add" else "")
     )
     shutil.rmtree(outdir, ignore_errors=True)
 
@@ -51,7 +52,7 @@ def capture(args) -> str:
         model = GraphNet(
             input_dim=4, hidden_dim=128, output_dim=1, activation="tanh",
             deepchem_style=True, compute_dtype="bfloat16", use_gat=args.gat,
-            sag_pool=args.sag,
+            sag_pool=args.sag, local_pooling=args.graph_pooling,
         )
         batches = [
             bench._graph_batch_dense_inrow(b, n, e, 4, seed=s, half=True)
@@ -179,6 +180,11 @@ def main() -> None:
     ap.add_argument("--model", default="deep_sets", choices=["deep_sets", "graph_net"])
     ap.add_argument("--gat", action="store_true")
     ap.add_argument("--sag", action="store_true")
+    ap.add_argument(
+        "--graph-pooling", default="add", choices=["add", "mean", "max"],
+        help="GraphConv aggregation for --model graph_net (sweep samples "
+        "all three; round 4 profiles every dense arm)",
+    )
     ap.add_argument("--fuse", type=int, default=16)
     ap.add_argument("--tiny", action="store_true", help="CPU-sized smoke shapes")
     ap.add_argument("--top", type=int, default=20)
