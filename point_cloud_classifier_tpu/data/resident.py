@@ -95,6 +95,7 @@ class ResidentCache:
         shuffle_seed: Optional[int] = None,
         epoch_offset: int = 0,
         upload_chunk: Optional[int] = None,
+        shuffle_block: int = 1,
     ):
         self.loader = loader
         self.budget_bytes = (
@@ -108,6 +109,17 @@ class ResidentCache:
             else 1
         )
         self.shuffle_seed = shuffle_seed
+        # shuffle granularity: permute BLOCKS of `shuffle_block` consecutive
+        # cached batches (intra-block order fixed, a partial tail block
+        # stays last).  The fused trainer passes its fuse depth here so the
+        # composition of each fuse window is stable across epochs and the
+        # memoized pre-stacked windows (`ModelWrapper._prestack_window`)
+        # keep hitting — batch-level shuffle recomposed every window and
+        # forced the in-jit tuple re-stack (9% of the flagship step) every
+        # flush.  One more level of the standard cached-pipeline trade
+        # (composition freezes, order stays stochastic); block=1 is the
+        # old per-batch shuffle.
+        self.shuffle_block = max(1, int(shuffle_block))
         # epoch_offset seeds the shuffle counter for RESUMED training: a
         # cache restarted at 0 would replay the batch orders the crashed
         # run already consumed (the trainer passes its start epoch)
@@ -135,11 +147,26 @@ class ResidentCache:
                 yield self._put(batch)
             return
         if self._cached is not None:
-            order = range(len(self._cached))
+            n = len(self._cached)
+            order = range(n)
             if self.shuffle_seed is not None:
-                order = np.random.default_rng(
-                    self.shuffle_seed + self._epoch
-                ).permutation(len(self._cached))
+                rng = np.random.default_rng(self.shuffle_seed + self._epoch)
+                blk = self.shuffle_block
+                if blk <= 1:
+                    order = rng.permutation(n)
+                else:
+                    # permute full blocks only; the partial tail block (if
+                    # any) stays LAST so the trainer's fuse windows remain
+                    # aligned with block boundaries (a mid-epoch short
+                    # window would recompose every window after it)
+                    n_full = (n // blk) * blk
+                    starts = rng.permutation(n // blk) * blk
+                    order = np.concatenate(
+                        [
+                            (starts[:, None] + np.arange(blk)).reshape(-1),
+                            np.arange(n_full, n),
+                        ]
+                    ) if n_full else np.arange(n)
             for i in order:
                 yield self._cached[i]
             return

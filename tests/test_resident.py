@@ -45,6 +45,28 @@ def test_cache_shuffles_batch_order_across_epochs():
     assert [a.tobytes() for a in e2] != [a.tobytes() for a in e3]  # ...new order
 
 
+def test_cache_block_shuffle_keeps_window_composition():
+    """shuffle_block=K permutes K-sized blocks whole: every epoch's order
+    is a permutation of the SAME K-windows (intra-block order fixed,
+    partial tail block last) — the invariant the fused trainer's window
+    memo relies on (wrapper._prestack_window)."""
+    batches = [_tabular_batch(seed=s) for s in range(7)]  # 3 blocks + tail
+    cache = ResidentCache(batches, shuffle_seed=0, shuffle_block=2)
+    list(cache)  # upload pass
+    key = lambda b: np.asarray(b["x"]).tobytes()
+    base_windows = {
+        (key(batches[i]), key(batches[i + 1])) for i in range(0, 6, 2)
+    }
+    orders = []
+    for _ in range(4):
+        ep = [key(b) for b in cache]
+        assert ep[-1] == key(batches[6])  # tail block stays last
+        windows = {tuple(ep[i : i + 2]) for i in range(0, 6, 2)}
+        assert windows == base_windows  # composition stable, order free
+        orders.append(tuple(ep))
+    assert len(set(orders)) > 1  # ...and the block order does shuffle
+
+
 def test_cache_epoch_offset_resumes_shuffle_sequence():
     """A resumed run's cache (epoch_offset=N) must continue the shuffle
     sequence where the crashed run left off, not replay epochs 1..N's
@@ -241,6 +263,64 @@ def test_fused_tuple_path_matches_stacked():
         )
 
 
+def test_prestacked_window_memo_matches_tuple_path():
+    """Round 4: device-resident fused flushes reuse a MEMOIZED pre-stacked
+    window (wrapper._prestack_window) instead of re-stacking the tuple
+    inside the jit every flush (the in-jit concatenate re-copied the whole
+    window through HBM — 9% of the flagship step, A/B'd 2026-08-20).
+    Pins: (a) training through the memoized path matches the tuple-path
+    run to float noise, (b) the memo actually HITS across epochs (one
+    entry per window, no growth), (c) eval windows memoize too."""
+    train = [_tabular_batch(seed=s) for s in range(4)]
+    val = [_tabular_batch(seed=9), _tabular_batch(seed=10)]
+
+    def run(disable_memo):
+        model = FullyConnectedNet(
+            input_dim=9, hidden_layers=[8], batch_normalization=True, output_dim=1
+        )
+        w = ModelWrapper(
+            model, learning_rate=1e-2, epochs=3, seed=0,
+            device_resident=True, fuse_steps=2,
+        )
+        if disable_memo:
+            w._prestack_window = lambda pending, loader: None
+        w.fit(train, val)
+        _, probs = w.predict(val, return_prob=True)
+        return w, probs
+
+    wa, probs_a = run(disable_memo=False)
+    wb, probs_b = run(disable_memo=True)
+    np.testing.assert_allclose(probs_a, probs_b, rtol=1e-5, atol=1e-6)
+    for xa, xb in zip(
+        __import__("jax").tree.leaves(wa.params),
+        __import__("jax").tree.leaves(wb.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(xa), np.asarray(xb), rtol=1e-5, atol=1e-6
+        )
+    # 2 train windows + 1 fit-val window — and NOT (windows × epochs):
+    # block-granular shuffle (shuffle_block=fuse_steps) keeps window
+    # composition epoch-stable so replays HIT the memo instead of
+    # re-stacking (predict gets host batches → np.stack path, no memo)
+    assert len(wa._window_memo) == 3, sorted(
+        (len(e[0]) for e in wa._window_memo.values())
+    )
+    assert wa._window_memo_bytes > 0
+    assert len(wb._window_memo) == 0
+
+
+def test_prestacked_window_memo_skips_streaming_loaders():
+    """Streaming (non-resident) loaders yield fresh device dicts every
+    epoch — memoization must not apply (unbounded growth otherwise)."""
+    model = FullyConnectedNet(
+        input_dim=9, hidden_layers=[8], batch_normalization=True, output_dim=1
+    )
+    w = ModelWrapper(model, learning_rate=1e-2, epochs=2, seed=0, fuse_steps=2)
+    train = [_tabular_batch(seed=s) for s in range(4)]
+    w.fit(train)  # host batches: np.stack path, memo never consulted
+    assert len(w._window_memo) == 0
+
+
 def test_resident_fused_matches_sequential():
     """Device-resident + fuse_steps=K tracks the unfused run, including
     partial end-of-epoch flushes.  Tolerance is LOOSE by design: the
@@ -249,7 +329,11 @@ def test_resident_fused_matches_sequential():
     m/sqrt(v) normalization amplifies that over epochs — the test exists
     to catch order/drop/semantic bugs (O(1) divergence), with the
     close-match (one-ulp allclose) guarantee covered by
-    test_fused_tuple_path_matches_stacked."""
+    test_fused_tuple_path_matches_stacked.  The train cache is pre-wrapped
+    WITHOUT a shuffle seed so every fuse depth consumes the identical
+    batch stream — fit()'s own wrapping shuffles at fuse-window
+    granularity (shuffle_block=fuse_steps), which legitimately orders
+    epochs differently across fuse depths."""
     train = [_tabular_batch(seed=s) for s in range(5)]
     val = [_tabular_batch(seed=9)]
 
@@ -261,7 +345,7 @@ def test_resident_fused_matches_sequential():
             model, learning_rate=1e-2, epochs=3, seed=0,
             device_resident=True, fuse_steps=fuse,
         )
-        w.fit(train, val)
+        w.fit(ResidentCache(train), val)
         _, probs = w.predict(val, return_prob=True)
         return probs
 
