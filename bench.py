@@ -123,6 +123,30 @@ def _batch_dense(b: int, p: int, f: int, m: int, seed: int = 0, half: bool = Tru
     return out
 
 
+def _resident_stacked(host_batches, fuse: int, mesh):
+    """The fused resident steady state fit() measures: one pre-stacked
+    [K, ...] device window (meshless: a plain ``device_put``; mesh: the
+    memoized pre-stacked SHARDED window of ``wrapper._prestack_window``,
+    whose in-jit tuple-stack predecessor re-copied the window every
+    flush — 9% of the flagship step, BASELINE.md)."""
+    import jax
+
+    out = {}
+    for k in host_batches[0]:
+        arr = np.stack(
+            [host_batches[i % len(host_batches)][k] for i in range(fuse)]
+        )
+        if mesh is not None:
+            from point_cloud_classifier_tpu.parallel.mesh import (
+                stacked_batch_sharding,
+            )
+
+            out[k] = jax.device_put(arr, stacked_batch_sharding(mesh, arr))
+        else:
+            out[k] = jax.device_put(arr)
+    return out
+
+
 def measure_jax(
     b: int,
     p: int,
@@ -184,8 +208,12 @@ def measure_jax(
         # pinned on device once (data/resident.py) and every later epoch
         # replays it with ZERO host→device traffic.  The one-time upload
         # happens before the measurement windows, exactly as it precedes
-        # steady state in a real multi-epoch fit.
-        if mesh is not None:
+        # steady state in a real multi-epoch fit.  Fused rows upload ONLY
+        # the stacked window (the per-batch uploads would be dead weight
+        # on a tunnel-bound backend); unfused rows pin per-batch.
+        if fuse > 1:
+            dev_stacked = _resident_stacked(host_batches, fuse, mesh)
+        elif mesh is not None:
             from point_cloud_classifier_tpu.parallel.mesh import shard_batch
 
             dev_batches = [shard_batch(mesh, hb) for hb in host_batches]
@@ -193,33 +221,6 @@ def measure_jax(
             dev_batches = [
                 {k: jax.device_put(v) for k, v in hb.items()} for hb in host_batches
             ]
-        if fuse > 1:
-            if mesh is not None:
-                # mesh steady state: fit() replays MEMOIZED pre-stacked
-                # sharded windows (wrapper._prestack_window — the in-jit
-                # tuple stack re-copied the window every flush, measured
-                # 9% of the flagship step) — measure exactly that form
-                from point_cloud_classifier_tpu.parallel.mesh import (
-                    stacked_batch_sharding,
-                )
-
-                dev_stacked = {}
-                for k in host_batches[0]:
-                    arr = np.stack(
-                        [host_batches[i % len(host_batches)][k] for i in range(fuse)]
-                    )
-                    dev_stacked[k] = jax.device_put(
-                        arr, stacked_batch_sharding(mesh, arr)
-                    )
-            else:
-                dev_stacked = {
-                    k: jax.device_put(
-                        np.stack(
-                            [host_batches[i % len(host_batches)][k] for i in range(fuse)]
-                        )
-                    )
-                    for k in host_batches[0]
-                }
 
         def run(n):
             loss = None
@@ -566,7 +567,9 @@ def measure_graph_jax(
     wrapper._ensure_initialized(host_batches[0])
 
     if pipeline == "resident":
-        if mesh is not None:
+        if fuse > 1:
+            dev_stacked = _resident_stacked(host_batches, fuse, mesh)
+        elif mesh is not None:
             from point_cloud_classifier_tpu.parallel.mesh import shard_batch
 
             dev_batches = [shard_batch(mesh, hb) for hb in host_batches]
@@ -574,32 +577,6 @@ def measure_graph_jax(
             dev_batches = [
                 {k: jax.device_put(v) for k, v in hb.items()} for hb in host_batches
             ]
-        if fuse > 1:
-            if mesh is not None:
-                # fit()'s mesh steady state: memoized pre-stacked sharded
-                # windows (wrapper._prestack_window) — same form
-                # measure_jax's mesh arm measures
-                from point_cloud_classifier_tpu.parallel.mesh import (
-                    stacked_batch_sharding,
-                )
-
-                dev_stacked = {}
-                for k in host_batches[0]:
-                    arr = np.stack(
-                        [host_batches[i % len(host_batches)][k] for i in range(fuse)]
-                    )
-                    dev_stacked[k] = jax.device_put(
-                        arr, stacked_batch_sharding(mesh, arr)
-                    )
-            else:
-                dev_stacked = {
-                    k: jax.device_put(
-                        np.stack(
-                            [host_batches[i % len(host_batches)][k] for i in range(fuse)]
-                        )
-                    )
-                    for k in host_batches[0]
-                }
 
         def run(k):
             loss = None

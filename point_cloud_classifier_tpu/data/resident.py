@@ -137,6 +137,38 @@ class ResidentCache:
     def cached(self) -> bool:
         return self._cached is not None
 
+    def _replay_block(self) -> int:
+        """Effective shuffle granularity for replay epochs.
+
+        Window-granular shuffle needs enough blocks to actually shuffle:
+        with fewer than 3 full blocks the permutation space collapses
+        (2 blocks → 2 orders; 1 block → the IDENTITY order every epoch —
+        exactly the silent-repeat failure ``shuffle_seed`` exists to
+        prevent, found in the round-4 review on small datasets where
+        fuse_steps ≥ n/2).  Below that threshold replay falls back to
+        batch-level shuffle: SGD stochasticity wins over the fuse-window
+        memo, whose consumer checks ``replay_is_window_stable`` and uses
+        the in-jit tuple stack instead.
+        """
+        if self.shuffle_seed is None or self.shuffle_block <= 1:
+            return 1
+        n = len(self._cached) if self._cached is not None else 0
+        return self.shuffle_block if n // self.shuffle_block >= 3 else 1
+
+    def replay_is_window_stable(self, k: int) -> bool:
+        """True when replay epochs keep every k-sized fuse window's
+        COMPOSITION fixed (only window order varies) — the invariant the
+        trainer's memoized pre-stacked windows rely on
+        (``ModelWrapper._prestack_window``).  False while the first pass
+        is still streaming (window identity unknown until pinned), after
+        a budget abandonment, or when replay shuffles at batch
+        granularity."""
+        if self._cached is None or self._abandoned:
+            return False
+        if self.shuffle_seed is None:
+            return True
+        return k > 1 and self._replay_block() == k
+
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
         self._epoch += 1
         if self._abandoned:
@@ -151,7 +183,7 @@ class ResidentCache:
             order = range(n)
             if self.shuffle_seed is not None:
                 rng = np.random.default_rng(self.shuffle_seed + self._epoch)
-                blk = self.shuffle_block
+                blk = self._replay_block()
                 if blk <= 1:
                     order = rng.permutation(n)
                 else:
@@ -166,7 +198,7 @@ class ResidentCache:
                             (starts[:, None] + np.arange(blk)).reshape(-1),
                             np.arange(n_full, n),
                         ]
-                    ) if n_full else np.arange(n)
+                    )
             for i in order:
                 yield self._cached[i]
             return

@@ -350,24 +350,27 @@ class ModelWrapper:
         so the stacked window is computed once (one jitted stack dispatch,
         sharding-constrained under a mesh exactly like `_stack_in_jit`)
         and reused for the rest of training — from epoch 2 the flush pays
-        zero stacking traffic.  Memoization is gated on the loader being a
-        non-abandoned ``ResidentCache`` (streaming loaders yield fresh
-        dicts every epoch — nothing would ever hit) and on the resident HBM
-        budget (`PCC_RESIDENT_BUDGET_MB`); returns ``None`` when it does
-        not apply and the caller falls back to the in-jit tuple path.
-        Entries hold the source batch tuple, so the id-keys cannot alias
-        a live window, and hits verify identity element-wise.
+        zero stacking traffic.  Memoization is gated on
+        ``ResidentCache.replay_is_window_stable`` (streaming loaders and
+        batch-granular shuffles recompose windows every epoch — nothing
+        would hit, and the first-pass gate means stacking starts on the
+        first REPLAY epoch) and bounded by the loader's own
+        ``budget_bytes`` with least-recently-inserted eviction, so total
+        resident HBM is ≤ 2× the configured budget.  Returns ``None``
+        when it does not apply and the caller falls back to the in-jit
+        tuple path.  Entries hold the source batch tuple, so the id-keys
+        cannot alias a live window, and hits verify identity
+        element-wise.
         """
-        from point_cloud_classifier_tpu.data.resident import (
-            ResidentCache,
-            _default_budget_bytes,
-        )
+        from point_cloud_classifier_tpu.data.resident import ResidentCache
 
         if not isinstance(loader, ResidentCache):
             return None
-        if loader._abandoned:
-            # over-budget cache streams fresh dicts — drop any entries
-            # memoized before the budget tripped mid-epoch
+        if not loader.replay_is_window_stable(max(1, self.fuse_steps)):
+            # streaming first pass, budget abandonment, or batch-granular
+            # shuffle (window composition varies per epoch): memoizing
+            # would churn stacks through the LRU for zero hits — drop any
+            # stale entries and ride the in-jit tuple stack
             if self._window_memo:
                 self._window_memo.clear()
                 self._window_memo_bytes = 0
@@ -378,8 +381,12 @@ class ModelWrapper:
             a is b for a, b in zip(entry[0], pending)
         ):
             return entry[1]
-        if self._window_memo_bytes >= _default_budget_bytes():
-            return None
+        # budget: mirror the LOADER's own resident cap (the memo is
+        # additive to the cache's pinned bytes, so the documented ceiling
+        # is 2× the configured budget); evict least-recently-inserted
+        # entries when a stable-window workload still overflows (mixed
+        # shape buckets can misalign occasional windows)
+        budget = loader.budget_bytes
         if self._window_stack_jit is None:
             mesh = self.mesh
 
@@ -400,8 +407,17 @@ class ModelWrapper:
 
             self._window_stack_jit = jax.jit(_stack)
         stacked = self._window_stack_jit(tuple(pending))
+        nbytes = sum(int(v.nbytes) for v in stacked.values())
+        while self._window_memo and self._window_memo_bytes + nbytes > budget:
+            oldest = next(iter(self._window_memo))
+            _, old = self._window_memo.pop(oldest)
+            self._window_memo_bytes -= sum(
+                int(v.nbytes) for v in old.values()
+            )
+        if nbytes > budget:
+            return stacked  # single window over budget: use once, don't pin
         self._window_memo[key] = (tuple(pending), stacked)
-        self._window_memo_bytes += sum(int(v.nbytes) for v in stacked.values())
+        self._window_memo_bytes += nbytes
         return stacked
 
     def _mesh_cache_key(self):

@@ -270,8 +270,11 @@ def test_prestacked_window_memo_matches_tuple_path():
     window through HBM — 9% of the flagship step, A/B'd 2026-08-20).
     Pins: (a) training through the memoized path matches the tuple-path
     run to float noise, (b) the memo actually HITS across epochs (one
-    entry per window, no growth), (c) eval windows memoize too."""
-    train = [_tabular_batch(seed=s) for s in range(4)]
+    entry per window, no growth), (c) eval windows memoize too.  6 train
+    batches at fuse 2 = 3 full blocks, the minimum for window-granular
+    shuffle (fewer falls back to batch shuffle and the memo stands down —
+    test_block_shuffle_falls_back_on_few_blocks)."""
+    train = [_tabular_batch(seed=s) for s in range(6)]
     val = [_tabular_batch(seed=9), _tabular_batch(seed=10)]
 
     def run(disable_memo):
@@ -279,7 +282,7 @@ def test_prestacked_window_memo_matches_tuple_path():
             input_dim=9, hidden_layers=[8], batch_normalization=True, output_dim=1
         )
         w = ModelWrapper(
-            model, learning_rate=1e-2, epochs=3, seed=0,
+            model, learning_rate=1e-2, epochs=4, seed=0,
             device_resident=True, fuse_steps=2,
         )
         if disable_memo:
@@ -298,15 +301,66 @@ def test_prestacked_window_memo_matches_tuple_path():
         np.testing.assert_allclose(
             np.asarray(xa), np.asarray(xb), rtol=1e-5, atol=1e-6
         )
-    # 2 train windows + 1 fit-val window — and NOT (windows × epochs):
-    # block-granular shuffle (shuffle_block=fuse_steps) keeps window
-    # composition epoch-stable so replays HIT the memo instead of
-    # re-stacking (predict gets host batches → np.stack path, no memo)
-    assert len(wa._window_memo) == 3, sorted(
+    # 3 train windows + 1 fit-val window — and NOT (windows × epochs):
+    # window-granular shuffle (shuffle_block=fuse_steps) keeps window
+    # composition epoch-stable so replay epochs HIT the memo instead of
+    # re-stacking (the streaming first pass rides the tuple path — see
+    # replay_is_window_stable; predict gets host batches → np.stack path)
+    assert len(wa._window_memo) == 4, sorted(
         (len(e[0]) for e in wa._window_memo.values())
     )
     assert wa._window_memo_bytes > 0
     assert len(wb._window_memo) == 0
+
+
+def test_block_shuffle_falls_back_on_few_blocks():
+    """With fewer than 3 full blocks, window-granular shuffle collapses
+    (1 block = the IDENTITY order every epoch — the silent-repeat failure
+    shuffle_seed exists to prevent), so replay falls back to BATCH
+    shuffle and replay_is_window_stable turns the memo off."""
+    batches = [_tabular_batch(seed=s) for s in range(6)]
+    cache = ResidentCache(batches, shuffle_seed=0, shuffle_block=4)
+    list(cache)  # upload pass
+    assert not cache.replay_is_window_stable(4)
+    key = lambda b: np.asarray(b["x"]).tobytes()
+    orders = [tuple(key(b) for b in cache) for _ in range(4)]
+    assert len(set(orders)) > 1  # NOT the identity order every epoch
+    # ... and batch-level: some epoch must split a [0,1,2,3] block
+    base_first_block = tuple(key(b) for b in batches[:4])
+    assert any(o[:4] != base_first_block for o in orders)
+
+    # enough blocks: window shuffle active and advertised as stable
+    stable = ResidentCache(batches, shuffle_seed=0, shuffle_block=2)
+    list(stable)
+    assert stable.replay_is_window_stable(2)
+    assert not stable.replay_is_window_stable(3)  # consumer fuse mismatch
+
+
+def test_window_memo_budget_evicts_lru():
+    """The memo honors the LOADER's budget_bytes (not the global default)
+    and evicts oldest entries instead of pinning dead windows forever."""
+    import jax
+
+    model = FullyConnectedNet(
+        input_dim=9, hidden_layers=[8], batch_normalization=True, output_dim=1
+    )
+    w = ModelWrapper(model, learning_rate=1e-2, epochs=1, seed=0, fuse_steps=2)
+    batches = [_tabular_batch(seed=s) for s in range(8)]
+    w._ensure_initialized(batches[0])
+    one_window = 2 * sum(np.asarray(v).nbytes for v in batches[0].values())
+    cache = ResidentCache(
+        batches, budget_bytes=10 << 20, shuffle_seed=None
+    )
+    list(cache)  # pin
+    # shrink the budget to ~2 windows AFTER pinning so only the memo is
+    # constrained
+    cache.budget_bytes = int(2.5 * one_window)
+    dev = list(cache)
+    for s in range(0, 8, 2):
+        out = w._prestack_window(dev[s : s + 2], cache)
+        assert out is not None
+    assert len(w._window_memo) == 2  # 4 windows stacked, oldest 2 evicted
+    assert w._window_memo_bytes <= cache.budget_bytes
 
 
 def test_prestacked_window_memo_skips_streaming_loaders():
