@@ -175,12 +175,17 @@ def main() -> None:
     # 4) eval/scoring, device-truth arm (batches resident, scan-fused
     # dispatch): the serving-side analogue of the resident train rows —
     # valid in any window
+    # fuse 256 like the train rows: the eval step is ~0.18 ms device, so
+    # fuse-16 eval windows are dispatch-dominated whenever the tunnel
+    # inflates per-dispatch cost (2026-08-20: fuse-16 eval read 318k in a
+    # window whose fuse-256 BASELINE row is 1.41M — same class as the
+    # round-3 graph fuse bump)
     record("eval_device", bench.measure_eval_throughput,
-           B, P, 6, max(3, it // 8), wu, "bfloat16", fuse=16, resident=True)
+           B, P, 6, max(3, it // 8), wu, "bfloat16", fuse=256, resident=True)
     record("graph_eval_device", bench.measure_graph_eval_throughput,
-           B, P, E, max(3, it // 8), wu, "bfloat16", fuse=16, resident=True)
+           B, P, E, max(3, it // 8), wu, "bfloat16", fuse=256, resident=True)
     record("gat_eval_device", bench.measure_graph_eval_throughput,
-           B, P, E, max(3, it // 8), wu, "bfloat16", fuse=16, use_gat=True,
+           B, P, E, max(3, it // 8), wu, "bfloat16", fuse=256, use_gat=True,
            resident=True)
 
     # 5) tabular family (fully_connected_net), resident + deep fuse: the
