@@ -298,6 +298,13 @@ def inrow_max_aggregate(h, in_src, in_w, out_dst=None, out_pos=None,
     agg = None
     for d in range(in_src.shape[-1]):
         oh = (src[:, :, d, None] == iota).astype(h.dtype)  # [B, M, M]
+        # f32 einsum output ON PURPOSE (measured, round 4): a bf16 output
+        # is exact here (one-hot rows have a single nonzero) and halves
+        # the [B, M, C] intermediate, but the explicit f32 cast it then
+        # needs before the w multiply breaks the einsum→multiply→max
+        # fusion — whole-step A/B/A 130.9k / 135.0k / 131.1k graphs/sec
+        # (bf16 −3%), so XLA was already folding the f32 output into the
+        # max chain without a full HBM round trip.
         g_d = jnp.einsum(
             "bij,bjf->bif", oh, h, preferred_element_type=jnp.float32
         )  # exact per-slot gather on the MXU
