@@ -118,7 +118,10 @@ class ResidentCache:
         # forced the in-jit tuple re-stack (9% of the flagship step) every
         # flush.  One more level of the standard cached-pipeline trade
         # (composition freezes, order stays stochastic); block=1 is the
-        # old per-batch shuffle.
+        # old per-batch shuffle.  Training-quality cost measured ~zero
+        # (2026-08-21, FCN on synthetic s2pt, 30 batches, 40 epochs, 5
+        # seeds: window-shuffle val acc 0.9769 ± 0.0032 vs batch-shuffle
+        # 0.9775 ± 0.0036 — identical within noise).
         self.shuffle_block = max(1, int(shuffle_block))
         # epoch_offset seeds the shuffle counter for RESUMED training: a
         # cache restarted at 0 would replay the batch orders the crashed
