@@ -1257,6 +1257,12 @@ def main(argv=None) -> None:
         "every batch crosses host→device inside the measurement",
     )
     args = parser.parse_args(argv)
+    # warm-start policy (utils/jit_cache.py): reuse compiled executables
+    # across bench invocations — steady-state timing loops are unaffected
+    # (they time post-compile steps), only cold-start drops
+    from point_cloud_classifier_tpu.utils.jit_cache import enable_default_cache
+
+    enable_default_cache()
     if args.fuse is None:
         # Host-wire dense graph batches carry a [B, M, M] adjacency
         # (~134 MB each at the flagship shape), so cap their fused stack

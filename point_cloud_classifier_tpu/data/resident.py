@@ -144,19 +144,26 @@ class ResidentCache:
         """Effective shuffle granularity for replay epochs.
 
         Window-granular shuffle needs enough blocks to actually shuffle:
-        with fewer than 3 full blocks the permutation space collapses
-        (2 blocks → 2 orders; 1 block → the IDENTITY order every epoch —
+        with fewer than 8 full blocks the permutation space collapses
+        toward degeneracy (3 blocks → 3! = 6 epoch orders with frozen
+        intra-window order; 1 block → the IDENTITY order every epoch —
         exactly the silent-repeat failure ``shuffle_seed`` exists to
         prevent, found in the round-4 review on small datasets where
-        fuse_steps ≥ n/2).  Below that threshold replay falls back to
-        batch-level shuffle: SGD stochasticity wins over the fuse-window
-        memo, whose consumer checks ``replay_is_window_stable`` and uses
-        the in-jit tuple stack instead.
+        fuse_steps ≥ n/2).  The zero-quality-cost A/B backing the
+        window-granular default was measured at ~15 blocks (see __init__
+        comment); the round-4 advisor flagged that it says nothing near
+        the 3-block floor, so the fallback threshold is 8 full blocks
+        (8! ≈ 40k orders — comfortably more epoch orders than any
+        realistic epoch count consumes).  Below that threshold replay
+        falls back to batch-level shuffle: SGD stochasticity wins over
+        the fuse-window memo, whose consumer checks
+        ``replay_is_window_stable`` and uses the in-jit tuple stack
+        instead.
         """
         if self.shuffle_seed is None or self.shuffle_block <= 1:
             return 1
         n = len(self._cached) if self._cached is not None else 0
-        return self.shuffle_block if n // self.shuffle_block >= 3 else 1
+        return self.shuffle_block if n // self.shuffle_block >= 8 else 1
 
     def replay_is_window_stable(self, k: int) -> bool:
         """True when replay epochs keep every k-sized fuse window's

@@ -253,6 +253,11 @@ class ModelWrapper:
         # (see _prestack_window)
         self._window_memo = {}
         self._window_memo_bytes = 0
+        # True while fit()'s epoch loop runs: the memo legitimately holds
+        # windows from TWO loaders there (train + per-epoch fit-val), so
+        # the stale-entry clear at _eval_dispatch entry must not fire for
+        # fit's internal validation calls (see _clear_window_memo)
+        self._in_fit = False
         self._window_stack_jit = None
 
     # -- initialization ------------------------------------------------------
@@ -334,6 +339,18 @@ class ModelWrapper:
             return (self._put_batch(b) for b in loader)
         return loader
 
+    def _clear_window_memo(self):
+        """Drop all memoized pre-stacked windows (and the source batch
+        tuples they pin in HBM).  Called at fit() entry and at
+        _eval_dispatch entry OUTSIDE fit, so a previous run's windows
+        release before the next loader uploads rather than waiting for
+        LRU pressure (advisor round-4 finding).  fit's own per-epoch
+        validation must NOT clear — the memo legitimately interleaves
+        train and fit-val windows across the epoch loop."""
+        if self._window_memo:
+            self._window_memo.clear()
+        self._window_memo_bytes = 0
+
     def _prestack_window(self, pending, loader):
         """Memoized [K, ...]-stacked form of a device-resident fuse window.
 
@@ -408,14 +425,17 @@ class ModelWrapper:
             self._window_stack_jit = jax.jit(_stack)
         stacked = self._window_stack_jit(tuple(pending))
         nbytes = sum(int(v.nbytes) for v in stacked.values())
+        if nbytes > budget:
+            # single window over budget: use once, don't pin — and don't
+            # enter the eviction loop (it would flush the entire memo for
+            # an entry that is never inserted)
+            return stacked
         while self._window_memo and self._window_memo_bytes + nbytes > budget:
             oldest = next(iter(self._window_memo))
             _, old = self._window_memo.pop(oldest)
             self._window_memo_bytes -= sum(
                 int(v.nbytes) for v in old.values()
             )
-        if nbytes > budget:
-            return stacked  # single window over budget: use once, don't pin
         self._window_memo[key] = (tuple(pending), stacked)
         self._window_memo_bytes += nbytes
         return stacked
@@ -631,10 +651,22 @@ class ModelWrapper:
     def fit(
         self, train_loader: Iterable, val_loader: Iterable = None, resume: bool = False
     ) -> None:
+        # _in_fit gates the stale-window clear in _eval_dispatch: per-epoch
+        # validation inside this call must keep the live train+val memo
+        self._in_fit = True
+        try:
+            return self._fit_impl(train_loader, val_loader, resume)
+        finally:
+            self._in_fit = False
+
+    def _fit_impl(
+        self, train_loader: Iterable, val_loader: Iterable = None, resume: bool = False
+    ) -> None:
         from point_cloud_classifier_tpu.utils.profiling import StepTimer, maybe_trace
 
         log = _ScalarLog(self.log_dir)
         t0 = time.time()
+        self._clear_window_memo()  # release any previous run's pinned windows
         start_epoch = self.restore_state() if resume else 0
         if self.device_resident:
             from point_cloud_classifier_tpu.data.resident import ResidentCache
@@ -859,6 +891,11 @@ class ModelWrapper:
         y list, y_mask list)`` — per-BATCH host arrays (lists, because
         bucketed loaders emit mixed batch shapes).
         """
+        if not self._in_fit:
+            # standalone evaluate()/predict(): a previous fit's windows are
+            # stale — release them before this loader dispatches (fit's
+            # per-epoch validation skips this: its memo is live)
+            self._clear_window_memo()
         chunks = []  # (loss(es), probs, ys_group, masks_group) device/host
         flags = []  # fused? per chunk (kept out of the device_get pytree)
         pending = []

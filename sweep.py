@@ -399,6 +399,13 @@ def main(argv=None) -> None:
         help="seed the hyperparameter sampler (reproducible searches)",
     )
     args = parser.parse_args(argv)
+    # warm-start policy: sweeps are compile-bound until the persistent jit
+    # cache warms (round-4 campaign: 6.6 → ~2 min/run), so CLI sweeps
+    # enable the rev-keyed cache by default (PCC_COMPILE_CACHE=0 opts out
+    # — utils/jit_cache.py)
+    from point_cloud_classifier_tpu.utils.jit_cache import enable_default_cache
+
+    enable_default_cache()
     if args.seed is not None:
         np.random.seed(args.seed)
 

@@ -14,6 +14,11 @@ is still effective.
 
 import os
 
+# hermeticity: CLI entrypoints default the persistent jit cache ON
+# (utils/jit_cache.enable_default_cache) — tests that invoke train/sweep
+# mains must not write into ~/.cache; cache-specific tests override this
+os.environ.setdefault("PCC_COMPILE_CACHE", "0")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

