@@ -100,6 +100,26 @@ def _score_chunk() -> bool:
     return mode == "on"
 
 
+def _dal_transposed() -> bool:
+    """Trace-time gate for TRANSPOSED dalpha dots in the slot backward.
+
+    The current form computes dalpha per slot as ``(g⊙feat) @ blkᵀ
+    [T,C]@[C,H] → [T,H]`` — a thin-LANE dot whose H ∈ {4,8} output lanes
+    pad to 128 (full row-dot price, the exact shape class the fifth
+    pass's probe measured at 0.049 vs 0.028 µs) — then transposes the
+    concatenated ``[T,(D+1)H]`` result into the ``[(D+1)H,T]`` row
+    layout the softmax backward consumes.  The transposed form computes
+    each slot directly as ``blk [H,C] · (g⊙feat) [T,C]`` contracting C →
+    ``[H,T]``: a thin-SUBLANE dot, and the result transpose disappears.
+    PCC_GAT_DAL = t | row selects the form; the default follows the
+    probe + whole-step A/B (docs/kernels.md seventh pass).
+    """
+    mode = os.environ.get("PCC_GAT_DAL", "row")
+    if mode not in ("t", "row"):
+        raise ValueError(f"PCC_GAT_DAL must be 't' or 'row', got {mode!r}")
+    return mode == "t"
+
+
 def _adj_mask_xla(in_src, in_w, m):
     """[B, M, M] bool adjacency-or-self-loop mask from the in-row lists."""
     adj = inrow_adjacency_xla(in_src, (in_w != 0).astype(jnp.float32), m, jnp.float32)
@@ -542,29 +562,55 @@ def _make_slot_bwd_kernel(
                 gi, t, m, d, h, dh, slope,
             )
             gf = g_ref[gi].astype(jnp.float32)  # [T, C]
-            blkT = jnp.swapaxes(prep["blk"], 0, 1)  # [C, H]
 
-            # dalpha[slot, head, i] = <g_i, feat_slot_i[head block]>:
-            # head-block row sums as a thin MXU contraction with blk^T
-            dal = [
-                jax.lax.dot_general(
-                    gf * prep["xwf"], blkT,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=prep["exact"],
-                )
-            ]
-            for dd in range(d):
-                dal.append(
+            # dalpha[slot, head, i] = <g_i, feat_slot_i[head block]>
+            if _dal_transposed():
+                # head-block row sums as thin-SUBLANE contractions landing
+                # directly in the [(D+1)H, T] row layout (see
+                # _dal_transposed; the row-form's H output lanes padded to
+                # 128 and its result needed a [T,(D+1)H] transpose)
+                dal_rows = [
                     jax.lax.dot_general(
-                        gf * prep["xwg"][dd], blkT,
+                        prep["blk"], gf * prep["xwf"],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prep["exact"],
+                    )
+                ]
+                for dd in range(d):
+                    dal_rows.append(
+                        jax.lax.dot_general(
+                            prep["blk"], gf * prep["xwg"][dd],
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prep["exact"],
+                        )
+                    )
+                dalT = jnp.concatenate(dal_rows, axis=0)
+                # [(D+1)*H, T], slot-major rows
+            else:
+                blkT = jnp.swapaxes(prep["blk"], 0, 1)  # [C, H]
+                # row form: thin MXU contraction with blk^T, then one
+                # result transpose into the slot-major row layout
+                dal = [
+                    jax.lax.dot_general(
+                        gf * prep["xwf"], blkT,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=prep["exact"],
                     )
-                )
-            dalT = jnp.swapaxes(jnp.concatenate(dal, axis=1), 0, 1)
-            # [(D+1)*H, T], slot-major rows
+                ]
+                for dd in range(d):
+                    dal.append(
+                        jax.lax.dot_general(
+                            gf * prep["xwg"][dd], blkT,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prep["exact"],
+                        )
+                    )
+                dalT = jnp.swapaxes(jnp.concatenate(dal, axis=1), 0, 1)
+                # [(D+1)*H, T], slot-major rows
 
             dsdT_rows = []
             dz_slot = [[] for _ in range(d + 1)]

@@ -144,6 +144,34 @@ SCENARIOS = [
         _deep_sets,
     ),
     (
+        "ds_B32_w256_layout",
+        "dense-vs-flat crossover placement: B=32 (flat won 1.07x at B=16)",
+        [
+            ("dense", {}, dict(b=32, p=32 * 256, width=256, pc_layout="dense")),
+            ("flat", {}, dict(b=32, p=32 * 256, width=256, pc_layout="flat")),
+        ],
+        _deep_sets,
+    ),
+    (
+        "ds_B64_w256_layout",
+        "dense-vs-flat crossover placement: B=64 (the sweep's largest draw)",
+        [
+            ("dense", {}, dict(b=64, p=64 * 256, width=256, pc_layout="dense")),
+            ("flat", {}, dict(b=64, p=64 * 256, width=256, pc_layout="flat")),
+        ],
+        _deep_sets,
+    ),
+    (
+        "ds_B64_w512_remat",
+        "remat crossover placement: width 512 (auto won +38% at 256, "
+        "lost 1.5% at 1024)",
+        [
+            ("auto", {"PCC_PHI_REMAT": "auto"}, dict(b=64, p=64 * 256, width=512)),
+            ("off", {"PCC_PHI_REMAT": "0"}, dict(b=64, p=64 * 256, width=512)),
+        ],
+        _deep_sets,
+    ),
+    (
         "ds_B64_w1024_postpool",
         "post-pool final linear at φ width 1024 (decided at 256)",
         [

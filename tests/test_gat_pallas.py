@@ -78,6 +78,36 @@ def test_score_chunk_knob_keeps_slot_kernel_exact(monkeypatch, chunk):
     )
 
 
+@pytest.mark.parametrize("dal", ["t", "row"])
+def test_dal_knob_keeps_slot_backward_exact(monkeypatch, dal):
+    """PCC_GAT_DAL (transposed-vs-row dalpha dots in the slot backward,
+    see `_dal_transposed`) must not change numerics: both forms contract
+    the identical f32 products over C, only the MXU orientation (and the
+    deleted result transpose) differ.  Gradient-level check against the
+    XLA oracle's vjp on all five operand cotangents."""
+    monkeypatch.setenv("PCC_GAT_KERNEL", "slot")
+    monkeypatch.setenv("PCC_GAT_DAL", dal)
+    s_dst, s_src, in_src, in_w, xw = _inputs(seed=11, b=2)
+    rng = np.random.default_rng(13)
+    cot = jnp.asarray(rng.normal(size=xw.shape).astype(np.float32))
+
+    def loss(fn, *extra):
+        return lambda sd, ss, x: jnp.sum(
+            fn(sd, ss, in_src, in_w, x, *extra) * cot
+        )
+
+    want = jax.grad(loss(gat_attention_xla, 0.2), argnums=(0, 1, 2))(
+        s_dst, s_src, xw
+    )
+    got = jax.grad(loss(gat_attention_fused, 0.2, True), argnums=(0, 1, 2))(
+        s_dst, s_src, xw
+    )
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(
+            np.asarray(w), np.asarray(g), rtol=1e-4, atol=1e-4
+        )
+
+
 @pytest.mark.parametrize("form", ["slot", "dense"])
 @pytest.mark.parametrize("m", [72, 288])
 def test_kernel_at_rung_m_matches_oracle(monkeypatch, m, form):
