@@ -275,8 +275,17 @@ class PointCloudLoader:
                 dense = self.layout == "dense" or (
                     # auto: dense iff it processes no more than ~10% extra
                     # padded points vs the flat pow2 bucket — the removed
-                    # pool contraction is worth about that much
-                    b * m_rung <= p_pad + p_pad // 10
+                    # pool contraction is worth about that much — AND the
+                    # batch is large enough for the dense row pooling to
+                    # pay: the round-5 policy audit measured flat WINNING
+                    # at the reference sweep's batch sizes (B=16: +7%,
+                    # B=32/64: +2%) with dense winning from B=128 (+1.9%)
+                    # through B=256 (+23%) — the [B, M, H] masked-matvec
+                    # pool needs enough rows to fill the MXU
+                    # (docs/kernels.md round-5 policy table; explicit
+                    # layout="dense" still forces)
+                    b >= 128
+                    and b * m_rung <= p_pad + p_pad // 10
                 )
                 if dense:
                     yield self._dense_batch(idx, k, b, m_rung, keep64, fac64)

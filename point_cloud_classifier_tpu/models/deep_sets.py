@@ -333,7 +333,18 @@ class DeepSets(nn.Module):
                 )
             remat = os.environ.get("PCC_PHI_REMAT", "auto")
             if remat == "1" or (
-                remat == "auto" and post_pool and mode != "int8"
+                remat == "auto"
+                and post_pool
+                and mode != "int8"
+                # WIDTH-gated (round-5 policy audit, docs/kernels.md):
+                # remat wins at width 256 (+38% at B=256, +7.1% at B=64)
+                # but LOSES at every measured wider draw (512: −3.6%;
+                # 1024: −1.5% at B=64, −5.7% at B=256 — the rematerialized
+                # chain's FLOPs grow quadratically in width while the
+                # saved [P, H] residual traffic grows linearly), and the
+                # B=64/B=256 agreement shows width, not batch, drives the
+                # trade.  384 splits the measured 256-win / 512-loss.
+                and max(self.phi_layers) <= 384
             ):
                 # Rematerialize the φ chain in the backward instead of
                 # saving [P, H] residuals — the fused kernel's HBM-vs-FLOPs

@@ -111,10 +111,14 @@ def _dal_transposed() -> bool:
     layout the softmax backward consumes.  The transposed form computes
     each slot directly as ``blk [H,C] · (g⊙feat) [T,C]`` contracting C →
     ``[H,T]``: a thin-SUBLANE dot, and the result transpose disappears.
-    PCC_GAT_DAL = t | row selects the form; the default follows the
-    probe + whole-step A/B (docs/kernels.md seventh pass).
+    Probe (scripts/probe_gat_bwd.py, 2026-08-21): 0.0059 vs 0.0275 µs at
+    H=4 (0.0005 vs 0.0243 at H=8) plus the deleted 0.0434 µs transpose.
+    Whole-step A/B same-window (scripts/audit_policies.py): **105,931 vs
+    98,987 graphs/sec (+7.0%)** at the flagship GAT shapes, 52,873 vs
+    50,649 (+4.4%) at heads 8 / h256.  Default t; PCC_GAT_DAL = t | row
+    keeps the A/B arms (docs/kernels.md seventh pass).
     """
-    mode = os.environ.get("PCC_GAT_DAL", "row")
+    mode = os.environ.get("PCC_GAT_DAL", "t")
     if mode not in ("t", "row"):
         raise ValueError(f"PCC_GAT_DAL must be 't' or 'row', got {mode!r}")
     return mode == "t"

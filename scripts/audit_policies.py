@@ -172,6 +172,64 @@ SCENARIOS = [
         _deep_sets,
     ),
     (
+        "ds_B128_w256_layout",
+        "dense-vs-flat crossover placement: B=128 (flat won at 16/32/64, "
+        "dense at 256)",
+        [
+            ("dense", {}, dict(b=128, p=128 * 256, width=256, pc_layout="dense")),
+            ("flat", {}, dict(b=128, p=128 * 256, width=256, pc_layout="flat")),
+        ],
+        _deep_sets,
+    ),
+    (
+        "ds_B64_w256_remat",
+        "remat B-vs-width attribution: B=64 at width 256 (auto won +38% "
+        "at B=256/w256, lost at B=64/w512 and w1024)",
+        [
+            ("auto", {"PCC_PHI_REMAT": "auto"}, dict(b=64, p=64 * 256, width=256)),
+            ("off", {"PCC_PHI_REMAT": "0"}, dict(b=64, p=64 * 256, width=256)),
+        ],
+        _deep_sets,
+    ),
+    (
+        "ds_B256_w1024_remat",
+        "remat B-vs-width attribution: B=256 at width 1024 (completes the "
+        "2x2 with the flagship-shape win and the B=64 losses)",
+        [
+            ("auto", {"PCC_PHI_REMAT": "auto"},
+             dict(b=256, p=256 * 256, width=1024)),
+            ("off", {"PCC_PHI_REMAT": "0"},
+             dict(b=256, p=256 * 256, width=1024)),
+        ],
+        _deep_sets,
+    ),
+    (
+        "gat_dal_form",
+        "transposed-vs-row dalpha dots in the slot backward (probe: "
+        "thin-sublane 0.0059 vs thin-lane 0.0275 us at H=4, plus the "
+        "deleted 0.0434 us result transpose — docs/kernels.md seventh "
+        "pass)",
+        [
+            ("t", {"PCC_GAT_DAL": "t"},
+             dict(b=256, n_per=256, hidden=128, use_gat=True, heads=4)),
+            ("row", {"PCC_GAT_DAL": "row"},
+             dict(b=256, n_per=256, hidden=128, use_gat=True, heads=4)),
+        ],
+        _graph,
+    ),
+    (
+        "gat_dal_form_h8",
+        "same dal A/B at heads 8 (probe says the transposed dot is ~free "
+        "there)",
+        [
+            ("t", {"PCC_GAT_DAL": "t"},
+             dict(b=32, n_per=256, hidden=256, use_gat=True, heads=8)),
+            ("row", {"PCC_GAT_DAL": "row"},
+             dict(b=32, n_per=256, hidden=256, use_gat=True, heads=8)),
+        ],
+        _graph,
+    ),
+    (
         "ds_B64_w1024_postpool",
         "post-pool final linear at φ width 1024 (decided at 256)",
         [
@@ -250,6 +308,7 @@ SCENARIOS = [
 
 _POLICY_KNOBS = (
     "PCC_PHI_POSTPOOL", "PCC_PHI_REMAT", "PCC_GAT_KERNEL", "PCC_GAT_GB",
+    "PCC_GAT_DAL",
 )
 
 
