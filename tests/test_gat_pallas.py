@@ -108,6 +108,44 @@ def test_dal_knob_keeps_slot_backward_exact(monkeypatch, dal):
         )
 
 
+@pytest.mark.parametrize(
+    "knobs",
+    [
+        {"PCC_GAT_DAL": "t", "PCC_GAT_SCORE_CHUNK": "on"},
+        {"PCC_GAT_DAL": "t", "PCC_GAT_GB": "2"},
+        {"PCC_GAT_DAL": "row", "PCC_GAT_SCORE_CHUNK": "on", "PCC_GAT_GB": "2"},
+    ],
+    ids=["dal-t+chunk", "dal-t+gb2", "dal-row+chunk+gb2"],
+)
+def test_gat_knob_combinations_keep_grads_exact(monkeypatch, knobs):
+    """Knob COMBINATIONS the A/B scripts can compose (dal form ×
+    score-chunk × gb) must keep gradient parity with the oracle — a
+    device A/B must never pick a numerically wrong configuration (the
+    φ-kernel suite pins the same invariant for its knob family)."""
+    monkeypatch.setenv("PCC_GAT_KERNEL", "slot")
+    for k, v in knobs.items():
+        monkeypatch.setenv(k, v)
+    s_dst, s_src, in_src, in_w, xw = _inputs(seed=17, b=4)
+    rng = np.random.default_rng(19)
+    cot = jnp.asarray(rng.normal(size=xw.shape).astype(np.float32))
+
+    def loss(fn, *extra):
+        return lambda sd, ss, x: jnp.sum(
+            fn(sd, ss, in_src, in_w, x, *extra) * cot
+        )
+
+    want = jax.grad(loss(gat_attention_xla, 0.2), argnums=(0, 1, 2))(
+        s_dst, s_src, xw
+    )
+    got = jax.grad(loss(gat_attention_fused, 0.2, True), argnums=(0, 1, 2))(
+        s_dst, s_src, xw
+    )
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(
+            np.asarray(w), np.asarray(g), rtol=1e-4, atol=1e-4
+        )
+
+
 @pytest.mark.parametrize("form", ["slot", "dense"])
 @pytest.mark.parametrize("m", [72, 288])
 def test_kernel_at_rung_m_matches_oracle(monkeypatch, m, form):
