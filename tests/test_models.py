@@ -369,6 +369,34 @@ def test_postpool_final_linear_is_exact(monkeypatch, pooling, layer_norm):
         )
 
 
+def test_remat_auto_gates_on_phi_width(monkeypatch):
+    """Round-5 policy audit (docs/kernels.md): PCC_PHI_REMAT=auto remats
+    the per-point φ chain only when max(phi_layers) <= 384 — remat won
+    +38%/+7.1% at width 256 (B=256/64) but LOST at every measured draw at
+    512 and 1024, and the B-agreement shows width drives the trade.
+    Pinned at the jaxpr level: the checkpoint primitive must appear in
+    the width-256 backward and be absent at width 512."""
+    monkeypatch.delenv("PCC_PHI_REMAT", raising=False)
+    rng = np.random.default_rng(3)
+    batch = _postpool_batch(rng)
+
+    def grad_jaxpr(width):
+        model = DeepSets(
+            3, [width, width], [8], 1, "gelu",
+            layer_norm=False, residual_block=True, pooling="mean",
+        )
+        variables = model.init(jax.random.PRNGKey(2), batch, train=False)
+        return str(jax.make_jaxpr(
+            jax.grad(lambda v: jnp.sum(model.apply(v, batch, train=False) ** 2))
+        )(variables))
+
+    assert "remat" in grad_jaxpr(256)
+    assert "remat" not in grad_jaxpr(512)
+    # explicit PCC_PHI_REMAT=1 still forces remat at any width
+    monkeypatch.setenv("PCC_PHI_REMAT", "1")
+    assert "remat" in grad_jaxpr(512)
+
+
 def _postpool_batch(rng, b=4, p_pad=64, f=3):
     """Pow-2 padded rows (so the Pallas kernel tiles) with one EMPTY event."""
     counts = [9, 17, 0, 21]
