@@ -344,7 +344,7 @@ class DeepSets(nn.Module):
                 # saved [P, H] residual traffic grows linearly), and the
                 # B=64/B=256 agreement shows width, not batch, drives the
                 # trade.  384 splits the measured 256-win / 512-loss.
-                and max(self.phi_layers) <= 384
+                and max(self.phi_layers, default=0) <= 384
             ):
                 # Rematerialize the φ chain in the backward instead of
                 # saving [P, H] residuals — the fused kernel's HBM-vs-FLOPs
