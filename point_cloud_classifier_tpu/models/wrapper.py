@@ -253,6 +253,13 @@ class ModelWrapper:
         # (see _prestack_window)
         self._window_memo = {}
         self._window_memo_bytes = 0
+        # id() of the loader whose windows the memo currently holds (for
+        # the stale-clear in _eval_dispatch: repeated predict/evaluate on
+        # the SAME ResidentCache must keep hitting across calls — the
+        # memo's element-wise identity check makes an id-reuse collision
+        # harmless, worst case some stale windows wait for LRU pressure
+        # exactly as they did pre-round-5)
+        self._memo_loader_id = None
         # True while fit()'s epoch loop runs: the memo legitimately holds
         # windows from TWO loaders there (train + per-epoch fit-val), so
         # the stale-entry clear at _eval_dispatch entry must not fire for
@@ -350,6 +357,7 @@ class ModelWrapper:
         if self._window_memo:
             self._window_memo.clear()
         self._window_memo_bytes = 0
+        self._memo_loader_id = None
 
     def _prestack_window(self, pending, loader):
         """Memoized [K, ...]-stacked form of a device-resident fuse window.
@@ -891,11 +899,17 @@ class ModelWrapper:
         y list, y_mask list)`` — per-BATCH host arrays (lists, because
         bucketed loaders emit mixed batch shapes).
         """
-        if not self._in_fit:
-            # standalone evaluate()/predict(): a previous fit's windows are
-            # stale — release them before this loader dispatches (fit's
-            # per-epoch validation skips this: its memo is live)
+        if not self._in_fit and id(loader) != self._memo_loader_id:
+            # standalone evaluate()/predict() on a NEW loader: a previous
+            # run's windows are stale — release them before this loader
+            # dispatches (fit's per-epoch validation skips this: its memo
+            # is live).  Same-loader repeat calls (serving-style scoring
+            # loops over one ResidentCache) keep their memo — clearing
+            # unconditionally re-stacked every window through HBM on
+            # every call (round-5 review finding)
             self._clear_window_memo()
+        if not self._in_fit:
+            self._memo_loader_id = id(loader)
         chunks = []  # (loss(es), probs, ys_group, masks_group) device/host
         flags = []  # fused? per chunk (kept out of the device_get pytree)
         pending = []

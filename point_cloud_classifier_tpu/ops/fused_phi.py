@@ -398,6 +398,70 @@ def _make_bwd_kernel(
     return kernel
 
 
+def _bwd_auto_tile(
+    spec, params, h_dim, num_segments, split_req, itemsize, interpret=False
+):
+    """Auto row-tile for the fused backward, or ``None`` when no tile can
+    fit the scoped-VMEM stack (caller falls back to the XLA replay).
+
+    Two budgets compose:
+
+    1. Row-linear (rounds 2-3): the backward's live set is ~4x the
+       forward's (vjp residuals for every chain layer stay in VMEM), so
+       budget two notches tighter (measured: tile 2048 x width 256 hits
+       the 16 MB scoped-vmem stack limit at 17.6 MB; 1024 x 256 fits).
+       Chain specs default to the 2x-tile + split-2 pairing: splitting
+       the vjp into row sub-chains halves the residual live set, so tile
+       2048/split 2 keeps the same VMEM footprint as 1024/1 while
+       halving the grid — measured +3.0% whole-step over the unsplit
+       default (303.7k vs 294.8k clouds/sec, 2026-08-18 phi_ab; t4096/s4
+       tied at 304.8k).  The tail-fused empty spec has NO vjp residuals
+       (closed-form affine grads) — forward budget, no split needed.
+
+    2. STATIC-footprint correction (round-5 TPU calibration): budget 1
+       ignores the kernel's whole-run VMEM residents — wire-dtype
+       weights, f32 d_param accumulators, the pooled cotangent — which
+       grow with width² and at width 1024 crowd the residual live set
+       out of the stack (w1024×2 at budget 1's tile 512 is a hard Mosaic
+       compile failure; tile 256 fits).  Model: static +
+       live_rows·widest·4·12 ≤ 15 MB (c=12 f32 row-buffers, 1 MB
+       margin) — reproduces every measured anchor with the tuned
+       defaults intact (w256 t2048 / w512 t1024 stand; w1024×2 → t256;
+       w1024×4's 17 MB of d_param accumulators alone can NEVER fit →
+       ``None``, XLA replay; all five TPU-verified 2026-08-21,
+       tests/test_fused_phi.py pins the table).  A raised
+       PCC_PHI_VMEM_MB grows the pool in step; an explicit
+       PCC_PHI_TILE_BWD override skips the gate entirely (expert A/B
+       arms pair it with the vmem knob — a wrong pairing should fail
+       loudly, not silently measure XLA: the vacuous-arm trap).
+    """
+    widest = max([h_dim] + [w[0].shape[-1] for w in params[:-1]])
+    shift, cap = (20, 4096) if not spec else (19, 2048)
+    if spec and split_req < 2:
+        shift, cap = 18, 1024  # unsplit residual live set: 1x tile
+    budget = (1 << shift) // max(widest, 1)
+    tile = 128
+    while tile * 2 <= min(budget, cap):
+        tile *= 2
+    if not interpret and os.environ.get("PCC_PHI_TILE_BWD") is None:
+        vmem_mb = _env_int("PCC_PHI_VMEM_MB", 0)
+        pool = (vmem_mb - 1 if vmem_mb else 15) * 1024 * 1024
+        # params entries are (w, b) or (w, b, None, None) — index, don't
+        # unpack (the model API ships 4-tuples with empty LN slots)
+        n_param = sum(pr[0].size + pr[1].size for pr in params)
+        static = (
+            n_param * (itemsize + 4) + _round_up(num_segments, 8) * h_dim * 4
+        )
+        eff_split = 2 if (spec and split_req >= 2) else 1
+        while tile > 128 and (
+            static + (tile // eff_split) * widest * 4 * 12 > pool
+        ):
+            tile //= 2
+        if static + (tile // eff_split) * widest * 4 * 12 > pool:
+            return None  # statically infeasible at any tile
+    return tile
+
+
 def phi_pool_bwd_pallas(
     points,
     seg,
@@ -425,25 +489,12 @@ def phi_pool_bwd_pallas(
     # tile is re-checked where ``split`` resolves below
     split_req = _env_int("PCC_PHI_SPLIT_BWD", 2 if spec else 1)
     if tile is None:
-        # the backward's live set is ~4x the forward's (vjp residuals for
-        # every chain layer stay in VMEM), so budget two notches tighter
-        # (measured: tile 2048 x width 256 hits the 16 MB scoped-vmem stack
-        # limit at 17.6 MB; 1024 x 256 fits).  Chain specs default to the
-        # 2x-tile + split-2 pairing instead: splitting the vjp into row
-        # sub-chains halves the residual live set, so tile 2048/split 2
-        # keeps the same VMEM footprint as 1024/1 while halving the grid —
-        # measured +3.0% whole-step over the unsplit default (303.7k vs
-        # 294.8k clouds/sec, 2026-08-18 phi_ab; t4096/s4 tied at 304.8k).
-        # The tail-fused empty spec has NO vjp residuals (closed-form
-        # affine grads) — forward budget, no split needed
-        widest = max([h_dim] + [w[0].shape[-1] for w in params[:-1]])
-        shift, cap = (20, 4096) if not spec else (19, 2048)
-        if spec and split_req < 2:
-            shift, cap = 18, 1024  # unsplit residual live set: 1x tile
-        budget = (1 << shift) // max(widest, 1)
-        tile = 128
-        while tile * 2 <= min(budget, cap):
-            tile *= 2
+        tile = _bwd_auto_tile(
+            spec, params, h_dim, num_segments, split_req,
+            jnp.dtype(points.dtype).itemsize, interpret,
+        )
+        if tile is None:
+            return None  # statically VMEM-infeasible: XLA replay
         tile = _env_int("PCC_PHI_TILE_BWD", tile)
     t = _pick_tile(tile, p)
     if t is None:

@@ -45,26 +45,31 @@ _enabled: str | None = None
 _rev_digest: str | None = None
 
 
+def _digest_tree(root: str) -> str:
+    """sha256 over a source tree's name-sorted .py/.cpp/.cc/.h bytes."""
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = sorted(
+            d for d in dirnames if d != "__pycache__"
+        )
+        for fn in sorted(filenames):
+            if fn.endswith((".py", ".cpp", ".cc", ".h")):
+                h.update(fn.encode())
+                with open(os.path.join(dirpath, fn), "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def _source_digest() -> str:
-    """Digest of the framework's own source tree (name-sorted .py/.cpp
-    bytes).  Part of the default cache-dir key: any code change — even one
-    jax's HLO keying would dedupe — lands in a fresh directory, so stale
-    accumulation across framework revisions is structurally impossible.
-    ~1 MB of source, hashed once per process (~ms)."""
+    """Digest of the framework's own source tree.  Part of the default
+    cache-dir key: any code change — even one jax's HLO keying would
+    dedupe — lands in a fresh directory, so stale accumulation across
+    framework revisions is structurally impossible.  ~1 MB of source,
+    hashed once per process (~ms)."""
     global _rev_digest
     if _rev_digest is None:
         pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        h = hashlib.sha256()
-        for dirpath, dirnames, filenames in os.walk(pkg_root):
-            dirnames[:] = sorted(
-                d for d in dirnames if d != "__pycache__"
-            )
-            for fn in sorted(filenames):
-                if fn.endswith((".py", ".cpp", ".cc", ".h")):
-                    h.update(fn.encode())
-                    with open(os.path.join(dirpath, fn), "rb") as f:
-                        h.update(f.read())
-        _rev_digest = h.hexdigest()[:16]
+        _rev_digest = _digest_tree(pkg_root)
     return _rev_digest
 
 
@@ -125,20 +130,54 @@ def maybe_enable_from_env() -> str | None:
     )
 
 
+def _prune_stale_keyed_dirs(current: str, keep_n: int = 8) -> None:
+    """Bound the default cache root: every framework revision gets its own
+    keyed subdirectory (staleness story above), so a developer iterating on
+    the package would otherwise accrete one dead executable dir per source
+    change forever — the exact unbounded growth that kept the cache opt-in
+    before round 5.  Keep the current dir plus the ``keep_n`` most recently
+    TOUCHED siblings (a live process at another revision keeps refreshing
+    its dir's mtime as it writes entries, so recency protects concurrent
+    runs; jax also tolerates a cache dir vanishing mid-run — it recompiles
+    and rewrites).  Best-effort: IO races with concurrent pruners are
+    swallowed."""
+    import shutil
+
+    root = os.path.dirname(current)
+    try:
+        entries = [
+            os.path.join(root, name)
+            for name in os.listdir(root)
+            if os.path.isdir(os.path.join(root, name))
+            and os.path.join(root, name) != current
+        ]
+        entries.sort(key=lambda p: os.path.getmtime(p), reverse=True)
+        for stale in entries[keep_n:]:
+            shutil.rmtree(stale, ignore_errors=True)
+    except OSError:
+        pass
+
+
 def enable_default_cache() -> str | None:
     """Warm-start policy for the CLI product entrypoints: enable the
     persistent cache at the rev-keyed default directory unless the user
-    force-disabled it (``PCC_COMPILE_CACHE=0``) or already pointed it
-    somewhere.  The round-4 sweep campaign measured the warm cache at
+    disabled it (``PCC_COMPILE_CACHE`` unset-to-empty or ``0`` — same
+    opt-out values ``maybe_enable_from_env`` honors) or already pointed
+    it somewhere.  The round-4 sweep campaign measured the warm cache at
     6.6 → ~2 min/run — sweep/train users get that without knowing the
     env var.  Library imports never call this."""
     val = os.environ.get("PCC_COMPILE_CACHE")
-    if val == "0":
+    if val is not None and (val == "0" or not val):
+        # explicit opt-out: "0" or empty — mirror maybe_enable_from_env's
+        # "unset/0/empty = off" contract so `PCC_COMPILE_CACHE= cmd`
+        # disables the CLI default instead of silently enabling it
         return None
     if val:  # explicit dir / "1": honor it exactly
         return maybe_enable_from_env()
     if _enabled is not None:
         return _enabled
-    return enable_compile_cache(
+    path = enable_compile_cache(
         None, min_entry_size_bytes=0, min_compile_time_secs=0.0
     )
+    _prune_stale_keyed_dirs(path)
+    return path

@@ -250,11 +250,18 @@ SCENARIOS = [
     (
         "ds_B64_w1024_fusedphi",
         "fused-Pallas-vs-XLA φ pair at width 1024 (auto=XLA was decided "
-        "at 256/512; 4-layer φ is the sweep's deepest draw)",
+        "at 256/512; 4-layer φ is the sweep's deepest draw).  FLAT wire "
+        "on BOTH arms: the dense per-cloud-row wire force-routes "
+        "fused_phi to XLA (models/deep_sets.py — in-row padding would "
+        "contaminate the fused kernel's segment pooling), so a dense "
+        "'pallas' arm silently runs the identical XLA program and the "
+        "A/B is vacuous (round-5 review finding; the first audit run "
+        "had exactly that bug)",
         [
-            ("xla", {}, dict(b=64, p=64 * 256, width=1024, layers=4)),
+            ("xla", {}, dict(b=64, p=64 * 256, width=1024, layers=4,
+                             pc_layout="flat")),
             ("pallas", {}, dict(b=64, p=64 * 256, width=1024, layers=4,
-                                fused_phi="on")),
+                                pc_layout="flat", fused_phi="on")),
         ],
         _deep_sets,
     ),

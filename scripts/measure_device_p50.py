@@ -174,6 +174,14 @@ def main() -> None:
     if args.tiny:
         args.b, args.p, args.iters, args.warmup = 8, 1024, 20, 3
 
+    if args.parse:
+        # label the parsed trace from the capture-dir naming convention
+        # (…_bf16 / …_int8) instead of assuming variants[0] — parsing an
+        # int8 capture must not emit a bf16-labelled metric line
+        base = os.path.basename(os.path.normpath(args.parse))
+        suffix = base.rsplit("_", 1)[-1]
+        args.variants = [suffix if suffix in ("bf16", "int8") else base]
+
     for variant in args.variants:
         outdir = args.parse or f"{args.out}_{variant}"
         if not args.parse:

@@ -7,8 +7,18 @@ forward got over five probe-driven passes.  This probe prices each
 backward stage with the same reps-difference method as
 ``probe_mosaic_costs.py`` (time at reps=16 and 64 with a forced D2H
 read; the difference isolates 48·G ops and cancels tunnel round-trip,
-block copies, and the early-returning ``block_until_ready``), with
-per-variant scaffold subtraction.
+block copies, and the early-returning ``block_until_ready``), minus ONE
+SHARED scaffold baseline (the ``swap20`` variant's [M,T] rr-add +
+consume).  Caveat (round-5 review): the shared scaffold over-subtracts
+for variants whose real per-rep overhead is smaller than an [M,T] add
+(the small-output dal/dss stages — several clamp to the 0-floor), so
+tiny ``net`` values UNDER-state those stages' true cost; treat the
+table as a RANKING of candidate rewrites, not absolute prices, and
+ratify any default flip with a whole-step A/B (the dal=t default was:
++7.0% whole-step, docs/kernels.md seventh pass).  The fifth-pass probe
+(`probe_mosaic_costs.py`) sized scaffolds per-variant; here the shared
+baseline was accepted because every candidate's decision margin (4-10×)
+dwarfs the scaffold error (≤0.03 µs).
 
 Stage map (per graph, per GATConv layer, D=4, C=128, T=M=256):
 

@@ -16,8 +16,11 @@ import os
 
 # hermeticity: CLI entrypoints default the persistent jit cache ON
 # (utils/jit_cache.enable_default_cache) — tests that invoke train/sweep
-# mains must not write into ~/.cache; cache-specific tests override this
-os.environ.setdefault("PCC_COMPILE_CACHE", "0")
+# mains must not write into ~/.cache.  Unconditional assignment: a
+# shell-exported PCC_COMPILE_CACHE=1 (the documented opt-in) must not
+# leak into the suite (setdefault would have let it win); cache-specific
+# tests monkeypatch per-test
+os.environ["PCC_COMPILE_CACHE"] = "0"
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -95,13 +95,62 @@ def test_enable_default_cache_policy(restore_cache_config, monkeypatch, tmp_path
     jit_cache._enabled = None
     assert jit_cache.enable_default_cache() == os.path.abspath(explicit)
 
+    # EMPTY value = off, mirroring maybe_enable_from_env's "unset/0/empty
+    # = off" contract (`PCC_COMPILE_CACHE= cmd` must disable, round-5
+    # review finding)
+    monkeypatch.setenv("PCC_COMPILE_CACHE", "")
+    jit_cache._enabled = None
+    assert jit_cache.enable_default_cache() is None
 
-def test_source_digest_stable_and_sensitive(tmp_path, monkeypatch):
-    """The rev key is deterministic within a revision; its inputs are the
-    package's source bytes (verified by digesting a synthetic tree)."""
+
+def test_prune_stale_keyed_dirs(tmp_path):
+    """The default cache root keeps the current rev dir + the 8 most
+    recently touched siblings; older revision dirs are deleted (the
+    unbounded-growth concern that kept the cache opt-in pre-round-5)."""
+    root = tmp_path / "jit"
+    root.mkdir()
+    current = root / "jaxX-pcccurrent"
+    current.mkdir()
+    stale = []
+    for i in range(12):
+        d = root / f"jaxX-pccrev{i:02d}"
+        d.mkdir()
+        (d / "entry.bin").write_bytes(b"x")
+        os.utime(d, (1000 + i, 1000 + i))  # rev00 oldest ... rev11 newest
+        stale.append(d)
+    jit_cache._prune_stale_keyed_dirs(str(current), keep_n=8)
+    survivors = sorted(p.name for p in root.iterdir())
+    assert current.name in survivors
+    # the 8 newest siblings survive, the 4 oldest are gone
+    assert [f"jaxX-pccrev{i:02d}" in survivors for i in range(12)] == (
+        [False] * 4 + [True] * 8
+    )
+    """The rev key is deterministic within a revision AND changes with
+    the source bytes (the staleness story depends on both halves: a
+    digest that ignored file contents would route every revision into
+    one shared, stale-accreting directory)."""
     a = jit_cache._source_digest()
     jit_cache._rev_digest = None
     assert jit_cache._source_digest() == a  # recompute → same revision key
+
+    # sensitivity, on a synthetic tree: content change → new key;
+    # non-source files don't participate
+    pkg = tmp_path / "pkg"
+    (pkg / "sub").mkdir(parents=True)
+    (pkg / "a.py").write_text("x = 1\n")
+    (pkg / "sub" / "b.cpp").write_text("int b;\n")
+    d0 = jit_cache._digest_tree(str(pkg))
+    assert jit_cache._digest_tree(str(pkg)) == d0  # deterministic
+    (pkg / "a.py").write_text("x = 2\n")
+    d1 = jit_cache._digest_tree(str(pkg))
+    assert d1 != d0  # .py edit lands in a fresh cache dir
+    (pkg / "sub" / "b.cpp").write_text("int b2;\n")
+    d2 = jit_cache._digest_tree(str(pkg))
+    assert d2 != d1  # native source participates too
+    (pkg / "notes.md").write_text("docs only\n")
+    assert jit_cache._digest_tree(str(pkg)) == d2  # non-source ignored
+    (pkg / "c.py").write_text("")
+    assert jit_cache._digest_tree(str(pkg)) != d2  # new file changes key
 
 
 def test_warm_start_bit_identical(tmp_path):

@@ -471,3 +471,41 @@ def test_hidden_only_params_forward_and_backward_kernels(monkeypatch):
     assert calls == [True], "hidden-only backward kernel was not used"
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_bwd_auto_tile_static_vmem_anchors(monkeypatch):
+    """Round-5 TPU calibration table for the backward's auto tile
+    (ops/fused_phi._bwd_auto_tile): the static-footprint correction must
+    keep every tuned default AND reject the shapes Mosaic hard-fails on
+    (all five anchors TPU-verified 2026-08-21 — w1024×2 at the old
+    formula's tile 512 was a remote-compile crash; the sweep's deepest
+    draw w1024×4 has ~17 MB of f32 d_param accumulators and can never
+    fit, so explicit fused_phi="on" now falls back to the XLA replay
+    instead of crashing)."""
+    import point_cloud_classifier_tpu.ops.fused_phi as fp
+
+    monkeypatch.delenv("PCC_PHI_TILE_BWD", raising=False)
+    monkeypatch.delenv("PCC_PHI_VMEM_MB", raising=False)
+
+    def tile_for(width, layers, itemsize=2, split_req=2, segs=257):
+        spec = (("plain", True),) * (layers - 1)  # chain spec, no LN
+        key = jax.random.PRNGKey(0)
+        params = _make_params(key, spec, 6, width)
+        return fp._bwd_auto_tile(
+            spec, params, width, segs, split_req, itemsize
+        )
+
+    assert tile_for(256, 2) == 2048   # flagship default stands
+    assert tile_for(512, 2) == 1024   # measured round-2 default stands
+    assert tile_for(1024, 2) == 256   # old formula said 512: compile crash
+    assert tile_for(1024, 4) is None  # statically infeasible -> XLA replay
+
+    # a raised PCC_PHI_VMEM_MB grows the pool in step (expert knob)
+    monkeypatch.setenv("PCC_PHI_VMEM_MB", "100")
+    assert tile_for(1024, 4) is not None
+
+    # explicit tile override skips the gate (paired with the vmem knob in
+    # phi_ab A/B arms; must fail loudly, not silently reroute to XLA)
+    monkeypatch.delenv("PCC_PHI_VMEM_MB", raising=False)
+    monkeypatch.setenv("PCC_PHI_TILE_BWD", "512")
+    assert tile_for(1024, 4) == 512  # gate skipped: raw row-linear value

@@ -316,6 +316,40 @@ def test_prestacked_window_memo_matches_tuple_path():
     assert len(wa._window_memo) == 0 and wa._window_memo_bytes == 0
 
 
+def test_eval_memo_survives_same_loader_repeat_calls():
+    """Round-5 review fix: the stale-window clear at standalone
+    evaluate()/predict() entry is keyed on LOADER identity — a scoring
+    loop hitting the same ResidentCache repeatedly must keep its window
+    memo across calls (clearing unconditionally re-stacked every window
+    through HBM on every request), while switching to a DIFFERENT loader
+    still releases the previous loader's pinned windows up front."""
+    model = FullyConnectedNet(
+        input_dim=9, hidden_layers=[8], batch_normalization=True, output_dim=1
+    )
+    w = ModelWrapper(
+        model, learning_rate=1e-2, epochs=1, seed=0,
+        device_resident=True, fuse_steps=2,
+    )
+    w.fit([_tabular_batch(seed=s) for s in range(4)])
+
+    cache = ResidentCache([_tabular_batch(seed=s) for s in range(20, 24)])
+    list(cache)  # upload pass (memo stands down until replay is stable)
+    _, p1 = w.predict(cache, return_prob=True)
+    assert len(w._window_memo) == 2 and w._memo_loader_id == id(cache)
+    entries_after_first = dict(w._window_memo)
+    _, p2 = w.predict(cache, return_prob=True)
+    # same loader: the SAME memo entries survive and are reused
+    assert dict(w._window_memo) == entries_after_first
+    np.testing.assert_allclose(p1, p2, rtol=0, atol=0)
+
+    other = ResidentCache([_tabular_batch(seed=s) for s in range(30, 34)])
+    list(other)
+    w.predict(other, return_prob=True)
+    # new loader: old windows released, new loader's windows memoized
+    assert w._memo_loader_id == id(other)
+    assert not (set(w._window_memo) & set(entries_after_first))
+
+
 def test_block_shuffle_falls_back_on_few_blocks():
     """With fewer than 8 full blocks, window-granular shuffle collapses
     toward degeneracy (3 blocks = 3! = 6 epoch orders, 1 block = the
