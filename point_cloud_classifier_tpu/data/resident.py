@@ -66,6 +66,9 @@ def _nbytes(batch: Dict[str, np.ndarray]) -> int:
 
 
 def _shape_key(batch: Dict[str, np.ndarray]):
+    # NOTE: models/wrapper.py carries its own _shape_key with a different
+    # dtype encoding (str(dtype) vs dtype.str); the two key INDEPENDENT
+    # caches and must never be compared across modules
     return tuple(
         (k, np.asarray(v).shape, np.asarray(v).dtype.str)
         for k, v in sorted(batch.items())
@@ -125,7 +128,15 @@ class ResidentCache:
         self.shuffle_block = max(1, int(shuffle_block))
         # epoch_offset seeds the shuffle counter for RESUMED training: a
         # cache restarted at 0 would replay the batch orders the crashed
-        # run already consumed (the trainer passes its start epoch)
+        # run already consumed (the trainer passes its start epoch).
+        # Caveat (round-5 review): the resumed cache's FIRST epoch is a
+        # streaming pin pass, so it yields the underlying loader's order,
+        # not permutation(seed + start_epoch + 1) — the uninterrupted
+        # run's order for that one epoch differs; replay epochs from the
+        # second onward align exactly.  Accepted: shuffling is impossible
+        # while batch identity is still being pinned, and a one-epoch
+        # order difference is the same class of divergence as the
+        # fresh-run first pass itself (also streamed, also unshuffled)
         self._epoch = int(epoch_offset)
         self._cached: Optional[list] = None  # device batches once complete
         self._abandoned = False

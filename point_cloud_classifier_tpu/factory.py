@@ -67,14 +67,17 @@ def get_dataloader(dataset_name: str, config: dict):
         if (
             not mdl_gate.get("use_gat", False)
             and mdl_gate.get("local_pooling", "add") == "max"
-            and not mdl_gate.get("sag_pool", False)
             and ds_cfg.get("graph_layout") in ("dense", "auto")
         ):
             # dense max pooling runs over the in-row wire (per-slot
             # one-hot einsums since round 3 — no out-row mirror needed); a
             # batch the loader can only ship as edge_slot triples must
             # ride the flat wire instead of crashing the dense path
-            # mid-epoch.
+            # mid-epoch.  Applies to SAG+max too (dense since round 4;
+            # the old `not sag_pool` exclusion here predated that and
+            # left explicitly-pinned dense/auto SAG+max configs
+            # unprotected — round-5 review finding; the defaulted-layout
+            # branch below always covered it)
             ds_cfg.setdefault("require_inrow", True)
         if (
             mdl_gate.get("fused_inrow", False)
@@ -104,8 +107,10 @@ def get_dataloader(dataset_name: str, config: dict):
                 # segment-softmax penalty on every GAT+use_weights sweep
                 # arm
                 eligible = True
-                if ds_cfg.get("use_weights", True):
-                    ds_cfg.setdefault("dense_w_is_existence", True)
+                # (dense_w_is_existence for weighted GAT is already set
+                # by the explicit-layout gate above — its
+                # `graph_layout != "flat"` check also passes when the
+                # key is absent, so one gate covers both cases)
             else:
                 # max rides dense BY DEFAULT since round 3: the first-cut
                 # inrow_max_aggregate used a take_along_axis gather and

@@ -89,8 +89,41 @@ def _warm_transfer_async() -> None:
 
 
 def _shape_key(batch):
-    """One bucketed batch shape = one compiled program = one fuse group."""
+    """One bucketed batch shape = one compiled program = one fuse group.
+
+    NOTE: data/resident.py carries its own _shape_key with a different
+    dtype encoding (dtype.str vs str(dtype)); the two key INDEPENDENT
+    caches and must never be compared across modules."""
     return tuple(sorted((k, np.shape(v), str(v.dtype)) for k, v in batch.items()))
+
+
+def _stack_and_constrain(mesh, batches):
+    """Stack a tuple of per-batch dicts into one ``[K, ...]`` dict and,
+    under a mesh, constrain every leaf to the declared stacked
+    data-parallel layout.
+
+    The SINGLE implementation behind both fuse-window forms — the in-jit
+    tuple stack (``_stack_in_jit``) and the memoized pre-stack
+    (``_prestack_window``): the two paths must compile identical SPMD
+    layouts for the same window, so the stack+constraint body lives here
+    once (round-5 review: the former duplicate bodies could silently
+    diverge)."""
+    if isinstance(batches, tuple):
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    else:
+        stacked = batches
+    if mesh is not None:
+        from point_cloud_classifier_tpu.parallel.mesh import (
+            stacked_batch_sharding,
+        )
+
+        stacked = {
+            k: jax.lax.with_sharding_constraint(
+                v, stacked_batch_sharding(mesh, v)
+            )
+            for k, v in stacked.items()
+        }
+    return stacked
 
 
 @jax.jit
@@ -277,8 +310,14 @@ class ModelWrapper:
         # sweep runs share it.
         key = repr(self.model)
         if key not in _INIT_CACHE:
+            # bind the MODULE, not self: a lambda over `self` would pin
+            # the whole first wrapper per architecture (trained params,
+            # opt state, HBM window memo) in this module-level cache for
+            # the process lifetime — Flax modules are just frozen config
+            # dataclasses, cheap to retain (round-5 review finding)
+            model = self.model
             _INIT_CACHE[key] = jax.jit(
-                lambda rng, b: self.model.init(rng, b, train=False)
+                lambda rng, b: model.init(rng, b, train=False)
             )
         variables = _INIT_CACHE[key](
             jax.random.PRNGKey(self.seed), jax.tree.map(jnp.asarray, batch)
@@ -394,11 +433,21 @@ class ModelWrapper:
         if not loader.replay_is_window_stable(max(1, self.fuse_steps)):
             # streaming first pass, budget abandonment, or batch-granular
             # shuffle (window composition varies per epoch): memoizing
-            # would churn stacks through the LRU for zero hits — drop any
-            # stale entries and ride the in-jit tuple stack
-            if self._window_memo:
-                self._window_memo.clear()
-                self._window_memo_bytes = 0
+            # would churn stacks through the LRU for zero hits — drop THIS
+            # loader's stale entries and ride the in-jit tuple stack.
+            # Only this loader's: during fit the memo legitimately also
+            # holds the OTHER loader's live windows (an unstable train
+            # cache clearing wholesale wiped the stable fit-val loader's
+            # windows on every fused flush, re-stacking them through HBM
+            # each epoch — round-5 review finding)
+            mine = [
+                k for k, v in self._window_memo.items() if v[2] == id(loader)
+            ]
+            for k in mine:
+                old = self._window_memo.pop(k)[1]
+                self._window_memo_bytes -= sum(
+                    int(v.nbytes) for v in old.values()
+                )
             return None
         key = tuple(map(id, pending))
         entry = self._window_memo.get(key)
@@ -413,24 +462,13 @@ class ModelWrapper:
         # shape buckets can misalign occasional windows)
         budget = loader.budget_bytes
         if self._window_stack_jit is None:
+            # same stack+constraint body as _stack_in_jit — shared via
+            # _stack_and_constrain so both fuse-window forms compile the
+            # identical SPMD layout
             mesh = self.mesh
-
-            def _stack(batches):
-                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
-                if mesh is not None:
-                    from point_cloud_classifier_tpu.parallel.mesh import (
-                        stacked_batch_sharding,
-                    )
-
-                    stacked = {
-                        k: jax.lax.with_sharding_constraint(
-                            v, stacked_batch_sharding(mesh, v)
-                        )
-                        for k, v in stacked.items()
-                    }
-                return stacked
-
-            self._window_stack_jit = jax.jit(_stack)
+            self._window_stack_jit = jax.jit(
+                lambda batches: _stack_and_constrain(mesh, batches)
+            )
         stacked = self._window_stack_jit(tuple(pending))
         nbytes = sum(int(v.nbytes) for v in stacked.values())
         if nbytes > budget:
@@ -440,11 +478,13 @@ class ModelWrapper:
             return stacked
         while self._window_memo and self._window_memo_bytes + nbytes > budget:
             oldest = next(iter(self._window_memo))
-            _, old = self._window_memo.pop(oldest)
+            old = self._window_memo.pop(oldest)[1]
             self._window_memo_bytes -= sum(
                 int(v.nbytes) for v in old.values()
             )
-        self._window_memo[key] = (tuple(pending), stacked)
+        # value: (source tuple for the identity hit-check, stacked window,
+        # owning loader id for the selective unstable-loader clear above)
+        self._window_memo[key] = (tuple(pending), stacked, id(loader))
         self._window_memo_bytes += nbytes
         return stacked
 
@@ -532,22 +572,7 @@ class ModelWrapper:
             # constraint the stack's sharding is whatever propagation
             # infers, i.e. implementation-defined placement — the reason
             # round-2 locked fused+mesh out entirely.
-            if isinstance(batches, tuple):
-                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
-            else:
-                stacked = batches
-            if mesh is not None:
-                from point_cloud_classifier_tpu.parallel.mesh import (
-                    stacked_batch_sharding,
-                )
-
-                stacked = {
-                    k: jax.lax.with_sharding_constraint(
-                        v, stacked_batch_sharding(mesh, v)
-                    )
-                    for k, v in stacked.items()
-                }
-            return stacked
+            return _stack_and_constrain(mesh, batches)
 
         @jax.jit
         def eval_step_fused(params, batch_stats, batches):
@@ -774,6 +799,14 @@ class ModelWrapper:
             with maybe_trace(self.log_dir, force=False):
                 for batch in self._batches(train_loader):
                     self._ensure_initialized(batch)
+                    if self._train_step is None:
+                        # params were assigned directly (not via
+                        # fit/load): _ensure_initialized early-returns
+                        # without building the step fns — same guard
+                        # _eval_dispatch carries (round-5 review finding)
+                        self._build_steps()
+                        if self.opt_state is None:
+                            self.opt_state = self._init_opt_state()
                     shapes_seen.add(shape_key(batch))
                     if pending and (
                         len(pending) >= self.fuse_steps

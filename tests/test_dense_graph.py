@@ -949,6 +949,20 @@ def test_factory_dense_max_sets_inrow_gates(tmp_path, monkeypatch):
     assert seen["graph_layout"] == "auto"
     assert seen["require_inrow"] is True
 
+    # ... and the EXPLICIT-layout gate covers SAG+max as well (the old
+    # `not sag_pool` exclusion predated round-4's SAG+max dense routing
+    # and left pinned dense/auto SAG+max configs crashable on a
+    # degree-outlier edge-triple batch — round-5 review finding)
+    seen.clear()
+    factory_mod.get_dataloader(
+        "s2pg",
+        {
+            "dataset": {"data_dir": str(tmp_path), "graph_layout": "auto"},
+            "model": {"local_pooling": "max", "sag_pool": True},
+        },
+    )
+    assert seen["require_inrow"] is True
+
     # GAT ignores local_pooling — no max gates
     seen.clear()
     factory_mod.get_dataloader(
@@ -959,6 +973,17 @@ def test_factory_dense_max_sets_inrow_gates(tmp_path, monkeypatch):
         },
     )
     assert "require_inrow" not in seen
+
+    # weighted GAT still gets the zero-weight existence gate exactly once
+    # (the defaulted-layout duplicate setdefault was removed round 5 —
+    # the explicit gate's `!= "flat"` check covers the absent-key case)
+    seen.clear()
+    factory_mod.get_dataloader(
+        "s2pg",
+        {"dataset": {"data_dir": str(tmp_path)}, "model": {"use_gat": True}},
+    )
+    assert seen["dense_w_is_existence"] is True
+    assert seen["graph_layout"] == "auto"
 
 
 def test_factory_fused_inrow_gate_survives_explicit_layout(tmp_path, monkeypatch):

@@ -470,3 +470,53 @@ def test_postpool_applies_on_int8_path(monkeypatch):
     scale = np.maximum(np.abs(want), 1.0)
     assert np.max(np.abs(out_post - want) / scale) < 5e-2
     assert np.max(np.abs(out_pp - want) / scale) < 5e-2
+
+
+def test_init_cache_does_not_retain_wrapper():
+    """_INIT_CACHE's jitted init must capture the Flax MODULE, not the
+    wrapper: a lambda over `self` pinned the first wrapper per
+    architecture (trained params, opt state, HBM window memo) in the
+    module-level cache for the process lifetime (round-5 review
+    finding)."""
+    import gc
+    import weakref
+
+    from point_cloud_classifier_tpu.models import ModelWrapper
+    from tests.test_parallel import _tabular_batch
+
+    model = FullyConnectedNet(
+        input_dim=9, hidden_layers=[7, 5], batch_normalization=True, output_dim=1
+    )  # unusual widths: guarantees a fresh _INIT_CACHE entry
+    w = ModelWrapper(model, learning_rate=1e-2, epochs=1, seed=0)
+    w._ensure_initialized(_tabular_batch(seed=0))
+    ref = weakref.ref(w)
+    del w
+    gc.collect()
+    assert ref() is None, "_INIT_CACHE retained the wrapper"
+
+
+def test_fit_rebuilds_steps_after_direct_param_assignment():
+    """fit() after assigning params directly (not via fit/load) must
+    rebuild the step functions instead of calling a None _train_step —
+    the guard _eval_dispatch always had (round-5 review finding)."""
+    from point_cloud_classifier_tpu.models import ModelWrapper
+    from tests.test_parallel import _tabular_batch
+
+    batches = [_tabular_batch(seed=s) for s in range(2)]
+
+    def mk():
+        return ModelWrapper(
+            FullyConnectedNet(
+                input_dim=9, hidden_layers=[8], batch_normalization=True,
+                output_dim=1,
+            ),
+            learning_rate=1e-2, epochs=1, seed=0,
+        )
+
+    src = mk()
+    src.fit(batches)
+    dst = mk()
+    dst.params = src.params  # e.g. a converted/loaded checkpoint
+    dst.batch_stats = src.batch_stats
+    dst.fit(batches)  # was: TypeError ('NoneType' object is not callable)
+    assert dst._train_step is not None and dst.opt_state is not None

@@ -517,3 +517,44 @@ def test_bench_smoke_resident_pipeline(capsys):
     bench.main(["--smoke", "--pipeline", "resident"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["unit"] == "clouds/sec" and out["value"] > 0
+
+
+def test_unstable_loader_clear_is_selective():
+    """_prestack_window's unstable-loader branch drops only the CALLING
+    loader's memo entries: an unstable train cache must not wipe the
+    stable fit-val loader's live windows on every fused flush (round-5
+    review finding — the old wholesale clear re-stacked val windows
+    through HBM every epoch)."""
+    w = ModelWrapper(
+        FullyConnectedNet(
+            input_dim=9, hidden_layers=[8], batch_normalization=True, output_dim=1
+        ),
+        learning_rate=1e-2, epochs=1, seed=0,
+        device_resident=True, fuse_steps=2,
+    )
+    ca = ResidentCache([_tabular_batch(seed=s) for s in range(4)])
+    la = list(ca)  # upload: replay windows now stable
+    assert w._prestack_window(la[:2], ca) is not None
+    assert w._prestack_window(la[2:], ca) is not None
+    assert len(w._window_memo) == 2
+
+    # an UNSTABLE other loader (first pass still streaming) flushes:
+    # returns None (tuple path) and leaves ca's entries alone
+    cb = ResidentCache([_tabular_batch(seed=s) for s in range(10, 14)])
+    assert not cb.replay_is_window_stable(2)
+    assert w._prestack_window(la[:2], cb) is None
+    assert len(w._window_memo) == 2
+
+    # once cb stabilizes its windows memoize alongside ca's...
+    lb = list(cb)
+    assert w._prestack_window(lb[:2], cb) is not None
+    assert len(w._window_memo) == 3
+    # ...and when cb turns unstable again (budget abandonment), only
+    # ITS entry is dropped
+    cb._abandoned = True
+    assert w._prestack_window(lb[:2], cb) is None
+    assert len(w._window_memo) == 2
+    assert w._window_memo_bytes == sum(
+        sum(int(v.nbytes) for v in entry[1].values())
+        for entry in w._window_memo.values()
+    )
