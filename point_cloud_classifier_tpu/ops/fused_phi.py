@@ -58,13 +58,20 @@ Spec = Tuple[Tuple[str, bool], ...]
 
 
 def _env_int(name: str, default: int) -> int:
-    """Tuning overrides (PCC_PHI_TILE / _TILE_BWD / _SPLIT / _SPLIT_BWD)
-    for same-window whole-step A/B experiments; defaults are the shipped,
-    measured policy."""
-    try:
-        return int(os.environ.get(name, ""))
-    except ValueError:
+    """Tuning overrides (PCC_PHI_TILE / _TILE_BWD / _SPLIT / _SPLIT_BWD /
+    _VMEM_MB) for same-window whole-step A/B experiments; defaults are the
+    shipped, measured policy.  A SET-but-malformed value raises, like the
+    PCC_GAT_* knobs: a typo'd override silently measuring the default arm
+    voids the A/B — and a malformed PCC_PHI_TILE_BWD would additionally
+    disable the static-VMEM feasibility gate (which keys on the var being
+    set) while NOT applying any override, the worst of both."""
+    raw = os.environ.get(name)
+    if raw is None or raw == "":
         return default
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(f"{name} must be an integer, got {raw!r}") from None
 
 
 def _compiler_params():
@@ -86,11 +93,29 @@ def _act(name: str):
     # "gelu" resolves to quick_gelu unless PCC_GELU=exact|poly
     # (ops/activations.py) — the exact-gelu tanh chain alone cost a third
     # of the flagship train step (see the activations module docstring).
-    # mosaic=True: kernels need the explicit-exp sigmoid forms —
-    # lax.logistic is broken at bf16 under Mosaic
+    # mosaic=True: the PALLAS KERNELS need the explicit-exp sigmoid forms
+    # — lax.logistic is broken at bf16 under Mosaic.  Kernel builders
+    # ONLY; the XLA fns below use _act_xla
     from point_cloud_classifier_tpu.ops.activations import resolve_activation
 
     return resolve_activation(name, mosaic=True)
+
+
+def _act_xla(name: str):
+    # XLA consumers (phi_hidden_xla / phi_forward_xla and everything built
+    # on them — including the flagship's production "xla" mode) get the
+    # native lowerings: lax.logistic measured ~3% whole-step faster than
+    # the explicit-exp form on the post-pool step (commit 906ccce's
+    # stated policy).  That commit flipped _act to mosaic=True for the
+    # kernels but inadvertently dragged these XLA fns with it, so the
+    # headline path ran explicit-exp from 2026-08-18 until the round-5
+    # review caught it — and the PCC_SIGMOID_FORM=exp A/B arm was
+    # near-vacuous (both arms explicit).  The two forms are the same
+    # function (1/(1+exp(-x)) IS logistic), differing only in lowering,
+    # so kernels-vs-XLA parity is unaffected (tests pin it).
+    from point_cloud_classifier_tpu.ops.activations import resolve_activation
+
+    return resolve_activation(name, mosaic=False)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -136,7 +161,7 @@ def phi_hidden_xla(points, spec: Spec, params: Sequence, activation: str):
     """The φ chain WITHOUT the final un-activated linear (``len(params) ==
     len(spec)``) — the XLA half of the tail-fused split (`phi_pool` with an
     empty spec fuses the final linear + pooling)."""
-    act = _act(activation)
+    act = _act_xla(activation)
     h = points
     for (kind, has_ln), layer in zip(spec, params):
         w, b, ln_scale, ln_bias = layer
@@ -443,7 +468,9 @@ def _bwd_auto_tile(
     tile = 128
     while tile * 2 <= min(budget, cap):
         tile *= 2
-    if not interpret and os.environ.get("PCC_PHI_TILE_BWD") is None:
+    if not interpret and not os.environ.get("PCC_PHI_TILE_BWD"):
+        # empty string counts as unset (matching _env_int), so the
+        # feasibility gate still runs
         vmem_mb = _env_int("PCC_PHI_VMEM_MB", 0)
         pool = (vmem_mb - 1 if vmem_mb else 15) * 1024 * 1024
         # params entries are (w, b) or (w, b, None, None) — index, don't

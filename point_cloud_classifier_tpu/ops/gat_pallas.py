@@ -241,7 +241,14 @@ def _alpha_tile(sd, ssT, mask, head, slope):
     # polynomial-GELU negative result, docs/kernels.md) — and row-max is
     # also free of the underflow caveat below.  Factored stays available
     # as PCC_GAT_SOFTMAX=factored; both forms are parity-tested.
-    if os.environ.get("PCC_GAT_SOFTMAX", "max") != "factored":
+    softmax_form = os.environ.get("PCC_GAT_SOFTMAX", "max")
+    if softmax_form not in ("max", "factored"):
+        # loud, like the other PCC_GAT_* knobs: a typo must not silently
+        # measure the default arm in an A/B session
+        raise ValueError(
+            f"PCC_GAT_SOFTMAX must be max|factored, got {softmax_form!r}"
+        )
+    if softmax_form != "factored":
         z = s + t_row  # [T, M]
         e = jnp.where(z >= 0.0, z, slope * z)  # LeakyReLU
         e = jnp.where(mask, e, -jnp.inf)  # mask is a predicate tile
@@ -723,6 +730,12 @@ def _kernel_form(t: int, m: int, c: int = 128, d: int = 4) -> str:
     sets past the VMEM cap always use the dense form.
     """
     form = os.environ.get("PCC_GAT_KERNEL", "auto")
+    if form not in ("auto", "slot", "dense"):
+        # loud, like PCC_GAT_SCORE_CHUNK/PCC_GAT_DAL: an unrecognized
+        # value silently measuring the default arm voids A/B sessions
+        raise ValueError(
+            f"PCC_GAT_KERNEL must be auto|slot|dense, got {form!r}"
+        )
     if t != m or form == "dense":
         return "dense"
     if _slot_vmem(m, c, d, 1) > _SLOT_VMEM_CAP:

@@ -106,6 +106,13 @@ def _tile_rows(m: int, width: int, itemsize: int) -> int:
 
 
 def _inrow_aggregate_impl(h, in_src, in_w, aggr: str, interpret: bool):
+    if aggr not in ("add", "mean"):
+        # loud: the weighted-sum math silently "works" for any string, and
+        # graph_net passes local_pooling straight through — a future
+        # branch reorder must not turn 'max' into a silent weighted sum
+        raise ValueError(f"inrow_aggregate supports 'add'/'mean', got {aggr!r}")
+    from point_cloud_classifier_tpu.ops.dispatch import use_tpu_kernels
+
     b, m, width = h.shape
     d = in_src.shape[-1]
     t = _tile_rows(m, width, h.dtype.itemsize)
@@ -113,10 +120,14 @@ def _inrow_aggregate_impl(h, in_src, in_w, aggr: str, interpret: bool):
         t == 0
         or m % t != 0
         or (m & (m - 1)) != 0
-        or (jax.default_backend() != "tpu" and not interpret)
+        or (not use_tpu_kernels() and not interpret)
     ):
         # XLA fallback: VMEM-infeasible shapes, non-pow2 buckets, and
-        # non-TPU backends (Mosaic only interprets elsewhere)
+        # non-TPU backends (Mosaic only interprets elsewhere).  Gate via
+        # dispatch.use_tpu_kernels — NOT jax.default_backend directly —
+        # so serving's force_xla() export tracing closes this kernel too
+        # (a raw backend check would embed tpu_custom_call in a "pure
+        # StableHLO" artifact traced on a TPU host)
         return inrow_aggregate_xla(h, in_src, in_w, aggr)
     kernel = _make_kernel(t, m, d, aggr)
     return pl.pallas_call(
