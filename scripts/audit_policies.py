@@ -166,7 +166,7 @@ SCENARIOS = [
         "remat crossover placement: width 512 (auto won +38% at 256, "
         "lost 1.5% at 1024)",
         [
-            ("auto", {"PCC_PHI_REMAT": "auto"}, dict(b=64, p=64 * 256, width=512)),
+            ("on", {"PCC_PHI_REMAT": "1"}, dict(b=64, p=64 * 256, width=512)),
             ("off", {"PCC_PHI_REMAT": "0"}, dict(b=64, p=64 * 256, width=512)),
         ],
         _deep_sets,
@@ -186,7 +186,7 @@ SCENARIOS = [
         "remat B-vs-width attribution: B=64 at width 256 (auto won +38% "
         "at B=256/w256, lost at B=64/w512 and w1024)",
         [
-            ("auto", {"PCC_PHI_REMAT": "auto"}, dict(b=64, p=64 * 256, width=256)),
+            ("on", {"PCC_PHI_REMAT": "1"}, dict(b=64, p=64 * 256, width=256)),
             ("off", {"PCC_PHI_REMAT": "0"}, dict(b=64, p=64 * 256, width=256)),
         ],
         _deep_sets,
@@ -196,7 +196,7 @@ SCENARIOS = [
         "remat B-vs-width attribution: B=256 at width 1024 (completes the "
         "2x2 with the flagship-shape win and the B=64 losses)",
         [
-            ("auto", {"PCC_PHI_REMAT": "auto"},
+            ("on", {"PCC_PHI_REMAT": "1"},
              dict(b=256, p=256 * 256, width=1024)),
             ("off", {"PCC_PHI_REMAT": "0"},
              dict(b=256, p=256 * 256, width=1024)),
@@ -242,7 +242,7 @@ SCENARIOS = [
         "ds_B64_w1024_remat",
         "auto-remat of the per-point φ chain at width 1024 (decided at 256)",
         [
-            ("auto", {"PCC_PHI_REMAT": "auto"}, dict(b=64, p=64 * 256, width=1024)),
+            ("on", {"PCC_PHI_REMAT": "1"}, dict(b=64, p=64 * 256, width=1024)),
             ("off", {"PCC_PHI_REMAT": "0"}, dict(b=64, p=64 * 256, width=1024)),
         ],
         _deep_sets,
