@@ -49,10 +49,14 @@ def make_mesh(
         devices = jax.devices()
     if n_data is None:
         n_data = len(devices) // n_model
-    if n_data * n_model > len(devices):
+    if n_data < 1 or n_model < 1 or n_data * n_model > len(devices):
+        # n_data < 1 covers n_model > len(devices): the floor division
+        # above yields 0, which would slip past the product check (0 > N
+        # is false) and build a zero-device mesh whose first sharding
+        # call dies in a ZeroDivisionError far from the misconfiguration
         raise ValueError(
-            f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
-            f"have {len(devices)}"
+            f"mesh {n_data}x{n_model} needs {max(n_data, 1) * n_model} "
+            f"devices, have {len(devices)}"
         )
     grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, axis_names=("data", "model"))

@@ -14,8 +14,7 @@ Per-config learning rates ride inside the optimizer state via
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -252,4 +251,12 @@ def train_configs_vmapped(
         "best_state": [
             {"params": best_p[i], "batch_stats": best_s[i]} for i in range(k)
         ],
+        # per-arm: did validation loss EVER improve?  An arm that
+        # diverges to NaN from epoch 1 never does (NaN < inf is False in
+        # epoch_update), so its best_state is still the random init —
+        # the sequential path writes no best checkpoint in that case and
+        # sweep.py mirrors that by skipping best_model.pt for these arms
+        # (round-5 review finding: silently pickling an init as
+        # best_model.pt scores ~50% with no error downstream)
+        "best_improved": [bool(b) for b in np.isfinite(np.asarray(best_val_loss))],
     }

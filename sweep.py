@@ -31,6 +31,7 @@ from __future__ import annotations
 import argparse
 import gc
 import json
+import pickle
 import os
 import shutil
 from copy import deepcopy
@@ -252,8 +253,6 @@ def run_search_vmapped(
     ``config.yaml`` + ``meta.json`` metrics, plus the same
     ``search_results.json`` leaderboard.
     """
-    import json as _json
-
     from point_cloud_classifier_tpu.models import DeepSets, FullyConnectedNet, GraphNet
     from point_cloud_classifier_tpu.parallel.vmap_sweep import train_configs_vmapped
     from point_cloud_classifier_tpu.utils.config import save_config
@@ -285,7 +284,7 @@ def run_search_vmapped(
     sampled = [_SAMPLERS[model_name](config=config) for _ in range(max_runs)]
     groups = {}
     for hp in sampled:
-        key = _json.dumps(
+        key = json.dumps(
             {
                 "model": hp["model"],
                 "dataset": hp["dataset"],
@@ -345,27 +344,43 @@ def run_search_vmapped(
             save_leaderboard(top_runs=top_runs, save_dir=search_dir)
             continue
 
-        import pickle
-
         for arm, (hp, va, ta) in enumerate(zip(group, val_accs, train_accs)):
-            logger = TrainingLogger(model_name, dataset_name, **hp["logging"])
-            version_dir = os.path.join(
-                search_dir, f"version_{logger.get_version()}"
-            )
-            hp["logging"]["log_dir"] = version_dir
-            hp["meta"]["model_name"] = model_name
-            hp["meta"]["dataset_name"] = dataset_name
-            save_config(config=hp, log_dir=version_dir)
-            # weights in ModelWrapper's checkpoint format so
-            # `train.py evaluate/infer <version_dir>` work on sweep winners
-            with open(os.path.join(version_dir, "model.pt"), "wb") as f:
-                pickle.dump(result["final_state"][arm], f)
-            with open(os.path.join(version_dir, "best_model.pt"), "wb") as f:
-                pickle.dump(result["best_state"][arm], f)
-            logger.log_metric("accuracy/train", round(ta, 6))
-            logger.log_metric("accuracy/val", round(va, 6))
-            logger.log_metric("parameters", n_params)
-            update_leaderboard(top_runs=top_runs, version_dir=version_dir)
+            try:
+                logger = TrainingLogger(model_name, dataset_name, **hp["logging"])
+                version_dir = os.path.join(
+                    search_dir, f"version_{logger.get_version()}"
+                )
+                hp["logging"]["log_dir"] = version_dir
+                hp["meta"]["model_name"] = model_name
+                hp["meta"]["dataset_name"] = dataset_name
+                save_config(config=hp, log_dir=version_dir)
+                # weights in ModelWrapper's checkpoint format so
+                # `train.py evaluate/infer <version_dir>` work on sweep winners
+                with open(os.path.join(version_dir, "model.pt"), "wb") as f:
+                    pickle.dump(result["final_state"][arm], f)
+                if result.get("best_improved", [True] * len(group))[arm]:
+                    with open(
+                        os.path.join(version_dir, "best_model.pt"), "wb"
+                    ) as f:
+                        pickle.dump(result["best_state"][arm], f)
+                # else: validation never improved (e.g. NaN divergence) —
+                # best_state is the random init; the sequential path writes
+                # no best checkpoint there, so neither do we
+                logger.log_metric("accuracy/train", round(ta, 6))
+                logger.log_metric("accuracy/val", round(va, 6))
+                logger.log_metric("parameters", n_params)
+                update_leaderboard(top_runs=top_runs, version_dir=version_dir)
+            except Exception as e:
+                # per-ARM isolation: one arm's artifact-write failure must
+                # not abort the remaining arms/groups — same
+                # log-and-keep-searching contract as the group try above
+                # and the sequential loop
+                print(f"[Group {g_i} arm {arm}] artifact write failed: {e}")
+                with open(status_log, "a") as f:
+                    f.write(f"Group {g_i} arm {arm} ARTIFACTS FAILED\n")
+                    f.write(f"Error: {e}\n")
+                    f.write(f"{hp}\n")
+                    f.write("-" * 80 + "\n\n")
         # vmapped programs are arm-count × larger than single runs, so clear
         # compiled-executable caches more aggressively than the sequential loop
         _release_run_memory(g_i, every=4)

@@ -306,3 +306,14 @@ def test_fuse_steps_env_override(monkeypatch):
         model, learning_rate=1e-3, epochs=1, seed=0, mesh=make_mesh()
     )
     assert w3.fuse_steps == 8  # no mesh clamp: fused+mesh is supported
+
+
+def test_make_mesh_rejects_oversized_model_axis():
+    """n_model > device count used to floor-divide n_data to 0 and slip
+    past the product guard (0 > N is false), building a zero-device mesh
+    that died in a ZeroDivisionError at the first sharding call — now a
+    loud ValueError at construction (round-5 review finding)."""
+    with pytest.raises(ValueError):
+        make_mesh(n_model=16)
+    with pytest.raises(ValueError):
+        make_mesh(n_data=0, n_model=1)

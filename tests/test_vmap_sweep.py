@@ -297,3 +297,25 @@ def test_run_search_vmapped_graph_net(tmp_path):
     )
     status = tmp_path / "s" / "status_log.txt"
     assert len(top) == 3, (top, status.read_text() if status.exists() else "")
+
+
+def test_vmapped_nan_arm_reports_no_best_improvement():
+    """An arm that diverges to NaN val loss from epoch 1 never improves,
+    so its best_state is the random init — best_improved flags it and
+    run_search_vmapped skips writing best_model.pt for it, matching the
+    sequential path (which writes no best checkpoint either).  Healthy
+    arms in the same group keep their flag (round-5 review finding)."""
+    train, val = _loaders()
+    model = FullyConnectedNet(
+        input_dim=9, hidden_layers=[8], batch_normalization=False, output_dim=1
+    )
+    # lr=1e6 diverges immediately; lr=1e-2 trains fine
+    result = train_configs_vmapped(
+        model, [1e6, 1e-2], "adam", epochs=3, train_loader=train, val_loader=val
+    )
+    flags = result["best_improved"]
+    assert flags[1] is True  # healthy arm improved
+    if not flags[0]:
+        # divergence reached NaN (expected at lr=1e6): the init params
+        # must NOT masquerade as a best checkpoint
+        assert flags[0] is False

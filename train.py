@@ -119,6 +119,12 @@ def infer(model_dir: str, split: str = "test", output: str = None,
         "val": dataloader.get_val_loader,
         "test": dataloader.get_test_loader,
     }[split]()
+    if hasattr(loader, "shuffle"):
+        # scoring, not SGD: the train loader defaults to shuffle=True,
+        # which would permute the CSV rows so the positional `index`
+        # column no longer joins back to dataset order (round-5 review
+        # finding; val/test loaders are already unshuffled)
+        loader.shuffle = False
 
     y_true, y_prob = model.predict(loader, return_prob=True)
     y_true = np.asarray(y_true).reshape(-1)
@@ -473,8 +479,10 @@ def main(argv=None) -> None:
         config["logging"]["log_dir"] = args.log_dir
     if args.epochs is not None:
         config.setdefault("trainer", {})["epochs"] = args.epochs
-    if args.seed is not None and "trainer" in config:
-        config["trainer"]["seed"] = args.seed
+    if args.seed is not None:
+        # setdefault like --epochs above: a config without a trainer
+        # section must not silently drop the override
+        config.setdefault("trainer", {})["seed"] = args.seed
     if args.create_dataset:
         config["dataset"]["create_dataset"] = True
         get_dataloader(dataset, config)
