@@ -37,6 +37,10 @@ def pow2_bucket(n: int, min_size: int = 256, factor: float = 2.0) -> int:
     covers ``n``.  factor=2.0 keeps the classic power-of-two ladder; smaller
     factors (e.g. 1.25) trade a few extra compiled shapes for up to ~40%
     less padding shipped over the host→device link."""
+    if factor <= 1.0:
+        # loud: `size *= factor` can never reach n, so a config typo like
+        # bucket_factor=1.0 would spin the first __iter__ forever
+        raise ValueError(f"bucket factor must be > 1.0, got {factor}")
     size = float(min_size)
     while size < n:
         size *= factor
@@ -370,6 +374,7 @@ class GraphLoader:
         emit_out_rows: bool = False,
         dense_w_is_existence: bool = False,
         require_inrow: bool = False,
+        flat_if_multigraph: bool = False,
     ):
         # "float16": fp16 features/weights + int16 ids on the wire (see
         # PointCloudLoader) — models upcast on device.  seg_encoding
@@ -392,10 +397,14 @@ class GraphLoader:
         # (``in_deg``) and the flat FALLBACK ships edge_w = merged_w/mult
         # with edge_mask = multiplicity (see self.flat_fallback_w), which
         # keeps sums, mean denominators, unweighted max, GAT softmax and
-        # SAG score convs exact.  Remaining documented divergence: a
-        # WEIGHTED max over a multigraph sees one mean-weighted value per
-        # unique edge instead of per-occurrence values (the lineage
-        # builder's graphs are simple, so this never bites real data).
+        # SAG score convs exact ON FLAT WIRES.  Dense batches preserve
+        # per-occurrence parity for GraphConv add/mean/max only — GAT
+        # attention terms and the SAG score conv count a merged edge once
+        # there, which is why the factory sets ``flat_if_multigraph`` for
+        # GAT/SAG configs (demotes to flat iff a duplicate exists, see
+        # below).  Remaining documented divergence: a WEIGHTED max over a
+        # multigraph sees one mean-weighted value per unique edge instead
+        # of per-occurrence values.
         #
         # adj_wire picks HOW the dense adjacency reaches the device:
         # "device" (default) ships per-graph-padded nodes plus each node's
@@ -663,6 +672,33 @@ class GraphLoader:
                 "GraphLoader: dataset contains an exact-zero edge weight; "
                 "dense attention would drop that edge (existence is w != 0)"
                 " — demoting layout to 'flat' for exactness",
+                stacklevel=2,
+            )
+            layout = self.layout = "flat"
+        # flat_if_multigraph (set by the model factory for GAT / SAG
+        # configs): the dense wires preserve per-occurrence parity over a
+        # duplicate-MERGED store for GraphConv add/mean/max (summed
+        # weights / exact in_deg), but NOT for attention softmax terms or
+        # the SAG score conv — dense GAT counts a duplicated edge's exp
+        # ONCE (existence is w != 0) and the dense SAG score conv
+        # aggregates `adj != 0`, where the flat path counts each
+        # OCCURRENCE (round-5 review finding: under auto, batches of one
+        # epoch would mix the two semantics).  Like the zero-weight gate
+        # above, demote to flat only when a duplicate actually exists;
+        # the demotion happens AFTER the flat-fallback wires are built,
+        # so the flat wires carry the exact per-occurrence semantics.
+        if (
+            flat_if_multigraph
+            and layout in ("dense", "auto")
+            and bool((self.edge_mult > 1).any())
+        ):
+            import warnings
+
+            warnings.warn(
+                "GraphLoader: dataset contains duplicate directed edges; "
+                "dense attention/SAG-score semantics count a merged edge "
+                "once where the flat path counts each occurrence — "
+                "demoting layout to 'flat' for exactness",
                 stacklevel=2,
             )
             layout = self.layout = "flat"

@@ -183,6 +183,7 @@ class Step2PointGraph(DataModule):
         emit_out_rows: bool = False,
         dense_w_is_existence: bool = False,
         require_inrow: bool = False,
+        flat_if_multigraph: bool = False,
         **kwargs,
     ):
         super().__init__(data_dir=data_dir, **kwargs)
@@ -204,6 +205,10 @@ class Step2PointGraph(DataModule):
         # dense max pooling: only full-in-row dense batches are digestible;
         # degree-outlier batches ship the flat wire (data/batching)
         self.require_inrow = require_inrow
+        # GAT/SAG: dense attention/score semantics count a merged
+        # duplicate edge once — demote to flat iff a duplicate exists
+        # (data/batching.GraphLoader)
+        self.flat_if_multigraph = flat_if_multigraph
         self.n_features = n_features
         self.parts = parts
         self.use_weights = use_weights
@@ -444,6 +449,7 @@ class Step2PointGraph(DataModule):
             emit_out_rows=self.emit_out_rows,
             dense_w_is_existence=self.dense_w_is_existence,
             require_inrow=self.require_inrow,
+            flat_if_multigraph=self.flat_if_multigraph,
         )
 
     def get_train_loader(self) -> GraphLoader:

@@ -172,7 +172,11 @@ class DataModule:
         for split in SPLITS:
             self.datasets[split] = pd.concat(self.datasets[split], ignore_index=True)
 
-        total_events = sum(len(set(self.datasets[s]["event_id"])) for s in SPLITS)
+        # nunique() is the vectorized form of len(set(col)) — the Python
+        # sets materialized millions of boxed values on large datasets
+        total_events = sum(
+            int(self.datasets[s]["event_id"].nunique()) for s in SPLITS
+        )
         assert event_id_offset == total_events, (
             f"event bookkeeping mismatch: offset={event_id_offset} events={total_events}"
         )

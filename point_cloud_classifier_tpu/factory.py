@@ -65,6 +65,17 @@ def get_dataloader(dataset_name: str, config: dict):
             # silently drop an edge the flat path keeps.
             ds_cfg.setdefault("dense_w_is_existence", True)
         if (
+            mdl_gate.get("use_gat", False) or mdl_gate.get("sag_pool", False)
+        ) and ds_cfg.get("graph_layout") != "flat":
+            # attention softmax terms and the SAG score conv count a
+            # duplicate-MERGED edge once on the dense wires where the flat
+            # path counts each occurrence — the loader demotes to flat iff
+            # the store actually contains a duplicate (same
+            # check-then-demote pattern as dense_w_is_existence; simple
+            # graphs keep the dense layout and its kernels).  Applies
+            # whether the layout is pinned or defaulted below.
+            ds_cfg.setdefault("flat_if_multigraph", True)
+        if (
             not mdl_gate.get("use_gat", False)
             and mdl_gate.get("local_pooling", "add") == "max"
             and ds_cfg.get("graph_layout") in ("dense", "auto")

@@ -272,8 +272,15 @@ class SAGPool(nn.Module):
             # break by node index — matching segment_rank_desc's lexsort)
             order = jnp.argsort(-masked, axis=1, stable=True)
             ranks = jnp.argsort(order, axis=1, stable=True)
-            n_per_graph = jnp.sum(node_mask, axis=1)
-            kk = jnp.ceil(self.ratio * n_per_graph)
+            # COUNT/RANK ARITHMETIC IN f32/int32, not the compute dtype:
+            # node_mask arrives as bf16 under the benchmarked configs, and
+            # a bf16 sum cannot represent odd counts above 256 (nor can
+            # `ranks < kk` compare exactly once int32 ranks promote to
+            # bf16) — a 301-node graph's keep set would silently diverge
+            # from the flat path / torch reference (round-5 review
+            # finding; M rungs run to 512).  The O(B·M) cost is noise.
+            n_per_graph = jnp.sum(node_mask.astype(jnp.float32), axis=1)
+            kk = jnp.ceil(self.ratio * n_per_graph).astype(jnp.int32)
             keep = node_mask * (ranks < kk[:, None]).astype(node_mask.dtype)
             x = x * jnp.tanh(score)[..., None] * keep[..., None].astype(x.dtype)
             return x, keep

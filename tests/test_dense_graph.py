@@ -1025,3 +1025,122 @@ def test_flat_gatconv_returns_compute_dtype():
     vs = conv.init(jax.random.PRNGKey(0), x, src, dst, ev, nv)
     out = conv.apply(vs, x, src, dst, ev, nv)
     assert out.dtype == jnp.bfloat16
+
+
+def test_dense_sag_topk_exact_above_256_nodes_bf16():
+    """Round-5 review: dense SAGPool's count/rank arithmetic must run in
+    f32/int32 even when the compute dtype is bf16 — a bf16 sum cannot
+    represent odd node counts above 256 and `ranks < kk` rounded the
+    int32 ranks once they promoted to bf16, silently diverging the keep
+    set from the flat path for >256-node graphs (M rungs run to 512)."""
+    rng = np.random.default_rng(0)
+    n = 301  # odd, > 256: unrepresentable as a bf16 integer
+    e = 600
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    graphs = [{
+        "features": rng.normal(size=(n, 4)).astype(np.float32),
+        "edges": np.stack([src, dst]),
+        "weights": np.ones(e, dtype=np.float32),
+        "label": 1.0,
+    }]
+    model = GraphNet(
+        input_dim=4, hidden_dim=8, output_dim=1, activation="tanh",
+        sag_pool=True, pool_ratio=0.5, deepchem_style=True,
+        compute_dtype="bfloat16",
+    )
+    mk = lambda layout: next(iter(GraphLoader(
+        graphs, batch_size=1, shuffle=False, layout=layout,
+        use_weights=False,
+    )))
+    fb, db = mk("flat"), mk("dense")
+    variables = model.init(jax.random.PRNGKey(0), fb, train=False)
+    lf = np.asarray(model.apply(variables, fb, train=False))
+    ld = np.asarray(model.apply(variables, db, train=False))
+    np.testing.assert_allclose(lf, ld, rtol=2e-2, atol=2e-2)
+    # the sharp check, through the MODEL: the dense keep COUNT must be
+    # ceil(0.5 * 301) = 151 exactly — the bf16 arithmetic summed 301
+    # mask ones to 300 and kept 150 (a one-node keep-set divergence the
+    # logit tolerance above can hide)
+    _, inter = model.apply(
+        variables, db, train=False, capture_intermediates=True
+    )
+    # walk the intermediates pytree for the SAGPool output tuple (x, keep)
+    flat_inter = jax.tree_util.tree_leaves_with_path(inter["intermediates"])
+    keep_leaves = [
+        np.asarray(leaf)
+        for path, leaf in flat_inter
+        if "SAGPool" in "/".join(str(p) for p in path)
+        and np.asarray(leaf).shape == (1, db["node_mask"].shape[1])
+    ]
+    assert keep_leaves, "SAGPool keep intermediate not captured"
+    assert int(keep_leaves[0].astype(np.float32).sum()) == 151
+
+
+def test_multigraph_demotes_gat_sag_dense_to_flat():
+    """Round-5 review: dense attention terms and the SAG score conv count
+    a duplicate-MERGED edge once where the flat path counts each
+    occurrence — with factory-set flat_if_multigraph the loader demotes a
+    multigraph store to flat (exact semantics), while simple graphs keep
+    the dense layout."""
+    dup_graphs = [{
+        "features": np.eye(3, 4, dtype=np.float32),
+        "edges": np.array([[0, 0, 2], [1, 1, 1]], dtype=np.int32),
+        "weights": np.array([0.3, 0.4, 0.5], dtype=np.float32),
+        "label": 1.0,
+    }]
+    simple_graphs = [{
+        "features": np.eye(3, 4, dtype=np.float32),
+        "edges": np.array([[0, 2], [1, 1]], dtype=np.int32),
+        "weights": np.array([0.3, 0.5], dtype=np.float32),
+        "label": 1.0,
+    }]
+    with pytest.warns(UserWarning, match="duplicate"):
+        dup = GraphLoader(
+            dup_graphs, batch_size=1, shuffle=False, layout="auto",
+            use_weights=False, flat_if_multigraph=True,
+        )
+    assert dup.layout == "flat"
+    # the demoted-flat batches ride the per-occurrence fallback wires
+    b = next(iter(dup))
+    assert "adj" not in b and "in_src" not in b
+    assert b["edge_mask"].max() == 2.0
+    simple = GraphLoader(
+        simple_graphs, batch_size=1, shuffle=False, layout="auto",
+        use_weights=False, flat_if_multigraph=True,
+    )
+    assert simple.layout == "auto"  # no duplicate: dense stays
+
+    # factory wires the flag for GAT / SAG configs on non-flat layouts
+    import point_cloud_classifier_tpu.factory as factory_mod
+    seen = {}
+
+    class _SpyDS:
+        def __init__(self, **kwargs):
+            seen.update(kwargs)
+
+    import tempfile
+    monkey_orig = factory_mod.Step2PointGraph
+    factory_mod.Step2PointGraph = _SpyDS
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            factory_mod.get_dataloader(
+                "s2pg",
+                {"dataset": {"data_dir": td}, "model": {"use_gat": True}},
+            )
+            assert seen["flat_if_multigraph"] is True
+            seen.clear()
+            factory_mod.get_dataloader(
+                "s2pg",
+                {"dataset": {"data_dir": td}, "model": {"sag_pool": True}},
+            )
+            assert seen["flat_if_multigraph"] is True
+            seen.clear()
+            factory_mod.get_dataloader(
+                "s2pg",
+                {"dataset": {"data_dir": td, "graph_layout": "flat"},
+                 "model": {"use_gat": True}},
+            )
+            assert "flat_if_multigraph" not in seen
+    finally:
+        factory_mod.Step2PointGraph = monkey_orig
