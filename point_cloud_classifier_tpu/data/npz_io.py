@@ -134,6 +134,11 @@ def _parse_npy(buf: bytearray, start: int, size: int) -> np.ndarray:
     shape = meta["shape"]
     count = 1
     for s in shape:
+        if not isinstance(s, int) or s < 0:
+            # a corrupt header with a negative dim would flip `count`
+            # negative, sail past the bounds check below (the LHS shrinks)
+            # and frombuffer(count=-1) would span the rest of the file
+            raise ValueError(f"invalid .npy shape {shape!r}")
         count *= s
     if data_off + count * dtype.itemsize > start + size:
         # header claims more data than the zip member holds: frombuffer
@@ -158,8 +163,11 @@ def load_npz(path: str) -> Dict[str, np.ndarray]:
     try:
         return _load_from(buf)
     except Exception:
-        data = np.load(path, allow_pickle=False)
-        return {k: data[k] for k in data.files}
+        # context manager: NpzFile holds an open fd; thousands of fallback
+        # loads (a directory of compressed reference caches) must not
+        # accumulate fds until GC (round-5 review finding)
+        with np.load(path, allow_pickle=False) as data:
+            return {k: data[k] for k in data.files}
 
 
 def _load_from(buf: bytearray) -> Dict[str, np.ndarray]:

@@ -144,8 +144,19 @@ class ResidentCache:
             from point_cloud_classifier_tpu.parallel.mesh import shard_batch
 
             self._put = lambda b: shard_batch(mesh, b)
+            # streaming yields (budget abandonment) need the same
+            # data-axis placement as the pinned path under a mesh
+            self._put_stream = self._put
         else:
             self._put = lambda b: {k: jax.device_put(v) for k, v in b.items()}
+            # ... but OFF-mesh, streaming yields hand HOST batches to the
+            # consumer unmodified: jit's pipelined argument transfer is
+            # the measured-fastest path on this backend, and an eager
+            # per-leaf device_put per batch forever (the old behavior)
+            # made oversized datasets train SLOWER than never wrapping
+            # the loader at all (round-5 review finding).  Pinned-cache
+            # uploads keep the eager _put — pinning is the point there.
+            self._put_stream = lambda b: b
 
     @property
     def cached(self) -> bool:
@@ -197,7 +208,7 @@ class ResidentCache:
             # oversized-dataset fallback must match the streaming pipeline's
             # placement, not silently skip data-axis sharding under a mesh
             for batch in self.loader:
-                yield self._put(batch)
+                yield self._put_stream(batch)
             return
         if self._cached is not None:
             n = len(self._cached)
@@ -252,11 +263,11 @@ class ResidentCache:
                 self._abandoned = True
                 pinned.clear()
                 for held in chunk:
-                    yield self._put(held)
+                    yield self._put_stream(held)
                 chunk.clear()
-                yield self._put(batch)
+                yield self._put_stream(batch)
                 for rest in it:
-                    yield self._put(rest)
+                    yield self._put_stream(rest)
                 return
             key = _shape_key(batch) if self.upload_chunk > 1 else None
             if chunk and (

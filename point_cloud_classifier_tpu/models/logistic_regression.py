@@ -24,6 +24,56 @@ import numpy as np
 import optax
 
 
+_SOLVER = optax.lbfgs()  # pure init/update pair — safe to share process-wide
+
+
+@jax.jit
+def _fit_lbfgs(Xj, yj, C, tol, max_iter):
+    """Whole L-BFGS solve in ONE jitted program (round-5 review fix).
+
+    The old per-iteration host loop dispatched one jit call plus TWO
+    blocking scalar readbacks per iteration — ~0.5 s each in degraded
+    windows on the tunneled TPU backend, so a tiny CPU-sized fit could
+    spend minutes in transport stalls; it also re-traced `step` on every
+    fit() (the loss closed over that call's arrays).  A `lax.while_loop`
+    runs the identical iteration math (same stop rule: iterate while
+    max|grad| >= tol and i < max_iter) with zero per-iteration host
+    round-trips, and the module-level jit caches across fits by shape.
+
+    Note on dtype: inputs arrive float64 from pandas but jnp.asarray
+    yields f32 under jax's default x64-disabled config — same as the old
+    path; the measured sklearn parity (Δ=0.0000, BASELINE.md) already
+    covers this deviation.
+    """
+
+    def loss_fn(params):
+        logits = Xj @ params["w"] + params["b"]
+        ll = jnp.sum(optax.sigmoid_binary_cross_entropy(logits, yj))
+        return ll + 0.5 / C * jnp.sum(params["w"] ** 2)
+
+    value_and_grad = optax.value_and_grad_from_state(loss_fn)
+
+    def body(carry):
+        params, opt_state, _, i = carry
+        value, grad = value_and_grad(params, state=opt_state)
+        updates, opt_state = _SOLVER.update(
+            grad, opt_state, params, value=value, grad=grad, value_fn=loss_fn
+        )
+        params = optax.apply_updates(params, updates)
+        gnorm = jnp.maximum(jnp.max(jnp.abs(grad["w"])), jnp.abs(grad["b"]))
+        return params, opt_state, gnorm, i + 1
+
+    def cond(carry):
+        _, _, gnorm, i = carry
+        return (i < max_iter) & (gnorm >= tol)
+
+    params = {"w": jnp.zeros(Xj.shape[1]), "b": jnp.array(0.0)}
+    params, _, _, _ = jax.lax.while_loop(
+        cond, body, (params, _SOLVER.init(params), jnp.inf, jnp.int32(0))
+    )
+    return params
+
+
 class LogRegression:
     def __init__(self, C: float = 1.0, max_iter: int = 100, tol: float = 1e-4):
         self.C = C
@@ -40,37 +90,13 @@ class LogRegression:
 
     def fit(self, train_loader, val_loader=None) -> "LogRegression":
         X, y = self._split_xy(train_loader)
-        Xj = jnp.asarray(X)
-        yj = jnp.asarray(y)
-        n_features = X.shape[1]
-
-        def loss_fn(params):
-            logits = Xj @ params["w"] + params["b"]
-            ll = jnp.sum(optax.sigmoid_binary_cross_entropy(logits, yj))
-            return ll + 0.5 / self.C * jnp.sum(params["w"] ** 2)
-
-        params = {"w": jnp.zeros(n_features), "b": jnp.array(0.0)}
-        solver = optax.lbfgs()
-        opt_state = solver.init(params)
-        value_and_grad = optax.value_and_grad_from_state(loss_fn)
-
-        @jax.jit
-        def step(params, opt_state):
-            value, grad = value_and_grad(params, state=opt_state)
-            updates, opt_state = solver.update(
-                grad, opt_state, params, value=value, grad=grad, value_fn=loss_fn
-            )
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, grad
-
-        for _ in range(self.max_iter):
-            params, opt_state, grad = step(params, opt_state)
-            gnorm = max(
-                float(jnp.max(jnp.abs(grad["w"]))), float(jnp.abs(grad["b"]))
-            )
-            if gnorm < self.tol:
-                break
-
+        params = _fit_lbfgs(
+            jnp.asarray(X),
+            jnp.asarray(y),
+            jnp.asarray(self.C, jnp.float32),
+            jnp.asarray(self.tol, jnp.float32),
+            jnp.asarray(self.max_iter, jnp.int32),
+        )
         self.coef_ = np.asarray(params["w"]).reshape(1, -1)
         self.intercept_ = np.asarray(params["b"]).reshape(1)
         return self

@@ -30,6 +30,18 @@ def _compile_and_load(
     """Build-on-first-use: compile ``src`` if stale, dlopen, or fall back."""
     if failed_flag[0] or os.environ.get("PCC_NATIVE") == "0":
         return None
+    if not os.path.exists(src):
+        # source stripped (partial install / mid-branch-switch): a present
+        # .so is still usable; a missing one falls back to Python — either
+        # way never crash on the getmtime below (round-5 review finding)
+        if os.path.exists(lib_path):
+            try:
+                return ctypes.CDLL(lib_path)
+            except OSError:
+                failed_flag[0] = True
+                return None
+        failed_flag[0] = True
+        return None
     if not os.path.exists(lib_path) or os.path.getmtime(lib_path) < os.path.getmtime(
         src
     ):
@@ -370,7 +382,13 @@ def pack_graph_flat_native(
     lib = _load_packer()
     if lib is None:
         return False
-    assert weights.itemsize == edge_w.itemsize
+    if weights.itemsize != edge_w.itemsize:
+        # memory-safety precondition for the C++ buffer reads — must
+        # survive python -O (asserts are stripped there)
+        raise ValueError(
+            f"wire-dtype mismatch: weights itemsize {weights.itemsize} != "
+            f"edge_w itemsize {edge_w.itemsize}"
+        )
     rc = lib.pack_graph_flat(
         _ptr(feats), feats.shape[1], feats.itemsize,
         _ptr(node_offsets),
@@ -446,7 +464,13 @@ def pack_graph_inrow_native(
     lib = _load_packer()
     if lib is None:
         return False
-    assert weights.itemsize == in_w.itemsize
+    if weights.itemsize != in_w.itemsize:
+        # memory-safety precondition for the C++ buffer reads — must
+        # survive python -O (asserts are stripped there)
+        raise ValueError(
+            f"wire-dtype mismatch: weights itemsize {weights.itemsize} != "
+            f"in_w itemsize {in_w.itemsize}"
+        )
     rc = lib.pack_graph_inrow(
         _ptr(feats), feats.shape[1], feats.itemsize,
         _ptr(node_offsets),

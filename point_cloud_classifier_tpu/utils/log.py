@@ -22,8 +22,21 @@ class TrainingLogger:
         self.model_name = model_name
         self.dataset_name = dataset_name
         self.save_dir = log_dir
-        self.version = self._next_free_version()
-        self._create_run_dir()
+        # probe-then-create with a retry: two concurrent runs sharing a
+        # log_dir can both probe the same free N (TOCTOU) — the loser
+        # bumps to the next free slot instead of dying on FileExistsError
+        # (round-5 review finding; on-disk format unchanged)
+        for _ in range(1000):
+            self.version = self._next_free_version()
+            try:
+                self._create_run_dir()
+                break
+            except FileExistsError:
+                continue
+        else:
+            raise RuntimeError(
+                f"could not allocate a version dir under {log_dir}"
+            )
 
     def _next_free_version(self) -> str:
         version = 0
@@ -52,6 +65,10 @@ class TrainingLogger:
         with open(meta_path, "r") as f:
             meta = json.load(f)
         meta.setdefault("metrics", {})[name] = value
-        with open(meta_path, "w") as f:
+        # atomic replace: a crash mid-write must not truncate meta.json
+        # (the sweep leaderboard json.loads it); byte format unchanged
+        tmp_path = f"{meta_path}.tmp{os.getpid()}"
+        with open(tmp_path, "w") as f:
             json.dump(meta, f, indent=4)
+        os.replace(tmp_path, meta_path)
         print(f"Saved metric '{name}': {value}")
