@@ -77,6 +77,13 @@ def load_all(data_dir: str):
                 for k, v in per_file[0].items()
                 if isinstance(v, np.ndarray)
             }
+    if not events:
+        # a wrong --data-dir otherwise surfaces as pandas' cryptic
+        # "No objects to concatenate"
+        raise FileNotFoundError(
+            f"no shower HDF5 files found under {data_dir!r} "
+            f"(expected filenames containing one of {PARTICLES})"
+        )
     return pd.concat(events, ignore_index=True), raws, first_raws
 
 

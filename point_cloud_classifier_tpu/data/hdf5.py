@@ -66,20 +66,31 @@ def load_shower_file(filepath: str) -> Dict[str, np.ndarray]:
 
 
 def decode_subdetectors(raw: np.ndarray) -> np.ndarray:
-    """Byte-strings → unicode (reference decodes lazily per row, `utils/data.py:222-224`)."""
-    return np.array([s.decode("utf-8") if isinstance(s, bytes) else str(s) for s in raw])
+    """Byte-strings → unicode (reference decodes lazily per row, `utils/data.py:222-224`).
+
+    Decoded over the UNIQUE vocabulary then gathered back (round-5
+    review): the subdetector vocabulary is a handful of names, so the
+    per-element Python decode ran millions of needless iterations per
+    shower file.  `decoded[inv]` reproduces the per-element decode
+    exactly."""
+    uniq, inv = np.unique(np.asarray(raw), return_inverse=True)
+    decoded = np.array(
+        [s.decode("utf-8") if isinstance(s, bytes) else str(s) for s in uniq]
+    )
+    return decoded[inv]
 
 
 def detector_category(subdetector_names: np.ndarray) -> np.ndarray:
     """Map decoded subdetector names to {HCal, ECal, Other}.
 
     Reference `utils/data.py:227-229`: HCal wins if the substring "HCal"
-    appears anywhere, then ECal, else Other.
-    """
-    out = np.full(len(subdetector_names), "Other", dtype=object)
-    for i, name in enumerate(subdetector_names):
-        if "HCal" in name:
-            out[i] = "HCal"
-        elif "ECal" in name:
-            out[i] = "ECal"
-    return out.astype(str)
+    appears anywhere, then ECal, else Other.  Categorized over the unique
+    vocabulary (see :func:`decode_subdetectors`)."""
+    uniq, inv = np.unique(np.asarray(subdetector_names), return_inverse=True)
+    cat = np.array(
+        [
+            "HCal" if "HCal" in name else ("ECal" if "ECal" in name else "Other")
+            for name in uniq
+        ]
+    )
+    return cat[inv]

@@ -29,6 +29,7 @@ from sklearn.model_selection import train_test_split
 
 from point_cloud_classifier_tpu.data.batching import TabularLoader
 from point_cloud_classifier_tpu.data.hdf5 import decode_subdetectors, detector_category
+from point_cloud_classifier_tpu.data.npz_io import load_npz, save_npz
 from point_cloud_classifier_tpu.data.module import LABEL_MAP, SPLITS, DataModule
 
 FEATURE_ORDER = [
@@ -185,7 +186,10 @@ class Step2PointTabular(DataModule):
             print(f"Saving {split} dataset")
             path = self._split_path(split)
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            np.savez(
+            # data/npz_io: one-syscall STORED-zip write, np.load-interop
+            # pinned by tests/test_npz_io.py (same helper data/graph.py
+            # uses — round-5 review: keep the cache IO on one code path)
+            save_npz(
                 path,
                 event_id=df["event_id"].to_numpy(),
                 label=df["label"].to_numpy(),
@@ -199,7 +203,7 @@ class Step2PointTabular(DataModule):
             if not os.path.exists(path):
                 raise FileNotFoundError(f"Required file is missing: {path}")
             print(f"Loading {split} dataset from {path}")
-            data = np.load(path)
+            data = load_npz(path)
             # column layout matches the reference's loaded frame
             # (utils/data.py:341-353): features then label
             self.datasets[split] = pd.DataFrame(

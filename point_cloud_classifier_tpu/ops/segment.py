@@ -109,9 +109,15 @@ def segment_mean(
     method: str = "auto",
 ) -> jnp.ndarray:
     total = segment_sum(data, segment_ids, num_segments, method)
-    counts = segment_count(segment_ids, num_segments)
-    counts = jnp.maximum(counts, 1.0).astype(total.dtype)
-    return total / counts.reshape((-1,) + (1,) * (total.ndim - 1))
+    counts = jnp.maximum(segment_count(segment_ids, num_segments), 1.0)
+    # divide in f32, cast once: under bf16 data the old total.dtype cast
+    # quantized counts above 256 (bf16 integer spacing 2 — a 257-element
+    # segment divided by 256/258), the same count-representability class
+    # as the round-5 dense-SAG finding
+    out = total.astype(jnp.float32) / counts.reshape(
+        (-1,) + (1,) * (total.ndim - 1)
+    )
+    return out.astype(total.dtype)
 
 
 def segment_max(

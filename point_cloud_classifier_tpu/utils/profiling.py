@@ -70,7 +70,9 @@ class StepTimer:
 
     def dump(self, path: str) -> dict:
         s = self.summary()
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        parent = os.path.dirname(path)
+        if parent:  # a bare filename has no directory to create
+            os.makedirs(parent, exist_ok=True)
         with open(path, "w") as f:
             json.dump(s, f, indent=4)
         return s
@@ -78,9 +80,22 @@ class StepTimer:
 
 @contextlib.contextmanager
 def maybe_trace(log_dir: Optional[str], force: bool = False):
-    """``jax.profiler.trace`` when PCC_TRACE=1 (or force); else no-op."""
+    """``jax.profiler.trace`` when PCC_TRACE=1 (or force); else no-op.
+
+    Traces land under ``{log_dir}/trace/`` (the profiler's own
+    ``plugins/profile`` tree nests inside that)."""
     enabled = force or os.environ.get("PCC_TRACE") == "1"
     if not (enabled and log_dir):
+        if enabled and log_dir is None:
+            # explicit capture request with nowhere to write: say so
+            # instead of silently dropping the trace
+            import warnings
+
+            warnings.warn(
+                "maybe_trace: capture requested but log_dir is None — "
+                "no trace will be written",
+                stacklevel=2,
+            )
         yield
         return
     import jax
