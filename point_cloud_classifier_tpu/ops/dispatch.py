@@ -33,6 +33,14 @@ def force_xla():
 
     Used by ``serving.export_run`` so exported artifacts contain no
     ``tpu_custom_call`` ops regardless of the tracing host's backend.
+
+    CAVEAT (round-5 review): the flag is consulted at TRACE time and does
+    NOT participate in jax's jit cache key — a jitted callable that
+    already traced with the Pallas gates open keeps serving its cached
+    ``tpu_custom_call`` executable inside this context.  Always trace a
+    FRESH ``jax.jit``/``jax.export`` inside the context (what
+    ``serving.export_run`` does); never wrap an already-warm jitted fn
+    and expect a pure-XLA lowering.
     """
     global _FORCE_XLA
     prev = _FORCE_XLA

@@ -44,22 +44,10 @@ def knn_edges(
         touch padding, or exceed a graph's real node count.
     """
     n = positions.shape[0]
-    pos = positions.astype(jnp.float32)
-    node_seg = node_seg.astype(jnp.int32)
-
-    sq = jnp.sum(pos * pos, axis=-1)
     # ‖a−b‖² = ‖a‖² + ‖b‖² − 2a·b — the N×N term rides the MXU
-    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
-        pos, pos.T, preferred_element_type=jnp.float32
-    )
-
-    valid_node = node_seg < num_graphs
-    same_graph = node_seg[:, None] == node_seg[None, :]
-    eye = jnp.eye(n, dtype=bool)
-    allowed = same_graph & ~eye & valid_node[None, :] & valid_node[:, None]
-
+    # (shared with knn_adjacency via _masked_sqdist)
+    masked, _ = _masked_sqdist(positions, node_seg, num_graphs)
     big = jnp.float32(jnp.finfo(jnp.float32).max)
-    masked = jnp.where(allowed, d2, big)
     neg_d, idx = jax.lax.top_k(-masked, k)  # [N, k] nearest first
 
     # == repeat(arange(n), k) but pure iota arithmetic, no gather
@@ -79,15 +67,38 @@ def knn_adjacency(
     num_graphs: int,
 ) -> jnp.ndarray:
     """Dense [N, N] kNN adjacency: ``A[i, j] = 1`` iff ``j`` is among ``i``'s
-    k nearest same-graph neighbours (per-row top-k threshold on the distance
-    matrix).  Exact distance ties at the k-th neighbour may admit all tied
-    candidates (``knn_edges`` breaks such ties arbitrarily instead); ties are
-    measure-zero for continuous coordinates.
+    k nearest same-graph neighbours (per-row top-k THRESHOLD on the
+    distance matrix).
+
+    Tie semantics (deliberate, round-5 review adjudication): exact
+    distance ties at the k-th neighbour admit ALL tied candidates — so on
+    exactly-duplicated coordinates (zero-length steps, quantized hits) a
+    row's degree can exceed k, and this diverges from ``knn_edges``,
+    which picks exactly k (lowest index wins).  The threshold form is
+    kept because the fused Pallas kernel (``ops/knn_pallas``) implements
+    the SAME admit-ties semantics in-register and this function is its
+    test-pinned oracle (`tests/test_knn_pallas.py::test_pallas_tie_
+    semantics`) — the two AGGREGATE implementations stay exactly
+    equivalent, and the documented divergence is only vs the edge-LIST
+    builder on measure-degenerate inputs.  A rank-based exact form was
+    written and reverted: it broke the kernel pairing for a case the
+    caveat already covers.
     """
+    masked, allowed = _masked_sqdist(positions, node_seg, num_graphs)
+    # k-th smallest distance per row = the neighbourhood threshold
+    neg_topk, _ = jax.lax.top_k(-masked, k)
+    kth = -neg_topk[:, -1]
+    return (allowed & (masked <= kth[:, None])).astype(jnp.float32)
+
+
+def _masked_sqdist(positions, node_seg, num_graphs):
+    """Shared masked pairwise squared-distance matrix for ``knn_edges`` and
+    ``knn_adjacency`` (one implementation — the two copies had already
+    drifted stylistically): returns ``(masked [N, N], allowed [N, N])``
+    where disallowed pairs (cross-graph, self, padding) carry f32-max."""
     n = positions.shape[0]
     pos = positions.astype(jnp.float32)
     node_seg = node_seg.astype(jnp.int32)
-
     sq = jnp.sum(pos * pos, axis=-1)
     d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
         pos, pos.T, preferred_element_type=jnp.float32
@@ -100,12 +111,7 @@ def knn_adjacency(
         & valid_node[:, None]
     )
     big = jnp.float32(jnp.finfo(jnp.float32).max)
-    masked = jnp.where(allowed, d2, big)
-
-    # k-th smallest distance per row = the neighbourhood threshold
-    neg_topk, _ = jax.lax.top_k(-masked, k)
-    kth = -neg_topk[:, -1]
-    return (allowed & (masked <= kth[:, None])).astype(jnp.float32)
+    return jnp.where(allowed, d2, big), allowed
 
 
 def adjacency_aggregate(adj: jnp.ndarray, x: jnp.ndarray, aggr: str = "add") -> jnp.ndarray:

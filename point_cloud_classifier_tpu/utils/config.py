@@ -41,7 +41,7 @@ def load_config(base_path: str, specific_path: Optional[str] = None) -> Dict[str
     with open(base_path) as f:
         config = yaml.safe_load(f)
 
-    if specific_path is not None:
+    if specific_path:  # truthiness like the reference: '' is ignored, not opened
         with open(specific_path) as f:
             specific = yaml.safe_load(f)
         if isinstance(specific, dict) and specific:

@@ -15,10 +15,16 @@ import os
 
 import matplotlib
 
-if not os.environ.get("MPLBACKEND") and not os.environ.get("DISPLAY"):
+if (
+    not os.environ.get("MPLBACKEND")
+    and not os.environ.get("DISPLAY")
+    and not os.environ.get("WAYLAND_DISPLAY")
+    and __import__("sys").platform.startswith("linux")
+):
     # headless default only — don't clobber an interactive host's backend
     # (the unconditional pin made the documented save_dir=None interactive
-    # path a silent no-op everywhere)
+    # path a silent no-op everywhere).  The check is linux-X11/Wayland
+    # specific: macOS never sets DISPLAY yet has a working GUI backend
     matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
@@ -37,7 +43,12 @@ def _finish(fig, save_dir, filename):
         plt.close(fig)
     else:  # pragma: no cover - interactive use
         plt.show()
-        plt.close(fig)  # Agg's show() is a no-op; don't leak the figure
+        if not plt.isinteractive():
+            # Agg's / non-interactive show() returns without a window:
+            # don't leak the figure.  INTERACTIVE mode (%matplotlib) must
+            # keep the window open like the reference does — closing here
+            # destroyed it the moment show() returned
+            plt.close(fig)
 
 
 def plot_data(dataset, sample_size=None, random_state=42, save_dir=None):
