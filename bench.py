@@ -754,9 +754,11 @@ def measure_eval_throughput(
             }
             step = wrapper._eval_step_fused
         jax.block_until_ready(list(resident_b.values()))
+        out = None  # warmup=0 callers (scripts import these fns directly)
         for _ in range(warmup):
             out = step(wrapper.params, wrapper.batch_stats, resident_b)
-        _window_sync(out)
+        if out is not None:
+            _window_sync(out)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = step(wrapper.params, wrapper.batch_stats, resident_b)
@@ -821,9 +823,11 @@ def measure_graph_eval_throughput(
             }
             step = wrapper._eval_step_fused
         jax.block_until_ready(list(resident_b.values()))
+        out = None  # warmup=0 callers (scripts import these fns directly)
         for _ in range(warmup):
             out = step(wrapper.params, wrapper.batch_stats, resident_b)
-        _window_sync(out)
+        if out is not None:
+            _window_sync(out)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = step(wrapper.params, wrapper.batch_stats, resident_b)
@@ -1322,6 +1326,37 @@ def main(argv=None) -> None:
         if scale > 1:
             b, p = b * scale, p * scale
 
+    if (
+        args.pipeline == "stream"
+        and not args.smoke
+        and args.model in ("graph_net", "fully_connected_net")
+        and (args.fuse or 1) > 1
+    ):
+        # only measure_jax implements stream-side fusion; the graph/fcn
+        # stream paths dispatch per batch — say so instead of letting a
+        # stream fuse-A/B read as "fusion has no effect"
+        print(
+            "# note: the graph_net/fcn stream paths are UNFUSED "
+            "(--fuse applies to their resident rows only)",
+            file=sys.stderr,
+        )
+    if args.model != "graph_net" and (
+        args.gat or args.sag or args.fused_inrow
+        or args.graph_layout != "dense"
+        or args.graph_pooling != "add"
+    ):
+        raise SystemExit(
+            "--gat/--sag/--fused-inrow/--graph-layout/--graph-pooling are "
+            "graph_net arms; pass --model graph_net (refusing beats "
+            "silently benching deep_sets)"
+        )
+    if args.model == "graph_net" and not args.smoke and (
+        args.phi != "auto" or args.pc_layout != "dense"
+    ):  # --smoke pins pc_layout itself; a graph smoke is not a phi arm
+        raise SystemExit(
+            "--phi/--pc-layout are deep_sets arms; drop them or drop "
+            "--model graph_net"
+        )
     if args.phi != "auto" and args.pc_layout != "flat":
         # the fused φ kernels are FLAT-wire ops: on the dense per-cloud-row
         # wire the model reroutes to XLA (models/deep_sets.py dense_wire
@@ -1425,8 +1460,20 @@ def main(argv=None) -> None:
         return
 
     if args.latency:
+        if args.model != "deep_sets":
+            # refusing beats silently benching a different model (the
+            # guard policy the --sag/--quant/fcn rows already follow):
+            # the latency row is the deep_sets serving path only
+            raise SystemExit(
+                "--latency benches the deep_sets serving path; "
+                f"--model {args.model} has no latency row"
+            )
+        # raw flag with a 300-sample default (the device-p50 methodology's
+        # count): the resident-train 4*fuse default meant 1024 sequential
+        # blocking readbacks per latency row
         s = measure_infer_latency(
-            b, p, F, max(iters, 20), warmup, args.dtype, quant=args.quant
+            b, p, F, max(args.iters or 300, 20), warmup, args.dtype,
+            quant=args.quant,
         )
         print(
             json.dumps(
@@ -1505,9 +1552,11 @@ def main(argv=None) -> None:
                 "--gat/--sag would make the comparison apples-to-oranges"
             )
         if args.model == "graph_net":
-            cps = measure_torch_graph_reference(b, p, 2 * p, 4, iters or 5, warmup)
+            cps = measure_torch_graph_reference(
+                b, p, 2 * p, 4, args.iters or 5, warmup
+            )  # raw flag: the 4*fuse resident default is not a torch-CPU count
         elif args.model == "fully_connected_net":
-            cps = measure_torch_fcn_reference(32, 9, iters or 2000, 200)
+            cps = measure_torch_fcn_reference(32, 9, args.iters or 2000, 200)
             print(
                 json.dumps(
                     {
@@ -1521,7 +1570,7 @@ def main(argv=None) -> None:
             )
             return
         else:
-            cps = measure_torch_reference(b, p, F, iters or 5, warmup)
+            cps = measure_torch_reference(b, p, F, args.iters or 5, warmup)
         print(
             json.dumps(
                 {
